@@ -1,0 +1,36 @@
+"""Masked segment reductions (TPU-native DynamicScatter equivalents).
+
+The reference consumes mmcv's CUDA `DynamicScatter` (voxel_encoder.py:82,
+99-102).  On TPU, scatter-mean/max over point->voxel maps are expressed as
+`jax.ops.segment_*` with static segment counts; invalid points carry segment
+id == num_segments and fall off the end (segment ops drop out-of-range ids).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def segment_mean(data: jnp.ndarray,
+                 segment_ids: jnp.ndarray,
+                 num_segments: int) -> jnp.ndarray:
+    """Mean of data rows per segment; empty segments yield 0.
+
+    Out-of-range ids (e.g. ``num_segments`` used as the invalid marker) are
+    dropped.
+    """
+    total = jax.ops.segment_sum(data, segment_ids, num_segments)
+    count = jax.ops.segment_sum(
+        jnp.ones(data.shape[:1], dtype=data.dtype), segment_ids, num_segments)
+    return total / jnp.maximum(count, 1.0)[:, None]
+
+
+def segment_max(data: jnp.ndarray,
+                segment_ids: jnp.ndarray,
+                num_segments: int) -> jnp.ndarray:
+    """Max of data rows per segment; empty segments yield 0 (as mmcv does)."""
+    out = jax.ops.segment_max(data, segment_ids, num_segments)
+    # segment_max initializes empty segments with -inf; zero them like the
+    # CUDA op (which only writes touched voxels of a zero canvas).
+    return jnp.where(jnp.isfinite(out), out, 0.0)

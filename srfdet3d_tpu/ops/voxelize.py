@@ -1,0 +1,149 @@
+"""Static-shape voxelization (hard & dynamic) for point clouds.
+
+TPU-native replacement for mmdet3d's CUDA `Voxelization` op
+(reference srfdet.py:58,206-247).  Instead of building a (V, max_pts, C)
+buffer on the host/GPU, we keep points point-major and derive:
+
+  - per-point voxel slot ids (for segment reductions),
+  - per-voxel integer coords + occupancy masks,
+  - per-point "rank within voxel" so the hard-voxelization point cap
+    (max_num_points) becomes a mask rather than a gather.
+
+Everything is static-shape: P points in, V_cap voxel slots out.  Points that
+are out of range, beyond the per-voxel cap, or in voxels beyond V_cap get the
+invalid slot id V_cap (segment ops drop them; gathers read a zero pad row).
+
+Semantic note vs the CUDA op: when more than V_cap voxels are occupied, the
+reference keeps the first-seen voxels in point order; we keep the V_cap
+spatially-smallest keys (a sort order).  Both are arbitrary truncations of an
+overflow case that configs size to be rare (max_voxels=120k/160k).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import struct
+
+
+@dataclasses.dataclass(frozen=True)
+class VoxelizationSpec:
+    voxel_size: Tuple[float, float, float]
+    point_cloud_range: Tuple[float, float, float, float, float, float]
+    max_num_points: int  # -1 => dynamic voxelization (no per-voxel cap)
+    max_voxels: int      # static voxel capacity V_cap
+
+    @property
+    def grid_size(self) -> Tuple[int, int, int]:
+        """(nx, ny, nz) voxel counts."""
+        pc = self.point_cloud_range
+        vs = self.voxel_size
+        return (
+            int(round((pc[3] - pc[0]) / vs[0])),
+            int(round((pc[4] - pc[1]) / vs[1])),
+            int(round((pc[5] - pc[2]) / vs[2])),
+        )
+
+    @property
+    def sparse_shape(self) -> Tuple[int, int, int]:
+        """(D, H, W) = (nz, ny, nx), matching the reference coord order."""
+        nx, ny, nz = self.grid_size
+        return (nz, ny, nx)
+
+
+@struct.dataclass
+class VoxelizedPoints:
+    """Per-sample voxelization result (all arrays static shape)."""
+    point_voxel_idx: jnp.ndarray   # (P,) int32 in [0, V_cap]; V_cap = invalid
+    point_mask: jnp.ndarray        # (P,) bool, after range+cap+capacity
+    voxel_coords: jnp.ndarray      # (V_cap, 3) int32, (z, y, x); 0 if empty
+    voxel_mask: jnp.ndarray        # (V_cap,) bool
+    num_points: jnp.ndarray        # (V_cap,) int32 (capped count)
+
+
+def compute_voxel_coords(points: jnp.ndarray, spec: VoxelizationSpec):
+    """Integer voxel coords (z,y,x) and in-range mask for each point.
+
+    points: (P, >=3) with xyz leading. Returns ((P, 3) int32, (P,) bool).
+    """
+    pc = jnp.asarray(spec.point_cloud_range)
+    vs = jnp.asarray(spec.voxel_size)
+    nx, ny, nz = spec.grid_size
+    rel = (points[:, :3] - pc[:3]) / vs
+    idx = jnp.floor(rel).astype(jnp.int32)
+    in_range = (
+        (idx[:, 0] >= 0) & (idx[:, 0] < nx) &
+        (idx[:, 1] >= 0) & (idx[:, 1] < ny) &
+        (idx[:, 2] >= 0) & (idx[:, 2] < nz))
+    coords_zyx = jnp.stack([idx[:, 2], idx[:, 1], idx[:, 0]], axis=-1)
+    return coords_zyx, in_range
+
+
+def voxelize_points(points: jnp.ndarray,
+                    point_valid: jnp.ndarray,
+                    spec: VoxelizationSpec) -> VoxelizedPoints:
+    """Voxelize one sample's (padded) point cloud.
+
+    Args:
+      points: (P, C) with xyz in the first 3 channels.
+      point_valid: (P,) bool padding mask.
+      spec: voxelization parameters.
+    """
+    p = points.shape[0]
+    v_cap = spec.max_voxels
+    nx, ny, nz = spec.grid_size
+
+    coords, in_range = compute_voxel_coords(points, spec)
+    valid = point_valid & in_range
+
+    # linear key, z-major (z*ny + y)*nx + x ; fits int32 for all configs
+    key = (coords[:, 0] * ny + coords[:, 1]) * nx + coords[:, 2]
+    sentinel = jnp.int32(nx * ny * nz)
+    key = jnp.where(valid, key, sentinel)
+
+    order = jnp.argsort(key)
+    skey = key[order]
+    svalid = skey != sentinel
+    head = jnp.concatenate(
+        [jnp.ones((1,), bool), skey[1:] != skey[:-1]]) & svalid
+    slot_sorted = jnp.cumsum(head) - 1                   # (P,) voxel rank
+    slot_sorted = jnp.where(
+        svalid & (slot_sorted < v_cap), slot_sorted, v_cap).astype(jnp.int32)
+
+    # first sorted position of each voxel -> per-point rank within voxel
+    pos = jnp.arange(p, dtype=jnp.int32)
+    first_pos = jnp.zeros((v_cap + 1,), jnp.int32).at[slot_sorted].max(
+        jnp.where(head, pos, 0), mode="drop")
+    # (`.max` with head-only values: each slot written once at its head)
+    rank_sorted = pos - first_pos[slot_sorted]
+
+    if spec.max_num_points > 0:
+        keep_sorted = rank_sorted < spec.max_num_points
+    else:
+        keep_sorted = jnp.ones((p,), bool)
+    slot_sorted = jnp.where(
+        keep_sorted & (slot_sorted < v_cap), slot_sorted, v_cap)
+
+    # scatter voxel coords at head positions
+    voxel_coords = jnp.zeros((v_cap + 1, 3), jnp.int32).at[
+        jnp.where(head, slot_sorted, v_cap)].set(
+            coords[order], mode="drop")[:v_cap]
+    voxel_mask = jnp.zeros((v_cap + 1,), bool).at[
+        jnp.where(head, slot_sorted, v_cap)].set(True, mode="drop")[:v_cap]
+    num_points = jnp.zeros((v_cap + 1,), jnp.int32).at[slot_sorted].add(
+        1, mode="drop")[:v_cap]
+
+    # un-sort the per-point slot ids
+    inv = jnp.argsort(order)
+    point_voxel_idx = slot_sorted[inv].astype(jnp.int32)
+    point_mask = point_voxel_idx < v_cap
+
+    return VoxelizedPoints(
+        point_voxel_idx=point_voxel_idx,
+        point_mask=point_mask,
+        voxel_coords=voxel_coords,
+        voxel_mask=voxel_mask,
+        num_points=num_points,
+    )

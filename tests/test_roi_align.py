@@ -1,0 +1,102 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srfdet3d_tpu.ops.roi_align import multilevel_roi_align
+from srfdet3d_tpu.ops.focal_loss import sigmoid_focal_loss, focal_loss_cost
+
+
+def _np_roi_align_single(feat, roi, stride, out_size=7, sr=2):
+    """Numpy oracle: aligned RoIAlign on one level, one roi."""
+    h, w, c = feat.shape
+    scale = 1.0 / stride
+    x1, y1, x2, y2 = roi
+    rx1, ry1 = x1 * scale - 0.5, y1 * scale - 0.5
+    bin_w = (x2 - x1) * scale / out_size
+    bin_h = (y2 - y1) * scale / out_size
+    out = np.zeros((out_size, out_size, c), np.float64)
+    for ph in range(out_size):
+        for pw in range(out_size):
+            acc = np.zeros(c)
+            for iy in range(sr):
+                for ix in range(sr):
+                    y = ry1 + (ph + (iy + 0.5) / sr) * bin_h * out_size / out_size
+                    y = ry1 + bin_h * (ph + (iy + 0.5) / sr)
+                    x = rx1 + bin_w * (pw + (ix + 0.5) / sr)
+                    if y < -1.0 or y > h or x < -1.0 or x > w:
+                        continue
+                    y_ = min(max(y, 0.0), h - 1.0)
+                    x_ = min(max(x, 0.0), w - 1.0)
+                    y0, x0 = int(np.floor(y_)), int(np.floor(x_))
+                    y1c, x1c = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+                    ly, lx = y_ - y0, x_ - x0
+                    acc += (feat[y0, x0] * (1 - ly) * (1 - lx) +
+                            feat[y0, x1c] * (1 - ly) * lx +
+                            feat[y1c, x0] * ly * (1 - lx) +
+                            feat[y1c, x1c] * ly * lx)
+            out[ph, pw] = acc / (sr * sr)
+    return out
+
+
+def test_roi_align_matches_numpy_oracle():
+    rng = np.random.RandomState(0)
+    feats = [rng.randn(32, 32, 8).astype(np.float32),
+             rng.randn(16, 16, 8).astype(np.float32)]
+    strides = [8, 16]
+    # roi small enough for level 0 (scale < 112), one large for level 1
+    rois = np.array([
+        [10.0, 20.0, 90.0, 100.0],    # sqrt(80*80)=80 -> lvl0
+        [0.0, 0.0, 200.0, 180.0],     # sqrt(200*180)=189 -> lvl1
+        [50.0, 50.0, 58.0, 58.0],     # tiny -> lvl0
+    ], np.float32)
+    out = np.asarray(multilevel_roi_align(
+        [jnp.array(f) for f in feats], jnp.array(rois), strides))
+    assert out.shape == (3, 7, 7, 8)
+    for i, lvl in [(0, 0), (1, 1), (2, 0)]:
+        oracle = _np_roi_align_single(feats[lvl], rois[i], strides[lvl])
+        np.testing.assert_allclose(out[i], oracle, rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_out_of_bounds_zero():
+    feats = [jnp.ones((8, 8, 4))]
+    rois = jnp.array([[-500.0, -500.0, -400.0, -400.0]])
+    out = np.asarray(multilevel_roi_align(feats, rois, [8]))
+    assert np.abs(out).max() == 0.0
+
+
+def test_roi_align_vmap_batch():
+    rng = np.random.RandomState(1)
+    feats = [jnp.array(rng.randn(2, 16, 16, 4), jnp.float32),
+             jnp.array(rng.randn(2, 8, 8, 4), jnp.float32)]
+    rois = jnp.array(rng.uniform(0, 100, (2, 5, 4)), jnp.float32)
+    rois = rois.at[..., 2:].add(60.0)
+    f = jax.vmap(lambda f0, f1, r: multilevel_roi_align([f0, f1], r, [8, 16]))
+    out = f(feats[0], feats[1], rois)
+    assert out.shape == (2, 5, 7, 7, 4)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_focal_loss_matches_manual():
+    rng = np.random.RandomState(2)
+    logits = jnp.array(rng.randn(16, 4), jnp.float32)
+    labels = jnp.array(rng.randint(0, 5, 16))  # 4 == background
+    loss = np.asarray(sigmoid_focal_loss(logits, labels))
+    p = 1 / (1 + np.exp(-np.asarray(logits)))
+    t = np.eye(5)[np.asarray(labels)][:, :4]
+    ce = -(t * np.log(p) + (1 - t) * np.log(1 - p))
+    pt = p * t + (1 - p) * (1 - t)
+    at = 0.25 * t + 0.75 * (1 - t)
+    manual = (at * (1 - pt) ** 2 * ce).sum(-1)
+    np.testing.assert_allclose(loss, manual, rtol=1e-4, atol=1e-5)
+
+
+def test_focal_cost_shape_and_sign():
+    rng = np.random.RandomState(3)
+    logits = jnp.array(rng.randn(10, 4), jnp.float32)
+    gt_labels = jnp.array([0, 2, 3])
+    cost = np.asarray(focal_loss_cost(logits, gt_labels, weight=2.0))
+    assert cost.shape == (10, 3)
+    # higher logit on the gt class => lower cost
+    hi = focal_loss_cost(jnp.array([[5.0, -5, -5, -5]]), jnp.array([0]))
+    lo = focal_loss_cost(jnp.array([[-5.0, -5, -5, -5]]), jnp.array([0]))
+    assert float(hi[0, 0]) < float(lo[0, 0])

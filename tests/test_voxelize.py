@@ -1,0 +1,133 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from srfdet3d_tpu.ops.voxelize import VoxelizationSpec, voxelize_points
+from srfdet3d_tpu.models.vfe import HardSimpleVFE, PillarFeatureNet, DynamicVFE
+
+SPEC = VoxelizationSpec(
+    voxel_size=(0.5, 0.5, 1.0),
+    point_cloud_range=(0.0, 0.0, 0.0, 8.0, 8.0, 4.0),
+    max_num_points=3,
+    max_voxels=64,
+)
+
+
+def _numpy_voxelize(points, valid, spec):
+    """Oracle: dict voxel-coord -> list of point indices (capped)."""
+    vox = {}
+    for i, (p, v) in enumerate(zip(points, valid)):
+        if not v:
+            continue
+        ix = int(np.floor((p[0] - spec.point_cloud_range[0]) / spec.voxel_size[0]))
+        iy = int(np.floor((p[1] - spec.point_cloud_range[1]) / spec.voxel_size[1]))
+        iz = int(np.floor((p[2] - spec.point_cloud_range[2]) / spec.voxel_size[2]))
+        nx, ny, nz = spec.grid_size
+        if not (0 <= ix < nx and 0 <= iy < ny and 0 <= iz < nz):
+            continue
+        vox.setdefault((iz, iy, ix), []).append(i)
+    if spec.max_num_points > 0:
+        vox = {k: v[:spec.max_num_points] for k, v in vox.items()}
+    return vox
+
+
+def test_voxelize_matches_oracle():
+    rng = np.random.RandomState(0)
+    pts = rng.uniform(-1, 9, (128, 5)).astype(np.float32)
+    valid = np.ones(128, bool)
+    valid[100:] = False  # padding
+    out = voxelize_points(jnp.array(pts), jnp.array(valid), SPEC)
+    oracle = _numpy_voxelize(pts, valid, SPEC)
+
+    vm = np.asarray(out.voxel_mask)
+    vc = np.asarray(out.voxel_coords)
+    pvi = np.asarray(out.point_voxel_idx)
+    npts = np.asarray(out.num_points)
+
+    got_coords = {tuple(vc[i]) for i in range(len(vm)) if vm[i]}
+    assert got_coords == set(oracle.keys())
+
+    slot_by_coord = {tuple(vc[i]): i for i in range(len(vm)) if vm[i]}
+    for coord, members in oracle.items():
+        s = slot_by_coord[coord]
+        assert npts[s] == len(members)
+        got_members = [i for i in range(128) if pvi[i] == s]
+        assert sorted(got_members) == sorted(members)
+
+    # all other points are invalid
+    valid_pts = {i for members in oracle.values() for i in members}
+    pm = np.asarray(out.point_mask)
+    assert {i for i in range(128) if pm[i]} == valid_pts
+
+
+def test_voxelize_capacity_overflow():
+    spec = VoxelizationSpec(SPEC.voxel_size, SPEC.point_cloud_range,
+                            max_num_points=-1, max_voxels=4)
+    rng = np.random.RandomState(1)
+    pts = rng.uniform(0.1, 7.9, (64, 4)).astype(np.float32)
+    out = voxelize_points(jnp.array(pts), jnp.ones(64, bool), spec)
+    assert np.asarray(out.voxel_mask).sum() == 4
+    pvi = np.asarray(out.point_voxel_idx)
+    assert (pvi <= 4).all()
+
+
+def test_voxelize_jit_static():
+    f = jax.jit(lambda p, m: voxelize_points(p, m, SPEC))
+    pts = jnp.zeros((32, 4)) + 1.0
+    out = f(pts, jnp.ones(32, bool))
+    assert out.voxel_coords.shape == (64, 3)
+    # all 32 points in one voxel, capped at 3
+    assert int(out.voxel_mask.sum()) == 1
+    assert int(out.point_mask.sum()) == 3
+    assert int(out.num_points.max()) == 3
+
+
+def test_hard_simple_vfe_mean():
+    rng = np.random.RandomState(2)
+    pts = rng.uniform(0.1, 7.9, (64, 5)).astype(np.float32)
+    valid = np.ones(64, bool)
+    spec = VoxelizationSpec(SPEC.voxel_size, SPEC.point_cloud_range,
+                            max_num_points=10, max_voxels=64)
+    vox = voxelize_points(jnp.array(pts), jnp.array(valid), spec)
+    vfe = HardSimpleVFE(num_features=5)
+    feats = vfe.apply({}, jnp.array(pts), vox, 64)
+    oracle = _numpy_voxelize(pts, valid, spec)
+    vc = np.asarray(vox.voxel_coords)
+    vm = np.asarray(vox.voxel_mask)
+    slot_by_coord = {tuple(vc[i]): i for i in range(64) if vm[i]}
+    f = np.asarray(feats)
+    for coord, members in oracle.items():
+        s = slot_by_coord[coord]
+        np.testing.assert_allclose(f[s], pts[members].mean(0), rtol=1e-5,
+                                   atol=1e-5)
+
+
+def test_pillar_feature_net_shapes():
+    rng = np.random.RandomState(3)
+    pts = rng.uniform(0.1, 7.9, (64, 4)).astype(np.float32)
+    vox = voxelize_points(jnp.array(pts), jnp.ones(64, bool), SPEC)
+    net = PillarFeatureNet(in_channels=4, feat_channels=(64,), spec=SPEC)
+    params = net.init(jax.random.PRNGKey(0), jnp.array(pts), vox, 64,
+                      train=False)
+    out = net.apply(params, jnp.array(pts), vox, 64, train=False)
+    assert out.shape == (64, 64)
+    # empty voxel slots produce zeros after pooling of nothing
+    vm = np.asarray(vox.voxel_mask)
+    o = np.asarray(out)
+    assert np.abs(o[~vm]).max() == 0.0
+
+
+def test_dynamic_vfe_shapes_and_train():
+    rng = np.random.RandomState(4)
+    pts = rng.uniform(0.1, 7.9, (128, 5)).astype(np.float32)
+    spec = VoxelizationSpec(SPEC.voxel_size, SPEC.point_cloud_range,
+                            max_num_points=-1, max_voxels=64)
+    vox = voxelize_points(jnp.array(pts), jnp.ones(128, bool), spec)
+    net = DynamicVFE(in_channels=5, feat_channels=(64, 128), spec=spec)
+    variables = net.init(jax.random.PRNGKey(0), jnp.array(pts), vox, 64,
+                         train=True)
+    out, updates = net.apply(variables, jnp.array(pts), vox, 64, train=True,
+                             mutable=["batch_stats"])
+    assert out.shape == (64, 128)
+    assert "batch_stats" in updates
+    assert np.isfinite(np.asarray(out)).all()
