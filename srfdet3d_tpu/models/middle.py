@@ -1,0 +1,33 @@
+"""Middle encoders: pillar scatter (dense BEV canvas) + sparse 3D encoder.
+
+- :class:`PointPillarsScatter` replaces mmdet3d's PointPillarsScatter
+  (cfg srfdet_pillar_nusc_L.py:53-54): one static scatter into (H*W, C).
+- :class:`SparseEncoder` (in sparse_encoder.py) replaces the spconv stack.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class PointPillarsScatter(nn.Module):
+    """Scatter pillar features into a dense BEV canvas (NHWC).
+
+    Input voxel_feats (V_cap, C) + coords (V_cap, 3) zyx + mask -> (ny, nx, C).
+    Invalid slots scatter to a dropped index.
+    """
+    output_shape: Tuple[int, int]  # (ny, nx)
+
+    @nn.compact
+    def __call__(self, voxel_feats: jnp.ndarray, voxel_coords: jnp.ndarray,
+                 voxel_mask: jnp.ndarray) -> jnp.ndarray:
+        ny, nx = self.output_shape
+        c = voxel_feats.shape[-1]
+        flat_idx = voxel_coords[:, 1] * nx + voxel_coords[:, 2]
+        flat_idx = jnp.where(voxel_mask, flat_idx, ny * nx)
+        canvas = jnp.zeros((ny * nx + 1, c), voxel_feats.dtype)
+        canvas = canvas.at[flat_idx].set(voxel_feats, mode="drop")
+        return canvas[:-1].reshape(ny, nx, c)

@@ -1,0 +1,171 @@
+"""Sparse 3D middle encoder (spconv-stack replacement, flax).
+
+Mirrors SparseEncoderCustom (reference sparse_encoder_custom.py:20-216) for
+both shipped layouts:
+
+  - block_type='conv_module' (KITTI, mmdet3d defaults): each stage is
+    [downsample (i>0, j==0)] + submanifold convs, every conv + BN + ReLU.
+  - block_type='basicblock' (nuScenes / Waymo): each stage is
+    SparseBasicBlock x n + downsample SparseConv3d (except last stage).
+
+Followed by conv_out (kernel (3,1,1), stride (2,1,1), pad 0) and a scatter to
+a dense BEV map (B, H, W, D*C).
+
+Batch handling: per-sample sparse ops are vmapped; batch norm runs on the
+batched (B, V, C) features with the voxel mask, so statistics span the whole
+(sharded) batch like the reference's BN1d over concatenated voxels.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.sparse_conv import (
+    SparseTensor, subm_gather_indices, strided_gather_indices,
+    gathered_conv_apply, generate_output_sites, conv_out_shape,
+    sparse_to_dense)
+from .layers import MaskedBatchNorm
+
+_KAIMING = nn.initializers.variance_scaling(2.0, "fan_in", "normal", in_axis=(0, 1))
+
+
+class _GatheredConvBN(nn.Module):
+    """Shared conv-apply + BN + optional ReLU over precomputed gather idx."""
+    out_channels: int
+    num_offsets: int
+    relu: bool = True
+    bn: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, gidx, mask, train=False):
+        cin = feats.shape[-1]
+        w = self.param("kernel", _KAIMING,
+                       (self.num_offsets, cin, self.out_channels), jnp.float32)
+        out = jax.vmap(gathered_conv_apply, in_axes=(0, 0, None))(
+            feats, gidx, w.astype(self.dtype))
+        if self.bn:
+            out = MaskedBatchNorm(dtype=self.dtype)(out, mask, train=train)
+        if self.relu:
+            out = nn.relu(out)
+        return jnp.where(mask[..., None], out, 0.0)
+
+
+class SparseEncoder(nn.Module):
+    in_channels: int
+    sparse_shape: Tuple[int, int, int]          # (D, H, W)
+    base_channels: int = 16
+    output_channels: int = 128
+    encoder_channels: Sequence[Sequence[int]] = (
+        (16,), (32, 32, 32), (64, 64, 64), (64, 64, 64))
+    encoder_paddings: Sequence[Sequence[Any]] = (
+        (1,), (1, 1, 1), (1, 1, 1), ((0, 1, 1), 1, 1))
+    block_type: str = "conv_module"
+    # voxel capacity after each of the 3 downsamples + conv_out
+    capacities: Sequence[int] = (60000, 30000, 15000, 15000)
+    dtype: Any = jnp.float32
+
+    def _pad3(self, p):
+        return (p, p, p) if isinstance(p, int) else tuple(p)
+
+    @nn.compact
+    def __call__(self, voxel_feats: jnp.ndarray, voxel_coords: jnp.ndarray,
+                 voxel_mask: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """voxel_feats (B, V, C), voxel_coords (B, V, 3) zyx, mask (B, V)."""
+        st = jax.vmap(
+            lambda f, c, m: SparseTensor(f, c, m, tuple(self.sparse_shape)))(
+            voxel_feats.astype(self.dtype), voxel_coords, voxel_mask)
+
+        def subm_idx(s):
+            return jax.vmap(lambda t: subm_gather_indices(t, 3))(s)
+
+        def downsample(s, out_ch, padding, capacity, name):
+            kernel, stride = (3, 3, 3), (2, 2, 2)
+            pad = self._pad3(padding)
+            oshape = conv_out_shape(s.shape, kernel, stride, pad)
+            oc, om = jax.vmap(
+                lambda t: generate_output_sites(t, kernel, stride, pad,
+                                                capacity))(s)
+            gidx = jax.vmap(
+                lambda t, c, m: strided_gather_indices(t, c, m, kernel,
+                                                       stride, pad))(s, oc, om)
+            f = _GatheredConvBN(out_ch, 27, dtype=self.dtype, name=name)(
+                s.features, gidx, om, train=train)
+            return jax.vmap(lambda ff, cc, mm: SparseTensor(
+                ff, cc, mm, oshape))(f, oc, om)
+
+        def basic_block(s, gidx, ch, name):
+            identity = s.features
+            f = _GatheredConvBN(ch, 27, dtype=self.dtype,
+                                name=f"{name}_conv1")(
+                s.features, gidx, s.mask, train=train)
+            f = _GatheredConvBN(ch, 27, relu=False, dtype=self.dtype,
+                                name=f"{name}_conv2")(
+                f, gidx, s.mask, train=train)
+            f = nn.relu(f + identity)
+            f = jnp.where(s.mask[..., None], f, 0.0)
+            return SparseTensor(f, s.coords, s.mask, s.shape)
+
+        # conv_input: SubMConv3d(in -> base) + BN + ReLU
+        gidx = subm_idx(st)
+        f = _GatheredConvBN(self.base_channels, 27, dtype=self.dtype,
+                            name="conv_input")(
+            st.features, gidx, st.mask, train=train)
+        st = st.replace(features=f)
+
+        ds_count = 0
+        if self.block_type == "conv_module":
+            for i, blocks in enumerate(self.encoder_channels):
+                for j, out_ch in enumerate(blocks):
+                    pad = self.encoder_paddings[i][j]
+                    if i != 0 and j == 0:
+                        st = downsample(st, out_ch, pad,
+                                        self.capacities[ds_count],
+                                        f"down{i}")
+                        ds_count += 1
+                        gidx = subm_idx(st)
+                    else:
+                        f = _GatheredConvBN(out_ch, 27, dtype=self.dtype,
+                                            name=f"subm{i}_{j}")(
+                            st.features, gidx, st.mask, train=train)
+                        st = st.replace(features=f)
+        elif self.block_type == "basicblock":
+            n_stages = len(self.encoder_channels)
+            for i, blocks in enumerate(self.encoder_channels):
+                for j, out_ch in enumerate(blocks):
+                    pad = self.encoder_paddings[i][j]
+                    if j == len(blocks) - 1 and i != n_stages - 1:
+                        st = downsample(st, out_ch, pad,
+                                        self.capacities[ds_count],
+                                        f"down{i}")
+                        ds_count += 1
+                        gidx = subm_idx(st)
+                    else:
+                        st = basic_block(st, gidx, out_ch, f"bb{i}_{j}")
+        else:
+            raise ValueError(self.block_type)
+
+        # conv_out: SparseConv3d k(3,1,1) s(2,1,1) p0 + BN + ReLU
+        kernel, stride, pad = (3, 1, 1), (2, 1, 1), (0, 0, 0)
+        oshape = conv_out_shape(st.shape, kernel, stride, pad)
+        oc, om = jax.vmap(
+            lambda t: generate_output_sites(t, kernel, stride, pad,
+                                            self.capacities[-1]))(st)
+        gidx_out = jax.vmap(
+            lambda t, c, m: strided_gather_indices(t, c, m, kernel, stride,
+                                                   pad))(st, oc, om)
+        f = _GatheredConvBN(self.output_channels, 3, dtype=self.dtype,
+                            name="conv_out")(
+            st.features, gidx_out, om, train=train)
+        st = jax.vmap(lambda ff, cc, mm: SparseTensor(ff, cc, mm, oshape))(
+            f, oc, om)
+
+        dense = jax.vmap(sparse_to_dense)(st)       # (B, D, H, W, C)
+        b, d_, h_, w_, c_ = dense.shape
+        # (B, H, W, D*C): z-major channel grouping (layout differs from the
+        # reference's (C*D) only by a fixed permutation; trained from scratch)
+        return dense.transpose(0, 2, 3, 1, 4).reshape(b, h_, w_, d_ * c_)
