@@ -1,0 +1,4 @@
+from .ota import OTAConfig, ota_assign, ota_assign_batch
+from .hungarian import hungarian_assign
+
+__all__ = ["OTAConfig", "ota_assign", "ota_assign_batch", "hungarian_assign"]

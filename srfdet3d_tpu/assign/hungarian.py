@@ -1,0 +1,63 @@
+"""Hungarian (one-to-one) assignment — secondary assigner.
+
+The reference's HungarianAssignerSRFDet (hungarian_assigner_srfdet.py:15-127)
+computes cost = FocalLossCost + BBox3DL1Cost and solves it with scipy
+`linear_sum_assignment` **on the host CPU** (109-118) — an explicit
+device->host boundary in the reference too.  None of the 11 shipped configs
+use it (OTA is the default everywhere), so we keep the same host-side solve
+via `jax.pure_callback` with static result shapes, padded with -1.
+
+A fully on-device LAP solver is a possible later optimization; it is not on
+any shipped config's hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..geometry.boxes import normalize_bbox
+from ..ops.focal_loss import focal_loss_cost
+
+
+def _lsa_host(cost: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
+    """Host callback: solve LAP on the first n_valid columns.
+
+    Returns (n_p,) int32: matched gt index per pred, -1 if unmatched.
+    """
+    from scipy.optimize import linear_sum_assignment
+
+    n_p, g = cost.shape
+    out = np.full((n_p,), -1, np.int32)
+    nv = int(n_valid)
+    if nv > 0:
+        rows, cols = linear_sum_assignment(np.asarray(cost[:, :nv]))
+        out[rows] = cols.astype(np.int32)
+    return out
+
+
+def hungarian_assign(pred_boxes: jnp.ndarray,
+                     pred_logits: jnp.ndarray,
+                     gt_boxes: jnp.ndarray,
+                     gt_labels: jnp.ndarray,
+                     gt_mask: jnp.ndarray,
+                     cls_weight: float = 2.0,
+                     reg_weight: float = 0.25) -> jnp.ndarray:
+    """One sample. Valid GTs must be packed first (standard padding layout).
+
+    pred_boxes (n_p, >=8) normalized code, gt_boxes (G, 7|9) raw ->
+    matched_gt (n_p,) int32, -1 = unmatched.
+    """
+    pred_boxes = jax.lax.stop_gradient(pred_boxes.astype(jnp.float32))
+    pred_logits = jax.lax.stop_gradient(pred_logits.astype(jnp.float32))
+    cls_cost = focal_loss_cost(pred_logits, gt_labels, weight=cls_weight,
+                               eps=1e-12)
+    gt_norm = normalize_bbox(gt_boxes[:, :7])
+    reg_cost = reg_weight * jnp.sum(
+        jnp.abs(pred_boxes[:, None, :8] - gt_norm[None]), axis=-1)
+    cost = cls_cost + reg_cost
+    n_valid = jnp.sum(gt_mask.astype(jnp.int32))
+    result_shape = jax.ShapeDtypeStruct((pred_boxes.shape[0],), jnp.int32)
+    return jax.pure_callback(_lsa_host, result_shape, cost, n_valid,
+                             vmap_method="sequential")

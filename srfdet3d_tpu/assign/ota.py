@@ -1,0 +1,196 @@
+"""SimOTA-style dynamic-k assignment as fixed-shape masked ops.
+
+TPU-native redesign of the reference's OTAssignerSRFDet
+(core/bbox/assigners/ota_srfdet.py:19-330).  The reference algorithm is
+control-flow heavy: a python loop over GTs for per-GT top-k
+(ota_srfdet.py:272-277) and a data-dependent while loop that guarantees every
+GT at least one prediction (298-319).  Here everything is expressed over a
+fixed (n_p, G_cap) pair grid with a GT validity mask:
+
+  - per-GT dynamic-k selection becomes a column-rank comparison
+    (double argsort), one vectorized op for all GTs;
+  - per-pred dedup becomes a masked one-hot rewrite;
+  - the guarantee loop becomes a bounded `lax.while_loop` whose body matches
+    *all* currently-unmatched GTs at once (the reference matches them one by
+    one inside a python for; the fixed points coincide because each body
+    iteration only adds matches for unmatched GTs and re-runs dedup).
+
+One deliberate fix vs the reference: inside the reference's while loop the
+conflict-resolution mask `prior_match_gt_mask` is stale (computed before the
+loop, ota_srfdet.py:283 vs 313-318); we recompute it each iteration, which is
+the intended semantics.
+
+Everything runs in fp32 under `stop_gradient` (the reference wraps the whole
+assigner in `torch.no_grad()`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.boxes import boxes3d_to_corners3d, normalize_bbox, \
+    denormalize_bbox
+from ..geometry.iou import iou_3d
+from ..ops.focal_loss import focal_loss_cost
+
+_PAD_GT_COST = 1e8      # cost for padded GT columns (never matched)
+_INVALID_COST = 1e4     # reference's +10000 for preds failing the gate
+_MATCHED_BUMP = 1e5     # reference's +100000 inside the guarantee loop
+
+
+@dataclasses.dataclass(frozen=True)
+class OTAConfig:
+    """Static assigner parameters (cfg srfdet_voxel_nusc_L.py:173-182)."""
+    cls_weight: float = 2.0
+    cls_alpha: float = 0.25
+    cls_gamma: float = 2.0
+    cls_eps: float = 1e-8
+    reg_weight: float = 0.25
+    iou_weight: float = 0.25
+    center_radius: float = 2.5
+    candidate_topk: int = 8
+    num_heads: int = 6
+    pc_range: Tuple[float, ...] = (-55.2, -55.2, -5.0, 55.2, 55.2, 3.0)
+
+
+def _in_gt_and_center(pred_boxes: jnp.ndarray,
+                      gt_boxes: jnp.ndarray,
+                      gt_mask: jnp.ndarray,
+                      center_radius: float):
+    """Gating masks (reference ota_srfdet.py:166-250).
+
+    pred_boxes (n_p, >=3) with ABSOLUTE centers; gt_boxes (G, >=7) raw sizes,
+    gravity-center cz.  Returns (valid (n_p,), in_both (n_p, G)).
+
+    Note the reference quirk: GT corners are computed through
+    boxes3d_to_corners3d which exponentiates the (raw!) sizes — inflating the
+    in-box gate.  That behavior is load-bearing for the trained models, so
+    `log_size=True` here too.
+    """
+    centers = pred_boxes[:, :3]                       # (n_p, 3)
+    corners = boxes3d_to_corners3d(gt_boxes[:, :7], bottom_center=False,
+                                   yaw_as_sincos=False, log_size=True)
+    mn = jnp.min(corners, axis=1)                     # (G, 3)
+    mx = jnp.max(corners, axis=1)
+    in_box = jnp.all((centers[:, None, :] > mn[None]) &
+                     (centers[:, None, :] < mx[None]), axis=-1)   # (n_p, G)
+
+    gc = gt_boxes[:, :3]
+    gs = gt_boxes[:, 3:6]
+    lo = gc - center_radius * gs
+    hi = gc + center_radius * gs
+    in_center = jnp.all((centers[:, None, :] > lo[None]) &
+                        (centers[:, None, :] < hi[None]), axis=-1)
+
+    in_box = in_box & gt_mask[None, :]
+    in_center = in_center & gt_mask[None, :]
+    valid = jnp.any(in_box, axis=1) | jnp.any(in_center, axis=1)
+    return valid, in_box & in_center
+
+
+def _dedup_rows(matching: jnp.ndarray, cost: jnp.ndarray) -> jnp.ndarray:
+    """Preds matched to >1 GT keep only their global min-cost GT
+    (reference ota_srfdet.py:283-295: argmin over ALL columns)."""
+    conflicted = jnp.sum(matching, axis=1) > 1                # (n_p,)
+    best = jnp.argmin(cost, axis=1)                           # (n_p,)
+    one_hot = jax.nn.one_hot(best, cost.shape[1], dtype=matching.dtype)
+    return jnp.where(conflicted[:, None], one_hot, matching)
+
+
+def ota_assign(pred_boxes: jnp.ndarray,
+               pred_logits: jnp.ndarray,
+               gt_boxes: jnp.ndarray,
+               gt_labels: jnp.ndarray,
+               gt_mask: jnp.ndarray,
+               head_idx: int,
+               cfg: OTAConfig) -> jnp.ndarray:
+    """Assign one sample. Returns matched_gt (n_p,) int32, -1 = unmatched.
+
+    Args:
+      pred_boxes: (n_p, 8|10) [cx,cy,cz abs, log w,l,h, sin, cos(, vx, vy)].
+      pred_logits: (n_p, n_cls).
+      gt_boxes: (G, 7|9) raw sizes, gravity-center cz, padded rows arbitrary.
+      gt_labels: (G,) int.
+      gt_mask: (G,) bool validity.
+      head_idx: decoder-layer index for the unit-increasing-k strategy
+        (reference srfdet_head.py:1066,1084: last layer uses num_heads,
+        aux layer i uses i+1).
+    """
+    pred_boxes = jax.lax.stop_gradient(pred_boxes.astype(jnp.float32))
+    pred_logits = jax.lax.stop_gradient(pred_logits.astype(jnp.float32))
+    gt_boxes = gt_boxes.astype(jnp.float32)
+    n_p = pred_boxes.shape[0]
+    g = gt_boxes.shape[0]
+
+    valid, in_both = _in_gt_and_center(pred_boxes, gt_boxes, gt_mask,
+                                       cfg.center_radius)
+
+    cls_cost = focal_loss_cost(pred_logits, gt_labels, alpha=cfg.cls_alpha,
+                               gamma=cfg.cls_gamma, eps=cfg.cls_eps,
+                               weight=cfg.cls_weight)              # (n_p, G)
+    gt_norm = normalize_bbox(gt_boxes[:, :7])                      # (G, 8)
+    reg_cost = cfg.reg_weight * jnp.sum(
+        jnp.abs(pred_boxes[:, None, :8] - gt_norm[None]), axis=-1)
+    ious = iou_3d(denormalize_bbox(pred_boxes), gt_boxes[:, :7])   # (n_p, G)
+    ious = jnp.where(gt_mask[None, :], ious, 0.0)
+    iou_cost = -cfg.iou_weight * ious
+
+    cost = cls_cost + reg_cost + iou_cost + 100.0 * (~in_both)
+    cost = cost + _INVALID_COST * (~valid)[:, None].astype(jnp.float32)
+    cost = jnp.where(gt_mask[None, :], cost, _PAD_GT_COST)
+
+    # dynamic k per GT: sum of top-k IoUs, unit-increasing by head index
+    # (reference ota_srfdet.py:262-271); truncation toward zero like .int()
+    k_top = min(cfg.candidate_topk, n_p)
+    topk_ious, _ = jax.lax.top_k(ious.T, k_top)                    # (G, k)
+    dynamic_ks = jnp.sum(topk_ious, axis=1) - 0.5 * (cfg.num_heads - head_idx)
+    dynamic_ks = jnp.maximum(dynamic_ks.astype(jnp.int32), 1)      # (G,)
+
+    # per-GT: mark the dynamic_ks[g] smallest-cost preds (column ranks)
+    order = jnp.argsort(cost, axis=0)
+    ranks = jnp.argsort(order, axis=0)                             # (n_p, G)
+    matching = (ranks < dynamic_ks[None, :]) & gt_mask[None, :]
+    matching = matching.astype(jnp.float32)
+    matching = _dedup_rows(matching, cost)
+
+    # guarantee every valid GT >= 1 pred (reference 297-319), bounded loop
+    def unmatched_cols(m):
+        return gt_mask & (jnp.sum(m, axis=0) == 0)
+
+    def cond(state):
+        m, _, it = state
+        return jnp.any(unmatched_cols(m)) & (it < g)
+
+    def body(state):
+        m, c, it = state
+        matched_pred = jnp.sum(m, axis=1) > 0
+        c = c + _MATCHED_BUMP * matched_pred[:, None].astype(jnp.float32)
+        un = unmatched_cols(m)                                     # (G,)
+        best_pred = jnp.argmin(c, axis=0)                          # (G,)
+        add = jax.nn.one_hot(best_pred, n_p, dtype=m.dtype).T      # (n_p, G)
+        m = jnp.where(un[None, :], jnp.maximum(m, add), m)
+        m = _dedup_rows(m, c)
+        return m, c, it + 1
+
+    matching, _, _ = jax.lax.while_loop(
+        cond, body, (matching, cost, jnp.int32(0)))
+
+    matched = jnp.sum(matching, axis=1) > 0
+    matched_gt = jnp.argmax(matching, axis=1).astype(jnp.int32)
+    return jnp.where(matched, matched_gt, -1)
+
+
+def ota_assign_batch(pred_boxes: jnp.ndarray,
+                     pred_logits: jnp.ndarray,
+                     gt_boxes: jnp.ndarray,
+                     gt_labels: jnp.ndarray,
+                     gt_mask: jnp.ndarray,
+                     head_idx: int,
+                     cfg: OTAConfig) -> jnp.ndarray:
+    """Batched assignment: (B, n_p, .) x (B, G, .) -> (B, n_p) int32."""
+    return jax.vmap(ota_assign, in_axes=(0, 0, 0, 0, 0, None, None))(
+        pred_boxes, pred_logits, gt_boxes, gt_labels, gt_mask, head_idx, cfg)

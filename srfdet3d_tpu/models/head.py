@@ -1,0 +1,521 @@
+"""SRFDet decoder head: DPG, iterative refinement, fusion — fully batched.
+
+TPU-native redesign of the reference's sparse_heads/srfdet_head.py (2693
+lines): SRFDetHead (:48), SingleSRFDetHeadLiDAR (:1348), SingleSRFDetHeadImg
+(:1692), SingleSRFDetHead fusion (:2104), DynamicConv (:2633).
+
+Key design differences from the reference (semantics preserved):
+  - one `SingleSRFDetHead` module covers the LiDAR / image / fusion variants
+    via flags (the reference keeps three near-identical 400-line classes);
+  - no per-sample python loops: RoI sampling, NMS and decoding are vmapped,
+    multi-camera RoIs are one big batched gather;
+  - box buffers are never mutated in place.  The reference's single heads
+    denormalize proposal centers in-place inside the RoI samplers, so its
+    `apply_deltas` sees ABSOLUTE centers and re-normalizes at the end
+    (srfdet_head.py:2043-2051 + :2317); we make that contract explicit.
+
+Box code throughout: [cx, cy, cz, log w, log l, log h, sin, cos (, vx, vy)]
+with centers normalized to [0, 1] within pc_range between refinement
+iterations, and absolute in the returned predictions (head forward
+denormalizes at the end, reference srfdet_head.py:478-495).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..geometry.boxes import boxes3d_to_corners3d, denormalize_bbox
+from ..geometry.iou import multiclass_nms_3d
+from ..ops.roi_align import multilevel_roi_align
+from .layers import ConvBNReLU
+
+_DEFAULT_SCALE_CLAMP = math.log(100000.0 / 16)
+_XAVIER = nn.initializers.xavier_uniform()
+
+
+def _focal_bias(prior_prob: float) -> float:
+    return -math.log((1 - prior_prob) / prior_prob)
+
+
+def normalize_centers(boxes: jnp.ndarray, pc_range) -> jnp.ndarray:
+    """Absolute centers -> [0, 1] within pc_range (columns 0:3)."""
+    lo = jnp.asarray(pc_range[:3], boxes.dtype)
+    hi = jnp.asarray(pc_range[3:6], boxes.dtype)
+    ctr = (boxes[..., :3] - lo) / (hi - lo)
+    return jnp.concatenate([ctr, boxes[..., 3:]], axis=-1)
+
+
+def denormalize_centers(boxes: jnp.ndarray, pc_range) -> jnp.ndarray:
+    """[0, 1] centers -> absolute within pc_range (columns 0:3)."""
+    lo = jnp.asarray(pc_range[:3], boxes.dtype)
+    hi = jnp.asarray(pc_range[3:6], boxes.dtype)
+    ctr = boxes[..., :3] * (hi - lo) + lo
+    return jnp.concatenate([ctr, boxes[..., 3:]], axis=-1)
+
+
+class DynamicConv(nn.Module):
+    """Proposal-conditioned dynamic 1x1 convs over the RoI grid.
+
+    Reference srfdet_head.py:2633-2693: parameters for two bmm stages are
+    generated per proposal, followed by a flatten + out projection.
+    """
+    feat_channels: int
+    dynamic_dim: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, prop_feats: jnp.ndarray,
+                 roi_feats: jnp.ndarray) -> jnp.ndarray:
+        """prop_feats (N, C), roi_feats (N, S, C) -> (N, C)."""
+        n, s, c = roi_feats.shape
+        d = self.dynamic_dim
+        params = nn.Dense(2 * c * d, kernel_init=_XAVIER,
+                          dtype=self.dtype)(prop_feats)        # (N, 2*C*d)
+        p1 = params[:, :c * d].reshape(n, c, d)
+        p2 = params[:, c * d:].reshape(n, d, c)
+
+        f = jnp.einsum("nsc,ncd->nsd", roi_feats, p1)
+        f = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(f)
+        f = nn.relu(f)
+        f = jnp.einsum("nsd,ndc->nsc", f, p2)
+        f = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(f)
+        f = nn.relu(f)
+
+        f = f.reshape(n, s * c)
+        f = nn.Dense(self.feat_channels, kernel_init=_XAVIER,
+                     dtype=self.dtype)(f)
+        f = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(f)
+        return nn.relu(f)
+
+
+def lidar_rois_from_boxes(boxes_abs: jnp.ndarray, pc_range, voxel_size
+                          ) -> jnp.ndarray:
+    """BEV axis-aligned RoIs from (.., code) boxes with ABSOLUTE centers.
+
+    Mirrors points_feats_sampling_bboxes_roi (srfdet_head.py:1627-1690):
+    corners (sin/cos yaw, exp of log sizes) -> BEV pixel frame -> min/max.
+    Returns (..., 4) [x1, y1, x2, y2] in the stride-1 BEV grid frame.
+    """
+    corners = boxes3d_to_corners3d(boxes_abs[..., :8], bottom_center=False,
+                                   yaw_as_sincos=True, log_size=True)
+    lo = jnp.asarray(pc_range[:2], boxes_abs.dtype)
+    vs = jnp.asarray(voxel_size[:2], boxes_abs.dtype)
+    xy = (corners[..., :2] - lo) / vs                  # (..., 8, 2)
+    mn = jnp.min(xy, axis=-2)
+    mx = jnp.max(xy, axis=-2)
+    return jnp.concatenate([mn, mx], axis=-1)
+
+
+def img_rois_from_boxes(boxes_abs: jnp.ndarray,
+                        lidar2img: jnp.ndarray) -> jnp.ndarray:
+    """Per-camera image RoIs by projecting 3D corners.
+
+    boxes_abs (B, n_p, code) with absolute centers; lidar2img (B, n_cam, 4, 4).
+    Returns (B, n_cam, n_p, 4) [x1, y1, x2, y2] in image pixels.
+    Mirrors img_feats_sampling_bboxes_roi (srfdet_head.py:2424-2529),
+    including the z clamp at eps=1e-5 (points behind the camera project to
+    huge boxes the RoIAlign then samples as zeros/edges — reference behavior).
+    """
+    corners = boxes3d_to_corners3d(boxes_abs[..., :8], bottom_center=False,
+                                   yaw_as_sincos=True, log_size=True)
+    ones = jnp.ones_like(corners[..., :1])
+    hom = jnp.concatenate([corners, ones], axis=-1)    # (B, n_p, 8, 4)
+    # (B, cam, 4, 4) x (B, n_p, 8, 4) -> (B, cam, n_p, 8, 4)
+    cam = jnp.einsum("bkij,bpcj->bkpci", lidar2img, hom)
+    eps = 1e-5
+    z = jnp.maximum(cam[..., 2:3], eps)
+    xy = cam[..., 0:2] / z                             # (B, cam, n_p, 8, 2)
+    mn = jnp.min(xy, axis=-2)
+    mx = jnp.max(xy, axis=-2)
+    return jnp.concatenate([mn, mx], axis=-1)
+
+
+class SingleSRFDetHead(nn.Module):
+    """One refinement iteration (LiDAR / image / fusion).
+
+    Reference classes SingleSRFDetHeadLiDAR (srfdet_head.py:1348),
+    SingleSRFDetHeadImg (:1692), SingleSRFDetHead (:2104).
+    """
+    num_classes: int
+    feat_channels: int = 128
+    pooler_resolution: int = 7
+    dim_feedforward: int = 512
+    num_cls_convs: int = 2
+    num_reg_convs: int = 3
+    num_attn_heads: int = 8
+    dropout: float = 0.1
+    scale_clamp: float = _DEFAULT_SCALE_CLAMP
+    code_size: int = 10
+    dynamic_dim: int = 32
+    pc_range: Sequence[float] = (-55.2, -55.2, -5.0, 55.2, 55.2, 3.0)
+    voxel_size: Sequence[float] = (0.075, 0.075, 0.2)
+    use_pts: bool = True
+    use_img: bool = False
+    lidar_strides: Sequence[int] = (8, 16, 32, 64)
+    img_strides: Sequence[int] = (4, 8, 16, 32)
+    prior_prob: float = 0.01
+    dtype: Any = jnp.float32
+
+    @property
+    def use_fusion(self) -> bool:
+        return self.use_pts and self.use_img
+
+    @nn.compact
+    def __call__(self,
+                 point_feats: Optional[Sequence[jnp.ndarray]],
+                 img_feats: Optional[Sequence[jnp.ndarray]],
+                 bboxes: jnp.ndarray,
+                 prop_feats: Optional[jnp.ndarray],
+                 lidar2img: Optional[jnp.ndarray] = None,
+                 train: bool = False):
+        """One iteration.
+
+        Args:
+          point_feats: list of (B, H, W, C) BEV maps (strides lidar_strides).
+          img_feats: list of (B, n_cam, H, W, C) (strides img_strides).
+          bboxes: (B, n_p, code) proposals, centers normalized [0, 1].
+          prop_feats: (B, n_p, C) or None (first iteration without DPG).
+          lidar2img: (B, n_cam, 4, 4) projection matrices.
+
+        Returns: (logits (B, n_p, #cls), boxes (B, n_p, code) normalized
+          centers, obj_feats (B, n_p, C)).
+        """
+        bs, n_p = bboxes.shape[:2]
+        c = self.feat_channels
+        res = self.pooler_resolution
+        boxes_abs = denormalize_centers(bboxes, self.pc_range)
+
+        pts_roi = img_roi = None
+        if self.use_pts:
+            rois = lidar_rois_from_boxes(boxes_abs, self.pc_range,
+                                         self.voxel_size)       # (B, n_p, 4)
+            pts_roi = jax.vmap(
+                lambda feats, r: multilevel_roi_align(
+                    feats, r, self.lidar_strides, out_size=res))(
+                tuple(point_feats), rois)                # (B, n_p, 7, 7, C)
+        if self.use_img:
+            n_cam = img_feats[0].shape[1]
+            cam_rois = img_rois_from_boxes(boxes_abs, lidar2img)
+            flat_rois = cam_rois.reshape(bs * n_cam, n_p, 4)
+            flat_feats = tuple(
+                f.reshape((bs * n_cam,) + f.shape[2:]) for f in img_feats)
+            per_cam = jax.vmap(
+                lambda feats, r: multilevel_roi_align(
+                    feats, r, self.img_strides, out_size=res))(
+                flat_feats, flat_rois)               # (B*cam, n_p, 7, 7, C)
+            img_roi = jnp.sum(
+                per_cam.reshape((bs, n_cam, n_p, res, res, -1)), axis=1)
+
+        if self.use_fusion:
+            fused = jnp.concatenate([img_roi, pts_roi], axis=-1)
+            roi_feats = nn.Dense(c, kernel_init=_XAVIER, dtype=self.dtype,
+                                 name="output_fused_proj")(fused)
+        else:
+            roi_feats = pts_roi if pts_roi is not None else img_roi
+        roi_feats = roi_feats.reshape(bs, n_p, res * res, c)
+
+        if prop_feats is None:
+            prop_feats = jnp.mean(roi_feats, axis=2)            # (B, n_p, C)
+
+        # proposal self-attention (reference srfdet_head.py:2286-2291)
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_attn_heads, qkv_features=c, out_features=c,
+            dropout_rate=self.dropout, kernel_init=_XAVIER, dtype=self.dtype,
+            name="self_attn")(
+            prop_feats, prop_feats, deterministic=not train)
+        x = prop_feats + nn.Dropout(self.dropout, deterministic=not train)(
+            attn)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
+
+        # instance interaction: per-proposal dynamic conv over its RoI
+        flat = x.reshape(bs * n_p, c)
+        inter = DynamicConv(c, dynamic_dim=self.dynamic_dim, dtype=self.dtype,
+                            name="inst_interact")(
+            flat, roi_feats.reshape(bs * n_p, res * res, c))
+        x = flat + nn.Dropout(self.dropout, deterministic=not train)(inter)
+        obj = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)  # (B*n_p, C)
+
+        # FFN
+        y = nn.Dense(self.dim_feedforward, kernel_init=_XAVIER,
+                     dtype=self.dtype)(obj)
+        y = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(y))
+        y = nn.Dense(c, kernel_init=_XAVIER, dtype=self.dtype)(y)
+        obj = obj + nn.Dropout(self.dropout, deterministic=not train)(y)
+        obj = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(obj)
+
+        cls_f, reg_f = obj, obj
+        for i in range(self.num_cls_convs):
+            cls_f = nn.Dense(c, use_bias=False, kernel_init=_XAVIER,
+                             dtype=self.dtype, name=f"cls_{i}")(cls_f)
+            cls_f = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(cls_f)
+            cls_f = nn.relu(cls_f)
+        for i in range(self.num_reg_convs):
+            reg_f = nn.Dense(c, use_bias=False, kernel_init=_XAVIER,
+                             dtype=self.dtype, name=f"reg_{i}")(reg_f)
+            reg_f = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(reg_f)
+            reg_f = nn.relu(reg_f)
+
+        logits = nn.Dense(
+            self.num_classes, kernel_init=_XAVIER,
+            bias_init=nn.initializers.constant(_focal_bias(self.prior_prob)),
+            dtype=self.dtype, name="class_logits")(cls_f)
+        deltas = nn.Dense(self.code_size, kernel_init=_XAVIER,
+                          dtype=self.dtype, name="bboxes_delta")(reg_f)
+        pred = self.apply_deltas(deltas.reshape(bs, n_p, -1), boxes_abs)
+        return (logits.reshape(bs, n_p, -1), pred,
+                obj.reshape(bs, n_p, c))
+
+    def apply_deltas(self, deltas: jnp.ndarray,
+                     boxes_abs: jnp.ndarray) -> jnp.ndarray:
+        """Refine boxes (reference apply_deltas_lidar, srfdet_head.py:1534).
+
+        deltas (.., code); boxes_abs (.., code) with ABSOLUTE centers and log
+        sizes.  Center deltas are scaled by box extents; sin/cos (and vx/vy)
+        are REPLACED by the deltas, not accumulated.  Output centers are
+        re-normalized to [0, 1] and clipped.
+        """
+        d = deltas.astype(jnp.float32)
+        b = boxes_abs.astype(jnp.float32)
+        sizes = jnp.exp(b[..., 3:6])                    # (w, l, h) raw
+        ctr = b[..., 0:3] + d[..., 0:3] * sizes
+        dsize = jnp.minimum(d[..., 3:6], self.scale_clamp)
+        new_sizes = b[..., 3:6] + dsize                 # log-space add
+        lo = jnp.asarray(self.pc_range[:3], jnp.float32)
+        hi = jnp.asarray(self.pc_range[3:6], jnp.float32)
+        ctr = jnp.clip((ctr - lo) / (hi - lo), 0.0, 1.0)
+        return jnp.concatenate([ctr, new_sizes, d[..., 6:]],
+                               axis=-1).astype(deltas.dtype)
+
+
+class SRFDetHead(nn.Module):
+    """Full decoder: DPG + `num_heads` refinement iterations.
+
+    Reference SRFDetHead (srfdet_head.py:48-1345).
+    """
+    num_classes: int = 10
+    feat_channels_lidar: int = 128
+    feat_channels_img: int = 256
+    hidden_dim: int = 128
+    lidar_feat_lvls: int = 4
+    img_feat_lvls: int = 4
+    num_proposals: int = 900
+    num_heads: int = 5
+    deep_supervision: bool = True
+    prior_prob: float = 0.01
+    is_kitti: bool = False
+    use_img: bool = False
+    code_size: int = 10
+    with_dpg: bool = True
+    num_dpg_exp: int = 4
+    pc_range: Sequence[float] = (-55.2, -55.2, -5.0, 55.2, 55.2, 3.0)
+    voxel_size: Sequence[float] = (0.075, 0.075, 0.2)
+    # single-head knobs (cfg single_head_lidar, srfdet_voxel_nusc_L.py:115)
+    dim_feedforward: int = 512
+    num_cls_convs: int = 2
+    num_reg_convs: int = 3
+    num_attn_heads: int = 8
+    dropout: float = 0.1
+    dynamic_dim: int = 32
+    lidar_strides: Sequence[int] = (8, 16, 32, 64)
+    img_strides: Sequence[int] = (4, 8, 16, 32)
+    dtype: Any = jnp.float32
+
+    def _dpg_weights(self, feats: Sequence[jnp.ndarray], tag: str,
+                     fc1_dim: int, train: bool) -> jnp.ndarray:
+        """DPG staircase (reference _get_init_proposals, srfdet_head.py:524).
+
+        feats: list of (B, H_l, W_l, C) maps, halving resolution per level.
+        Returns (B, num_dpg_exp, n_p) raw mixture logits.
+        """
+        x = feats[0]
+        for lvl in range(len(feats) - 1):
+            ch = x.shape[-1]
+            x = ConvBNReLU(ch, kernel=3, stride=2, padding=1, groups=ch,
+                           dtype=self.dtype,
+                           name=f"dpg_dw_{tag}_{lvl}")(x, train=train)
+            x = jnp.concatenate([feats[lvl + 1], x], axis=-1)
+        w = jnp.sum(x, axis=-1)                       # (B, H, W)
+        w = w.reshape(w.shape[0], -1)
+        w = nn.Dense(fc1_dim, kernel_init=_XAVIER, dtype=self.dtype,
+                     name=f"dpg_fc1_{tag}")(w)
+        w = nn.relu(w)
+        w = nn.Dense(self.num_dpg_exp * self.num_proposals,
+                     kernel_init=_XAVIER, dtype=self.dtype,
+                     name=f"dpg_fc2_{tag}")(w)
+        return w.reshape(-1, self.num_dpg_exp, self.num_proposals)
+
+    @nn.compact
+    def __call__(self,
+                 point_feats: Optional[Sequence[jnp.ndarray]],
+                 img_feats: Optional[Sequence[jnp.ndarray]] = None,
+                 lidar2img: Optional[jnp.ndarray] = None,
+                 train: bool = False):
+        """Forward (reference srfdet_head.py:379-505).
+
+        Args:
+          point_feats: list of (B, H, W, C_lidar) BEV maps, strides 8-64.
+          img_feats: list of (B, n_cam, H, W, C_img) maps, strides 4-32.
+          lidar2img: (B, n_cam, 4, 4).
+
+        Returns:
+          pred_logits (L, B, n_p, #cls), pred_boxes (L, B, n_p, code) with
+          ABSOLUTE centers (denormalized, reference srfdet_head.py:478-495).
+        """
+        bs = (point_feats[0] if point_feats is not None
+              else img_feats[0]).shape[0]
+        n_p, n_exp = self.num_proposals, self.num_dpg_exp
+
+        # reduce image channels to hidden_dim (reference srfdet_head.py:404)
+        if self.use_img and self.hidden_dim != self.feat_channels_img:
+            img_feats = [
+                nn.Conv(self.hidden_dim, (3, 3), padding=1, dtype=self.dtype,
+                        name=f"img_conv_{i}")(f)
+                for i, f in enumerate(img_feats)]
+
+        n_emb = n_exp * n_p if self.with_dpg else n_p
+        boxes_emb = self.param("init_proposal_boxes",
+                               nn.initializers.normal(1.0),
+                               (n_emb, self.code_size), jnp.float32)
+        feats_emb = self.param("init_proposal_feats",
+                               nn.initializers.normal(1.0),
+                               (n_emb, self.feat_channels_lidar), jnp.float32)
+
+        if self.with_dpg:
+            w = self._dpg_weights(point_feats, "lidar", 1024, train)
+            if self.use_img:
+                # per-camera staircase then sum over cameras; resized to a
+                # fixed square so the fc input is static
+                # (reference srfdet_head.py:555-596)
+                n_cam = img_feats[0].shape[1]
+                flat = [f.reshape((bs * n_cam,) + f.shape[2:])
+                        for f in img_feats]
+                x = flat[0]
+                for lvl in range(len(flat) - 1):
+                    ch = x.shape[-1]
+                    x = ConvBNReLU(ch, kernel=3, stride=2, padding=1,
+                                   groups=ch, dtype=self.dtype,
+                                   name=f"dpg_dw_img_{lvl}")(x, train=train)
+                    x = jnp.concatenate([flat[lvl + 1], x], axis=-1)
+                hw = (30, 15) if self.is_kitti else (30, 30)
+                x = jax.image.resize(
+                    x, (x.shape[0], hw[0], hw[1], x.shape[-1]), "nearest")
+                x = x.reshape((bs, n_cam) + x.shape[1:]).sum(axis=1)
+                wimg = jnp.sum(x, axis=-1).reshape(bs, -1)
+                wimg = nn.Dense(1500, kernel_init=_XAVIER, dtype=self.dtype,
+                                name="dpg_fc1_img")(wimg)
+                wimg = nn.relu(wimg)
+                wimg = nn.Dense(n_exp * n_p, kernel_init=_XAVIER,
+                                dtype=self.dtype, name="dpg_fc2_img")(wimg)
+                w = (w + wimg.reshape(bs, n_exp, n_p)) / 2.0
+            w = jax.nn.softmax(w, axis=1)                  # (B, n_exp, n_p)
+            boxes0 = jnp.einsum(
+                "ben,end->bnd", w,
+                boxes_emb.reshape(n_exp, n_p, self.code_size))
+            feats0 = jnp.einsum(
+                "ben,enc->bnc", w,
+                feats_emb.reshape(n_exp, n_p, self.feat_channels_lidar))
+        else:
+            boxes0 = jnp.broadcast_to(boxes_emb[None],
+                                      (bs, n_p, self.code_size))
+            feats0 = jnp.broadcast_to(
+                feats_emb[None], (bs, n_p, self.feat_channels_lidar))
+
+        # centers via sigmoid -> [0, 1] (reference srfdet_head.py:425-426)
+        boxes = jnp.concatenate(
+            [jax.nn.sigmoid(boxes0[..., :3]), boxes0[..., 3:]], axis=-1)
+        boxes = boxes.astype(self.dtype)
+        prop_feats = feats0.astype(self.dtype)
+
+        logits_all, boxes_all = [], []
+        for i in range(self.num_heads):
+            logits, pred, prop_feats = SingleSRFDetHead(
+                num_classes=self.num_classes,
+                feat_channels=self.feat_channels_lidar,
+                dim_feedforward=self.dim_feedforward,
+                num_cls_convs=self.num_cls_convs,
+                num_reg_convs=self.num_reg_convs,
+                num_attn_heads=self.num_attn_heads,
+                dropout=self.dropout,
+                code_size=self.code_size,
+                dynamic_dim=self.dynamic_dim,
+                pc_range=tuple(self.pc_range),
+                voxel_size=tuple(self.voxel_size),
+                use_pts=point_feats is not None,
+                use_img=self.use_img and img_feats is not None,
+                lidar_strides=tuple(self.lidar_strides),
+                img_strides=tuple(self.img_strides),
+                prior_prob=self.prior_prob,
+                dtype=self.dtype,
+                name=f"head_{i}")(
+                point_feats, img_feats, boxes, prop_feats, lidar2img,
+                train=train)
+            logits_all.append(logits)
+            boxes_all.append(pred)
+            # boxes detached between iterations (reference :441,458)
+            boxes = jax.lax.stop_gradient(pred)
+
+        if self.deep_supervision:
+            pred_logits = jnp.stack(logits_all)
+            pred_boxes = jnp.stack(boxes_all)
+        else:
+            pred_logits = logits_all[-1][None]
+            pred_boxes = boxes_all[-1][None]
+        pred_boxes = denormalize_centers(pred_boxes, self.pc_range)
+        return pred_logits, pred_boxes
+
+
+def decode_boxes(pred_logits: jnp.ndarray,
+                 pred_boxes: jnp.ndarray,
+                 pc_range,
+                 use_nms: bool = True,
+                 nms_thr: float = 0.4,
+                 score_thr: float = 0.1,
+                 max_per_img: int = 300,
+                 post_center_range: Sequence[float] = (
+                     -61.2, -61.2, -10.0, 61.2, 61.2, 10.0)):
+    """Decode last-layer predictions into final detections (static shape).
+
+    Mirrors SRFDetHead.get_bboxes (reference srfdet_head.py:1228-1334):
+    sigmoid scores -> denormalize (exp sizes, atan2 yaw) -> gravity->bottom
+    center -> rotated multiclass NMS (or plain top-k) -> post-center filter.
+
+    Args:
+      pred_logits: (B, n_p, #cls) LAST decoder layer.
+      pred_boxes: (B, n_p, code) absolute centers.
+
+    Returns: dict with boxes (B, max_per_img, 7|9) bottom-center z,
+      scores (B, max_per_img), labels (B, max_per_img), valid mask.
+    """
+    scores = jax.nn.sigmoid(pred_logits.astype(jnp.float32))
+    raw = denormalize_bbox(pred_boxes.astype(jnp.float32))  # (B, n_p, 7|9)
+    raw = raw.at[..., 2].add(-0.5 * raw[..., 5])            # bottom center
+
+    if use_nms:
+        bev = jnp.concatenate(
+            [raw[..., 0:2], raw[..., 3:5], raw[..., 6:7]], axis=-1)
+        out_b, out_s, out_l, out_v = jax.vmap(
+            lambda b, bv, s: multiclass_nms_3d(
+                b, bv, s, score_thr, max_per_img, nms_thr))(raw, bev, scores)
+    else:
+        b, n_p, c = scores.shape
+        flat = scores.reshape(b, n_p * c)
+        out_s, idx = jax.lax.top_k(flat, max_per_img)
+        out_l = idx % c
+        box_idx = idx // c
+        out_b = jnp.take_along_axis(raw, box_idx[..., None], axis=1)
+        out_v = jnp.ones_like(out_s, dtype=bool)
+
+    pcr = jnp.asarray(post_center_range, jnp.float32)
+    in_range = jnp.all(out_b[..., :3] >= pcr[:3], axis=-1) & \
+        jnp.all(out_b[..., :3] <= pcr[3:], axis=-1)
+    return {
+        "boxes": out_b,
+        "scores": out_s,
+        "labels": out_l,
+        "valid": out_v & in_range,
+    }

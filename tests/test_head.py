@@ -1,0 +1,127 @@
+"""Decoder head tests: shapes, gradient flow, decode, and loss wiring."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from srfdet3d_tpu.assign import OTAConfig
+from srfdet3d_tpu.models.head import (SRFDetHead, SingleSRFDetHead,
+                                      DynamicConv, decode_boxes,
+                                      lidar_rois_from_boxes)
+from srfdet3d_tpu.models.losses import LossConfig, srfdet_losses
+
+PC = (-10.0, -10.0, -5.0, 10.0, 10.0, 3.0)
+VS = (0.125, 0.125, 0.2)   # 160x160 BEV grid
+B, NP, NCLS, C = 2, 16, 4, 32
+
+
+def _point_feats(rng):
+    sizes = [(20, 20), (10, 10), (5, 5), (3, 3)]  # strides 8,16,32,64
+    return [jnp.asarray(rng.normal(size=(B, h, w, C)).astype(np.float32))
+            for h, w in sizes]
+
+
+def _head(use_img=False):
+    return SRFDetHead(
+        num_classes=NCLS, feat_channels_lidar=C, feat_channels_img=C * 2,
+        hidden_dim=C, num_proposals=NP, num_heads=2, num_dpg_exp=2,
+        dim_feedforward=64, num_attn_heads=4, dynamic_dim=8,
+        pc_range=PC, voxel_size=VS, use_img=use_img, dropout=0.0)
+
+
+def test_srfdet_head_shapes_and_grad():
+    rng = np.random.default_rng(0)
+    head = _head()
+    feats = _point_feats(rng)
+    params = head.init(jax.random.PRNGKey(0), feats, train=False)
+    logits, boxes = head.apply(params, feats, train=False)
+    assert logits.shape == (2, B, NP, NCLS)
+    assert boxes.shape == (2, B, NP, 10)
+    # centers are absolute within pc_range
+    assert np.all(np.asarray(boxes[..., 0]) >= PC[0] - 1e-4)
+    assert np.all(np.asarray(boxes[..., 0]) <= PC[3] + 1e-4)
+
+    def loss_fn(p):
+        (lg, bx), _ = head.apply(p, feats, train=True,
+                                 rngs={"dropout": jax.random.PRNGKey(1)},
+                                 mutable=["batch_stats"])
+        return jnp.sum(lg ** 2) + jnp.sum(bx[..., 3:6] ** 2)
+
+    grads = jax.grad(loss_fn)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    # DPG embeddings receive gradient
+    gb = grads["params"]["init_proposal_boxes"]
+    assert np.abs(np.asarray(gb)).max() > 0
+
+
+def test_fusion_head_shapes():
+    rng = np.random.default_rng(1)
+    head = _head(use_img=True)
+    pts = _point_feats(rng)
+    n_cam = 2
+    img_sizes = [(16, 24), (8, 12), (4, 6), (2, 3)]
+    imgs = [jnp.asarray(
+        rng.normal(size=(B, n_cam, h, w, C * 2)).astype(np.float32))
+        for h, w in img_sizes]
+    l2i = jnp.broadcast_to(jnp.eye(4), (B, n_cam, 4, 4)).astype(jnp.float32)
+    params = head.init(jax.random.PRNGKey(0), pts, imgs, l2i, train=False)
+    logits, boxes = head.apply(params, pts, imgs, l2i, train=False)
+    assert logits.shape == (2, B, NP, NCLS)
+    assert boxes.shape == (2, B, NP, 10)
+
+
+def test_losses_finite_and_positive():
+    rng = np.random.default_rng(2)
+    head = _head()
+    feats = _point_feats(rng)
+    params = head.init(jax.random.PRNGKey(0), feats, train=False)
+    logits, boxes = head.apply(params, feats, train=False)
+
+    g_cap = 6
+    gt = np.zeros((B, g_cap, 9), np.float32)
+    gt[..., 0:2] = rng.uniform(-8, 8, (B, g_cap, 2))
+    gt[..., 2] = rng.uniform(-2, 0, (B, g_cap))
+    gt[..., 3:6] = rng.uniform(0.5, 3.0, (B, g_cap, 3))
+    labels = rng.integers(0, NCLS, (B, g_cap)).astype(np.int32)
+    mask = np.zeros((B, g_cap), bool)
+    mask[:, :3] = True
+
+    losses = srfdet_losses(
+        logits, boxes, jnp.asarray(gt), jnp.asarray(labels),
+        jnp.asarray(mask),
+        LossConfig(num_classes=NCLS), OTAConfig(pc_range=PC))
+    assert set(losses) == {"loss_cls", "loss_bbox",
+                           "s.0.loss_cls", "s.0.loss_bbox"}
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+        assert float(v) >= 0, k
+
+
+def test_decode_boxes_static_shapes():
+    rng = np.random.default_rng(3)
+    logits = jnp.asarray(rng.normal(-2, 1, (B, NP, NCLS)).astype(np.float32))
+    boxes = np.zeros((B, NP, 10), np.float32)
+    boxes[..., 0:2] = rng.uniform(-8, 8, (B, NP, 2))
+    boxes[..., 2] = rng.uniform(-2, 0, (B, NP))
+    boxes[..., 3:6] = np.log(rng.uniform(0.5, 3.0, (B, NP, 3)))
+    yaw = rng.uniform(-np.pi, np.pi, (B, NP))
+    boxes[..., 6], boxes[..., 7] = np.sin(yaw), np.cos(yaw)
+    out = decode_boxes(logits, jnp.asarray(boxes), PC, max_per_img=8,
+                       score_thr=0.01)
+    assert out["boxes"].shape == (B, 8, 9)
+    assert out["scores"].shape == (B, 8)
+    assert out["labels"].shape == (B, 8)
+    # valid entries have bottom-center z and in-range centers
+    v = np.asarray(out["valid"])
+    assert v.dtype == bool
+
+
+def test_lidar_rois_cover_box():
+    # axis-aligned box -> roi equals its BEV extent in grid units
+    box = jnp.asarray([[[0.0, 0.0, -1.0, np.log(2.0), np.log(4.0),
+                         np.log(1.0), 0.0, 1.0, 0.0, 0.0]]])
+    roi = np.asarray(lidar_rois_from_boxes(box, PC, VS))[0, 0]
+    # center (0,0) -> grid (80,80); w=2 -> ±8 in x; l=4 -> ±16 in y
+    np.testing.assert_allclose(roi, [80 - 8, 80 - 16, 80 + 8, 80 + 16],
+                               atol=1e-4)
