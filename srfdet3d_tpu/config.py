@@ -1,0 +1,172 @@
+"""Configuration dataclasses for SRFDet-TPU experiments.
+
+Replaces the reference's mmcv python-dict Config + registry `type=` strings
+(configs/{nus,kitti,waymo,others}/*.py) with typed frozen dataclasses.  Every
+logical field of the reference configs maps to a field here; additional
+`*_cap` fields size the static buffers that TPU execution requires (the
+reference gets dynamic shapes for free from CUDA; we must fix capacities).
+
+The 11 shipped experiment configs live in :mod:`srfdet3d_tpu.configs`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+from .assign.ota import OTAConfig
+from .models.losses import LossConfig
+from .ops.voxelize import VoxelizationSpec
+
+
+@dataclasses.dataclass(frozen=True)
+class TestConfig:
+    """cfg test_cfg (srfdet_voxel_nusc_L.py:164-172)."""
+    use_nms: bool = True
+    nms_thr: float = 0.4
+    score_thr: float = 0.1
+    max_per_img: int = 300
+    post_center_range: Tuple[float, ...] = (
+        -61.2, -61.2, -10.0, 61.2, 61.2, 10.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class VFEConfig:
+    """pts_voxel_encoder (cfg :70 / pillar :41-52 / kitti :40-52)."""
+    kind: str = "hard_simple"          # hard_simple | pillar | dynamic
+    in_channels: int = 5
+    feat_channels: Tuple[int, ...] = ()
+    with_distance: bool = False
+    with_cluster_center: bool = True
+    with_voxel_center: bool = True
+    with_centroid_aware: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class MiddleConfig:
+    """pts_middle_encoder (sparse cfg :72-84 / pillar scatter :53-54)."""
+    kind: str = "sparse"               # sparse | pillar_scatter
+    in_channels: int = 5
+    base_channels: int = 16
+    output_channels: int = 128
+    encoder_channels: Tuple[Tuple[int, ...], ...] = (
+        (16, 16, 32), (32, 32, 64), (64, 64, 128), (128, 128))
+    encoder_paddings: Tuple[Tuple, ...] = (
+        (0, 0, 1), (0, 0, 1), (0, 0, (0, 1, 1)), (0, 0))
+    block_type: str = "basicblock"
+    # static voxel capacities after each downsample stage + conv_out
+    capacities: Tuple[int, ...] = (60000, 30000, 15000, 15000)
+
+
+@dataclasses.dataclass(frozen=True)
+class BackboneConfig:
+    """pts_backbone SECONDCustom (cfg :55-66)."""
+    out_channels: Tuple[int, ...] = (128, 256)
+    layer_nums: Tuple[int, ...] = (5, 5)
+    layer_strides: Tuple[int, ...] = (1, 2)
+
+
+@dataclasses.dataclass(frozen=True)
+class ImgBranchConfig:
+    """img_backbone + img_neck (cfg srfdet_voxel_nusc_LC.py:44-66)."""
+    backbone: str = "vovnet-99"        # vovnet-99 | resnet-50
+    frozen_stages: int = 2
+    norm_eval: bool = True
+    neck_out_channels: int = 256
+    neck_num_outs: int = 4
+    relu_before_extra_convs: bool = True
+    num_cams: int = 6
+    img_shape: Tuple[int, int] = (640, 1600)   # (H, W) network input
+    use_grid_mask: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class HeadConfig:
+    """bbox_head SRFDetHead (cfg :77-163)."""
+    num_classes: int = 10
+    feat_channels_lidar: int = 128
+    feat_channels_img: int = 256
+    hidden_dim: int = 128
+    lidar_feat_lvls: int = 4
+    img_feat_lvls: int = 4
+    num_proposals: int = 900
+    num_heads: int = 5
+    deep_supervision: bool = True
+    prior_prob: float = 0.01
+    with_dpg: bool = True
+    num_dpg_exp: int = 4
+    code_size: int = 10
+    # single_head knobs (cfg single_head_lidar :115-127)
+    dim_feedforward: int = 512
+    num_cls_convs: int = 2
+    num_reg_convs: int = 3
+    num_attn_heads: int = 8
+    dropout: float = 0.1
+    dynamic_dim: int = 32
+    lidar_strides: Tuple[int, ...] = (8, 16, 32, 64)
+    img_strides: Tuple[int, ...] = (4, 8, 16, 32)
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimConfig:
+    """optimizer + schedule (cfg srfdet_voxel_nusc_L.py:346-366)."""
+    lr: float = 1e-4
+    weight_decay: float = 0.01
+    grad_clip: float = 35.0
+    warmup_iters: int = 1000
+    warmup_ratio: float = 1.0 / 3
+    min_lr_ratio: float = 1e-3
+    epochs: int = 20
+    freeze_img: bool = False           # freeze_img (detector __init__)
+    freeze_lidar: bool = False         # freeze_lidar_components (train.py:221)
+
+
+@dataclasses.dataclass(frozen=True)
+class SRFDetConfig:
+    """One experiment = one reference config file."""
+    name: str = "srfdet_voxel_nusc_L"
+    dataset: str = "nuscenes"          # nuscenes | kitti | waymo
+    class_names: Tuple[str, ...] = (
+        "car", "truck", "construction_vehicle", "bus", "trailer", "barrier",
+        "motorcycle", "bicycle", "pedestrian", "traffic_cone")
+    pc_range: Tuple[float, ...] = (-55.2, -55.2, -5.0, 55.2, 55.2, 3.0)
+    voxel_size: Tuple[float, ...] = (0.075, 0.075, 0.2)
+    out_size_factor: int = 8
+    use_img: bool = False
+    # static capacities (TPU): per-sample point and GT buffer sizes
+    points_cap: int = 262144
+    points_dim: int = 5
+    gt_cap: int = 256
+    # voxelization (pts_voxel_layer): max_num_points=-1 => dynamic
+    max_points_per_voxel: int = 10
+    voxels_cap: int = 120000
+    vfe: VFEConfig = VFEConfig()
+    middle: MiddleConfig = MiddleConfig()
+    backbone: BackboneConfig = BackboneConfig()
+    neck_out_channels: int = 128
+    neck_num_outs: int = 4
+    img: Optional[ImgBranchConfig] = None
+    head: HeadConfig = HeadConfig()
+    ota: OTAConfig = OTAConfig()
+    loss: LossConfig = LossConfig()
+    test: TestConfig = TestConfig()
+    optim: OptimConfig = OptimConfig()
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.class_names)
+
+    @property
+    def voxelization(self) -> VoxelizationSpec:
+        return VoxelizationSpec(
+            voxel_size=tuple(self.voxel_size),
+            point_cloud_range=tuple(self.pc_range),
+            max_num_points=self.max_points_per_voxel,
+            max_voxels=self.voxels_cap)
+
+    @property
+    def grid_size(self) -> Tuple[int, int, int]:
+        return self.voxelization.grid_size
+
+    def replace(self, **kw) -> "SRFDetConfig":
+        return dataclasses.replace(self, **kw)

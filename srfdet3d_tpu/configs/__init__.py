@@ -1,0 +1,229 @@
+"""The 11 shipped experiment configs, mirroring /root/reference/configs/.
+
+Each factory returns a frozen :class:`srfdet3d_tpu.config.SRFDetConfig`;
+`get_config(name)` resolves by reference config-file stem.  Capacity fields
+(`points_cap`, `voxels_cap`, sparse `capacities`, `gt_cap`) are TPU additions
+sizing the static buffers; they are chosen to cover the reference's dynamic
+ranges (e.g. nuScenes hard-voxelization max_voxels=(120k,160k),
+srfdet_voxel_nusc_L.py:38).
+"""
+
+from __future__ import annotations
+
+from ..assign.ota import OTAConfig
+from ..config import (BackboneConfig, HeadConfig, ImgBranchConfig,
+                      MiddleConfig, OptimConfig, SRFDetConfig, TestConfig,
+                      VFEConfig)
+from ..models.losses import LossConfig
+
+NUS_CLASSES = ("car", "truck", "construction_vehicle", "bus", "trailer",
+               "barrier", "motorcycle", "bicycle", "pedestrian",
+               "traffic_cone")
+KITTI_CLASSES = ("Pedestrian", "Cyclist", "Car")
+WAYMO_CLASSES = ("Car", "Pedestrian", "Cyclist")
+
+# mmdet3d SparseEncoder defaults (used by the KITTI configs, which do not
+# override encoder_channels; sparse_encoder_custom.py:30-34)
+_KITTI_ENC_CHANNELS = ((16,), (32, 32, 32), (64, 64, 64), (64, 64, 64))
+_KITTI_ENC_PADDINGS = ((1,), (1, 1, 1), (1, 1, 1), ((0, 1, 1), 1, 1))
+
+
+def srfdet_voxel_nusc_L() -> SRFDetConfig:
+    """configs/nus/srfdet_voxel_nusc_L.py — flagship LiDAR-only."""
+    return SRFDetConfig(name="srfdet_voxel_nusc_L")
+
+
+def srfdet_voxel_nusc_LC() -> SRFDetConfig:
+    """configs/nus/srfdet_voxel_nusc_LC.py — flagship LiDAR+camera."""
+    return srfdet_voxel_nusc_L().replace(
+        name="srfdet_voxel_nusc_LC",
+        use_img=True,
+        img=ImgBranchConfig(backbone="vovnet-99", num_cams=6),
+        optim=OptimConfig(freeze_lidar=True))
+
+
+def srfdet_voxel_r50_LC() -> SRFDetConfig:
+    """configs/nus/srfdet_voxel_r50_LC.py."""
+    return srfdet_voxel_nusc_LC().replace(
+        name="srfdet_voxel_r50_LC",
+        img=ImgBranchConfig(backbone="resnet-50", num_cams=6))
+
+
+def _pillar_base() -> SRFDetConfig:
+    return SRFDetConfig(
+        name="srfdet_pillar_nusc_L",
+        pc_range=(-51.2, -51.2, -5.0, 51.2, 51.2, 3.0),
+        voxel_size=(0.2, 0.2, 8.0),
+        out_size_factor=2,
+        max_points_per_voxel=20,
+        voxels_cap=40000,
+        vfe=VFEConfig(kind="pillar", in_channels=5, feat_channels=(64,)),
+        middle=MiddleConfig(kind="pillar_scatter", in_channels=64),
+        backbone=BackboneConfig(out_channels=(64, 128, 256),
+                                layer_nums=(3, 5, 5),
+                                layer_strides=(2, 2, 2)),
+        head=HeadConfig(lidar_strides=(2, 4, 8, 16)),
+        test=TestConfig(post_center_range=(
+            -61.2, -61.2, -10.0, 61.2, 61.2, 10.0)),
+        ota=OTAConfig(pc_range=(-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)))
+
+
+def srfdet_pillar_nusc_L() -> SRFDetConfig:
+    """configs/nus/srfdet_pillar_nusc_L.py."""
+    return _pillar_base()
+
+
+def srfdet_pillar_r50_LC() -> SRFDetConfig:
+    """configs/nus/srfdet_pillar_r50_LC.py."""
+    return _pillar_base().replace(
+        name="srfdet_pillar_r50_LC", use_img=True,
+        img=ImgBranchConfig(backbone="resnet-50", num_cams=6),
+        optim=OptimConfig(freeze_lidar=True))
+
+
+def srfdet_pillar_v299_LC() -> SRFDetConfig:
+    """configs/nus/srfdet_pillar_v299_LC.py."""
+    return _pillar_base().replace(
+        name="srfdet_pillar_v299_LC", use_img=True,
+        img=ImgBranchConfig(backbone="vovnet-99", num_cams=6),
+        optim=OptimConfig(freeze_lidar=True))
+
+
+def _kitti_base() -> SRFDetConfig:
+    pc = (0.0, -40.0, -3.0, 70.4, 40.0, 1.0)
+    return SRFDetConfig(
+        name="srfdet_voxel_kitti_L",
+        dataset="kitti",
+        class_names=KITTI_CLASSES,
+        pc_range=pc,
+        voxel_size=(0.05, 0.05, 0.1),
+        points_cap=131072,
+        points_dim=4,
+        gt_cap=64,
+        max_points_per_voxel=-1,          # dynamic voxelization
+        voxels_cap=65536,
+        vfe=VFEConfig(kind="dynamic", in_channels=4, feat_channels=(4,),
+                      with_centroid_aware=False),
+        middle=MiddleConfig(
+            kind="sparse", in_channels=4, output_channels=128,
+            encoder_channels=_KITTI_ENC_CHANNELS,
+            encoder_paddings=_KITTI_ENC_PADDINGS,
+            block_type="conv_module",
+            capacities=(40000, 25000, 15000, 15000)),
+        neck_out_channels=256,
+        head=HeadConfig(num_classes=3, feat_channels_lidar=256,
+                        code_size=8),
+        ota=OTAConfig(pc_range=pc),
+        loss=LossConfig(code_weights=(1.0,) * 8, num_classes=3),
+        test=TestConfig(post_center_range=(0.0, -50.0, -5.0, 80.4, 50.0,
+                                           5.0)))
+
+
+def srfdet_voxel_kitti_L() -> SRFDetConfig:
+    """configs/kitti/srfdet_voxel_kitti_L.py."""
+    return _kitti_base()
+
+
+def srfdet_voxel_kitti_LC() -> SRFDetConfig:
+    """configs/kitti/srfdet_voxel_kitti_LC.py (single front camera)."""
+    return _kitti_base().replace(
+        name="srfdet_voxel_kitti_LC", use_img=True,
+        img=ImgBranchConfig(backbone="vovnet-99", num_cams=1,
+                            img_shape=(384, 1280)),
+        optim=OptimConfig(freeze_lidar=True))
+
+
+def _waymo_base(name: str) -> SRFDetConfig:
+    pc = (-76.8, -76.8, -2.0, 76.8, 76.8, 4.0)
+    return SRFDetConfig(
+        name=name,
+        dataset="waymo",
+        class_names=WAYMO_CLASSES,
+        pc_range=pc,
+        voxel_size=(0.1, 0.1, 0.15),
+        points_cap=262144,
+        points_dim=5,
+        gt_cap=256,
+        max_points_per_voxel=-1,
+        voxels_cap=131072,
+        vfe=VFEConfig(kind="dynamic", in_channels=5, feat_channels=(5, 5),
+                      with_centroid_aware=False),
+        middle=MiddleConfig(kind="sparse", in_channels=5),
+        head=HeadConfig(num_classes=3, code_size=8),
+        ota=OTAConfig(pc_range=pc),
+        loss=LossConfig(code_weights=(1.0,) * 8, num_classes=3),
+        test=TestConfig(post_center_range=(-80.0, -80.0, -10.0, 80.0, 80.0,
+                                           10.0)))
+
+
+def srfdet_dvoxel_waymo_L() -> SRFDetConfig:
+    """configs/waymo/srfdet_dvoxel_waymo_L.py."""
+    return _waymo_base("srfdet_dvoxel_waymo_L")
+
+
+def srfdet_dvoxel_waymo_LC() -> SRFDetConfig:
+    """configs/others/srfdet_dvoxel_waymo_LC.py (ResNet-101, 5 cameras)."""
+    return _waymo_base("srfdet_dvoxel_waymo_LC").replace(
+        use_img=True,
+        img=ImgBranchConfig(backbone="resnet-101", num_cams=5),
+        optim=OptimConfig(freeze_lidar=True))
+
+
+def srfdet_dvoxel_nusc_L() -> SRFDetConfig:
+    """configs/others/srfdet_dvoxel_nusc_L.py — dynamic-voxel nuScenes."""
+    return SRFDetConfig(
+        name="srfdet_dvoxel_nusc_L",
+        max_points_per_voxel=-1,
+        voxels_cap=160000,
+        vfe=VFEConfig(kind="dynamic", in_channels=5, feat_channels=(5, 5),
+                      with_centroid_aware=False),
+        middle=MiddleConfig(kind="sparse", in_channels=5))
+
+
+CONFIGS = {
+    fn.__name__: fn for fn in (
+        srfdet_voxel_nusc_L, srfdet_voxel_nusc_LC, srfdet_voxel_r50_LC,
+        srfdet_pillar_nusc_L, srfdet_pillar_r50_LC, srfdet_pillar_v299_LC,
+        srfdet_voxel_kitti_L, srfdet_voxel_kitti_LC,
+        srfdet_dvoxel_waymo_L, srfdet_dvoxel_waymo_LC, srfdet_dvoxel_nusc_L,
+    )
+}
+
+
+def get_config(name: str) -> SRFDetConfig:
+    return CONFIGS[name]()
+
+
+def tiny_test_config(**overrides) -> SRFDetConfig:
+    """A miniature config for fast unit/integration tests."""
+    pc = (-10.0, -10.0, -5.0, 10.0, 10.0, 3.0)
+    cfg = SRFDetConfig(
+        name="tiny",
+        class_names=("car", "pedestrian", "cyclist"),
+        pc_range=pc,
+        voxel_size=(0.25, 0.25, 0.2),     # 80x80x40 grid
+        points_cap=2048,
+        gt_cap=8,
+        max_points_per_voxel=10,
+        voxels_cap=2048,
+        vfe=VFEConfig(kind="hard_simple", in_channels=5),
+        middle=MiddleConfig(
+            kind="sparse", in_channels=5, base_channels=8,
+            output_channels=32,
+            encoder_channels=((8, 16), (16, 16), (16, 16), (16, 16)),
+            encoder_paddings=((0, 1), (0, 1), (0, (0, 1, 1)), (0, 0)),
+            block_type="basicblock",
+            capacities=(1024, 512, 256, 256)),
+        backbone=BackboneConfig(out_channels=(32, 64), layer_nums=(1, 1),
+                                layer_strides=(1, 2)),
+        neck_out_channels=32,
+        head=HeadConfig(num_classes=3, feat_channels_lidar=32,
+                        hidden_dim=32, num_proposals=24, num_heads=2,
+                        num_dpg_exp=2, dim_feedforward=64, num_attn_heads=4,
+                        dynamic_dim=8, dropout=0.0),
+        ota=OTAConfig(pc_range=pc),
+        loss=LossConfig(num_classes=3),
+        test=TestConfig(max_per_img=16,
+                        post_center_range=(-12.0, -12.0, -10.0, 12.0, 12.0,
+                                           10.0)))
+    return cfg.replace(**overrides) if overrides else cfg

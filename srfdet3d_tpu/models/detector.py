@@ -1,0 +1,209 @@
+"""SRFDet detector assembly (reference models/detectors/srfdet.py:14-343).
+
+Wires voxelization -> VFE -> middle encoder -> SECOND -> FPN (points branch),
+GridMask -> backbone -> FPN (image branch), and the SRFDet decoder head.
+
+TPU-native input contract (vs the reference's list-of-variable-tensors):
+  batch = {
+    "points":       (B, P_cap, D) padded point clouds,
+    "points_mask":  (B, P_cap) bool,
+    "images":       (B, n_cam, H, W, 3) normalized images      [LC only],
+    "lidar2img":    (B, n_cam, 4, 4)                            [LC only],
+  }
+All shapes static; per-sample loops in the reference's voxelize driver
+(srfdet.py:219-247) become vmaps; `batch_size = coors[-1,0].item()+1`
+(srfdet.py:271, a device->host sync) is unnecessary because the batch dim is
+explicit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from ..config import SRFDetConfig
+from ..ops.voxelize import VoxelizedPoints, voxelize_points
+from .fpn import FPN
+from .grid_mask import grid_mask
+from .head import SRFDetHead, decode_boxes
+from .middle import pillar_scatter
+from .resnet import ResNet
+from .second import SECOND
+from .sparse_encoder import SparseEncoder
+from .vfe import DynamicVFE, HardSimpleVFE, PillarFeatureNet
+from .vovnet import VoVNet
+
+
+def _flatten_voxelization(vox: VoxelizedPoints, v_cap: int
+                          ) -> VoxelizedPoints:
+    """Merge the batch dim into the voxel/point dims with per-sample offsets
+    so the VFE segment ops run once over the whole batch (and their BN
+    statistics span the global batch, matching NaiveSyncBatchNorm1dCustom
+    semantics, reference ops/norm.py:28)."""
+    b, p = vox.point_voxel_idx.shape
+    offset = (jnp.arange(b, dtype=jnp.int32) * v_cap)[:, None]
+    flat_idx = jnp.where(vox.point_voxel_idx < v_cap,
+                         vox.point_voxel_idx + offset, b * v_cap)
+    return VoxelizedPoints(
+        point_voxel_idx=flat_idx.reshape(-1),
+        point_mask=vox.point_mask.reshape(-1),
+        voxel_coords=vox.voxel_coords.reshape(-1, 3),
+        voxel_mask=vox.voxel_mask.reshape(-1),
+        num_points=vox.num_points.reshape(-1),
+    )
+
+
+class SRFDet(nn.Module):
+    """Full detector; __call__ returns (pred_logits, pred_boxes).
+
+    pred_logits (L, B, n_p, #cls); pred_boxes (L, B, n_p, code) with
+    absolute centers — feed to srfdet_losses / decode_boxes.
+    """
+    cfg: SRFDetConfig
+    dtype: Any = jnp.float32
+
+    def extract_point_features(self, points: jnp.ndarray,
+                               points_mask: jnp.ndarray,
+                               train: bool) -> Tuple[jnp.ndarray, ...]:
+        """(B, P, D) -> 4 BEV maps (reference extract_point_features,
+        srfdet.py:249-307)."""
+        cfg = self.cfg
+        spec = cfg.voxelization
+        v_cap = spec.max_voxels
+        b, p, d = points.shape
+
+        vox = jax.vmap(lambda pt, m: voxelize_points(pt, m, spec))(
+            points, points_mask)
+        flat = _flatten_voxelization(vox, v_cap)
+        flat_points = points.reshape(b * p, d)
+
+        if cfg.vfe.kind == "hard_simple":
+            vfe = HardSimpleVFE(num_features=cfg.vfe.in_channels)
+        elif cfg.vfe.kind == "pillar":
+            vfe = PillarFeatureNet(
+                in_channels=cfg.vfe.in_channels,
+                feat_channels=tuple(cfg.vfe.feat_channels),
+                with_distance=cfg.vfe.with_distance,
+                with_cluster_center=cfg.vfe.with_cluster_center,
+                with_voxel_center=cfg.vfe.with_voxel_center,
+                spec=spec, dtype=self.dtype)
+        elif cfg.vfe.kind == "dynamic":
+            vfe = DynamicVFE(
+                in_channels=cfg.vfe.in_channels,
+                feat_channels=tuple(cfg.vfe.feat_channels),
+                with_distance=cfg.vfe.with_distance,
+                with_cluster_center=cfg.vfe.with_cluster_center,
+                with_voxel_center=cfg.vfe.with_voxel_center,
+                with_centroid_aware=cfg.vfe.with_centroid_aware,
+                spec=spec, dtype=self.dtype)
+        else:
+            raise ValueError(cfg.vfe.kind)
+        voxel_feats = vfe(flat_points, flat, b * v_cap, train=train)
+        voxel_feats = voxel_feats.reshape(b, v_cap, -1)
+
+        if cfg.middle.kind == "sparse":
+            x = SparseEncoder(
+                in_channels=cfg.middle.in_channels,
+                sparse_shape=spec.sparse_shape,
+                base_channels=cfg.middle.base_channels,
+                output_channels=cfg.middle.output_channels,
+                encoder_channels=cfg.middle.encoder_channels,
+                encoder_paddings=cfg.middle.encoder_paddings,
+                block_type=cfg.middle.block_type,
+                capacities=cfg.middle.capacities,
+                dtype=self.dtype, name="pts_middle_encoder")(
+                voxel_feats, vox.voxel_coords, vox.voxel_mask, train=train)
+        elif cfg.middle.kind == "pillar_scatter":
+            nx, ny, _ = spec.grid_size
+            x = jax.vmap(lambda f, c, m: pillar_scatter(f, c, m, (ny, nx)))(
+                voxel_feats, vox.voxel_coords, vox.voxel_mask)
+        else:
+            raise ValueError(cfg.middle.kind)
+
+        stages = SECOND(out_channels=cfg.backbone.out_channels,
+                        layer_nums=cfg.backbone.layer_nums,
+                        layer_strides=cfg.backbone.layer_strides,
+                        dtype=self.dtype, name="pts_backbone")(x, train=train)
+        return FPN(out_channels=cfg.neck_out_channels,
+                   num_outs=cfg.neck_num_outs, use_norm=True, use_act=True,
+                   dtype=self.dtype, name="pts_neck")(stages, train=train)
+
+    def extract_img_features(self, images: jnp.ndarray,
+                             train: bool) -> Tuple[jnp.ndarray, ...]:
+        """(B, n_cam, H, W, 3) -> 4 levels of (B, n_cam, h, w, C)
+        (reference extract_img_feat, srfdet.py:175-204)."""
+        icfg = self.cfg.img
+        b, n_cam, h, w, c = images.shape
+        x = images.reshape(b * n_cam, h, w, c).astype(self.dtype)
+        if train and icfg.use_grid_mask:
+            x = grid_mask(self.make_rng("grid_mask"), x)
+        bb_train = train and not icfg.norm_eval
+        if icfg.backbone.startswith("vovnet"):
+            stages = VoVNet(icfg.backbone, dtype=self.dtype,
+                            name="img_backbone")(x, train=bb_train)
+        else:
+            depth = int(icfg.backbone.split("-")[1])
+            stages = ResNet(depth, dtype=self.dtype,
+                            name="img_backbone")(x, train=bb_train)
+        feats = FPN(out_channels=icfg.neck_out_channels,
+                    num_outs=icfg.neck_num_outs,
+                    relu_before_extra_convs=icfg.relu_before_extra_convs,
+                    dtype=self.dtype, name="img_neck")(stages, train=train)
+        return tuple(
+            f.reshape((b, n_cam) + f.shape[1:]) for f in feats)
+
+    @nn.compact
+    def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False):
+        cfg = self.cfg
+        point_feats = self.extract_point_features(
+            batch["points"], batch["points_mask"], train)
+        img_feats = None
+        lidar2img = None
+        if cfg.use_img and "images" in batch:
+            img_feats = self.extract_img_features(batch["images"], train)
+            lidar2img = batch["lidar2img"]
+
+        h = cfg.head
+        return SRFDetHead(
+            num_classes=cfg.num_classes,
+            feat_channels_lidar=h.feat_channels_lidar,
+            feat_channels_img=h.feat_channels_img,
+            hidden_dim=h.hidden_dim,
+            lidar_feat_lvls=h.lidar_feat_lvls,
+            img_feat_lvls=h.img_feat_lvls,
+            num_proposals=h.num_proposals,
+            num_heads=h.num_heads,
+            deep_supervision=h.deep_supervision,
+            prior_prob=h.prior_prob,
+            is_kitti=(cfg.dataset == "kitti"),
+            use_img=cfg.use_img and img_feats is not None,
+            code_size=h.code_size,
+            with_dpg=h.with_dpg,
+            num_dpg_exp=h.num_dpg_exp,
+            pc_range=tuple(cfg.pc_range),
+            voxel_size=tuple(cfg.voxel_size),
+            dim_feedforward=h.dim_feedforward,
+            num_cls_convs=h.num_cls_convs,
+            num_reg_convs=h.num_reg_convs,
+            num_attn_heads=h.num_attn_heads,
+            dropout=h.dropout,
+            dynamic_dim=h.dynamic_dim,
+            lidar_strides=tuple(h.lidar_strides),
+            img_strides=tuple(h.img_strides),
+            dtype=self.dtype,
+            name="bbox_head")(
+            point_feats, img_feats, lidar2img, train=train)
+
+    def predict(self, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        """Inference + decode (reference simple_test, srfdet.py:309-335)."""
+        pred_logits, pred_boxes = self(batch, train=False)
+        t = self.cfg.test
+        return decode_boxes(
+            pred_logits[-1], pred_boxes[-1], self.cfg.pc_range,
+            use_nms=t.use_nms, nms_thr=t.nms_thr, score_thr=t.score_thr,
+            max_per_img=t.max_per_img,
+            post_center_range=t.post_center_range)

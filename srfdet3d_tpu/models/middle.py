@@ -13,21 +13,29 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-class PointPillarsScatter(nn.Module):
-    """Scatter pillar features into a dense BEV canvas (NHWC).
+def pillar_scatter(voxel_feats: jnp.ndarray, voxel_coords: jnp.ndarray,
+                   voxel_mask: jnp.ndarray,
+                   output_shape: Tuple[int, int]) -> jnp.ndarray:
+    """Scatter one sample's pillar features into a dense BEV canvas.
 
-    Input voxel_feats (V_cap, C) + coords (V_cap, 3) zyx + mask -> (ny, nx, C).
-    Invalid slots scatter to a dropped index.
+    voxel_feats (V_cap, C) + coords (V_cap, 3) zyx + mask -> (ny, nx, C).
+    Invalid slots scatter to a dropped index. Parameter-free.
     """
+    ny, nx = output_shape
+    c = voxel_feats.shape[-1]
+    flat_idx = voxel_coords[:, 1] * nx + voxel_coords[:, 2]
+    flat_idx = jnp.where(voxel_mask, flat_idx, ny * nx)
+    canvas = jnp.zeros((ny * nx + 1, c), voxel_feats.dtype)
+    canvas = canvas.at[flat_idx].set(voxel_feats, mode="drop")
+    return canvas[:-1].reshape(ny, nx, c)
+
+
+class PointPillarsScatter(nn.Module):
+    """Module wrapper over :func:`pillar_scatter` (per-sample inputs)."""
     output_shape: Tuple[int, int]  # (ny, nx)
 
     @nn.compact
     def __call__(self, voxel_feats: jnp.ndarray, voxel_coords: jnp.ndarray,
                  voxel_mask: jnp.ndarray) -> jnp.ndarray:
-        ny, nx = self.output_shape
-        c = voxel_feats.shape[-1]
-        flat_idx = voxel_coords[:, 1] * nx + voxel_coords[:, 2]
-        flat_idx = jnp.where(voxel_mask, flat_idx, ny * nx)
-        canvas = jnp.zeros((ny * nx + 1, c), voxel_feats.dtype)
-        canvas = canvas.at[flat_idx].set(voxel_feats, mode="drop")
-        return canvas[:-1].reshape(ny, nx, c)
+        return pillar_scatter(voxel_feats, voxel_coords, voxel_mask,
+                              self.output_shape)
