@@ -1,0 +1,60 @@
+"""Benchmark: flagship single-chip inference latency / throughput.
+
+Measures p50 end-to-end forward+decode latency of srfdet_voxel_nusc_L
+(nuScenes LiDAR-only flagship, batch 1) on the available accelerator and
+prints ONE JSON line.
+
+vs_baseline: the reference repo publishes NO latency/FPS numbers
+(SURVEY.md §6), so the baseline is the target set in BASELINE.md: beat
+reference A100 per-frame inference latency.  Until the reference is measured
+on an A100, we use TARGET_FPS=5.0 frames/sec as the working estimate for a
+Sparse-R-CNN-style LiDAR detector of this size on A100 (spconv backbone +
+900-proposal 5-iteration decoder); vs_baseline = fps / TARGET_FPS.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+
+TARGET_FPS = 5.0
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+    from __graft_entry__ import entry
+
+    forward, (variables, batch) = entry()
+    fn = jax.jit(forward)
+
+    t0 = time.perf_counter()
+    out = fn(variables, batch)
+    jax.block_until_ready(out)
+    compile_s = time.perf_counter() - t0
+
+    for _ in range(WARMUP):
+        jax.block_until_ready(fn(variables, batch))
+
+    times = []
+    for _ in range(ITERS):
+        t = time.perf_counter()
+        jax.block_until_ready(fn(variables, batch))
+        times.append(time.perf_counter() - t)
+
+    p50 = float(np.percentile(times, 50))
+    fps = 1.0 / p50
+    print(json.dumps({
+        "metric": "nusc_L_frames_per_sec_per_chip",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / TARGET_FPS, 3),
+        "p50_latency_ms": round(p50 * 1000, 2),
+        "compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -82,7 +82,8 @@ class SRFDet(nn.Module):
         flat_points = points.reshape(b * p, d)
 
         if cfg.vfe.kind == "hard_simple":
-            vfe = HardSimpleVFE(num_features=cfg.vfe.in_channels)
+            vfe = HardSimpleVFE(num_features=cfg.vfe.in_channels,
+                                name="pts_voxel_encoder")
         elif cfg.vfe.kind == "pillar":
             vfe = PillarFeatureNet(
                 in_channels=cfg.vfe.in_channels,
@@ -90,7 +91,7 @@ class SRFDet(nn.Module):
                 with_distance=cfg.vfe.with_distance,
                 with_cluster_center=cfg.vfe.with_cluster_center,
                 with_voxel_center=cfg.vfe.with_voxel_center,
-                spec=spec, dtype=self.dtype)
+                spec=spec, dtype=self.dtype, name="pts_voxel_encoder")
         elif cfg.vfe.kind == "dynamic":
             vfe = DynamicVFE(
                 in_channels=cfg.vfe.in_channels,
@@ -99,7 +100,7 @@ class SRFDet(nn.Module):
                 with_cluster_center=cfg.vfe.with_cluster_center,
                 with_voxel_center=cfg.vfe.with_voxel_center,
                 with_centroid_aware=cfg.vfe.with_centroid_aware,
-                spec=spec, dtype=self.dtype)
+                spec=spec, dtype=self.dtype, name="pts_voxel_encoder")
         else:
             raise ValueError(cfg.vfe.kind)
         voxel_feats = vfe(flat_points, flat, b * v_cap, train=train)

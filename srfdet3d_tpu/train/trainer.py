@@ -1,0 +1,144 @@
+"""GSPMD data-parallel trainer: AdamW + grad clip + warmup-cosine.
+
+Replaces the reference's mmcv Runner + DDP stack (tools/train.py:101-318):
+  - optimizer: AdamW lr=1e-4 wd=0.01, grad clip 35 (cfg
+    srfdet_voxel_nusc_L.py:346-352)
+  - schedule: linear warmup (1000 iters, ratio 1/3) into cosine annealing to
+    min_lr_ratio=1e-3 (cfg :354-360)
+  - freeze_img (srfdet.py:83-89) and freeze_lidar_components
+    (tools/train.py:221-276) become optax.masked zero-updates plus
+    BN-in-eval handled by the modules' train flags
+  - DDP gradient all-reduce / SyncBN / reduce_mean: implicit — the loss is a
+    global-batch reduction under jit over a data mesh (see parallel/mesh.py).
+
+The train step is a single jit-compiled function; batches arrive sharded on
+the leading dim, parameters replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+from ..config import SRFDetConfig
+from ..models.detector import SRFDet
+from ..models.losses import srfdet_losses
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_lr_schedule(optim, total_steps: int) -> optax.Schedule:
+    """Linear warmup -> cosine anneal (mmcv CosineAnnealingLrUpdaterHook)."""
+    warmup = optax.linear_schedule(
+        init_value=optim.lr * optim.warmup_ratio,
+        end_value=optim.lr,
+        transition_steps=optim.warmup_iters)
+    cosine = optax.cosine_decay_schedule(
+        init_value=optim.lr,
+        decay_steps=max(total_steps - optim.warmup_iters, 1),
+        alpha=optim.min_lr_ratio)
+    return optax.join_schedules([warmup, cosine], [optim.warmup_iters])
+
+
+def freeze_mask(params, cfg: SRFDetConfig):
+    """True = trainable. Mirrors freeze_img (srfdet.py:83-89) and
+    freeze_lidar_components (tools/train.py:221-276: every `pts_*` module
+    plus the head's proposal embeddings)."""
+    frozen_prefixes = []
+    if cfg.optim.freeze_img:
+        frozen_prefixes.append(("img_backbone",))
+    if cfg.optim.freeze_lidar:
+        frozen_prefixes += [("pts_voxel_encoder",), ("pts_middle_encoder",),
+                            ("pts_backbone",), ("pts_neck",)]
+
+    def trainable(path, _):
+        keys = tuple(p.key for p in path if hasattr(p, "key"))
+        for pre in frozen_prefixes:
+            if keys[:len(pre)] == pre:
+                return False
+        return True
+
+    return jax.tree_util.tree_map_with_path(trainable, params)
+
+
+def make_optimizer(cfg: SRFDetConfig, total_steps: int
+                   ) -> optax.GradientTransformation:
+    schedule = make_lr_schedule(cfg.optim, total_steps)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.optim.grad_clip),
+        optax.adamw(schedule, weight_decay=cfg.optim.weight_decay))
+    if cfg.optim.freeze_img or cfg.optim.freeze_lidar:
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()},
+            lambda params: jax.tree_util.tree_map(
+                lambda t: "train" if t else "freeze",
+                freeze_mask(params, cfg)))
+    return tx
+
+
+def create_train_state(cfg: SRFDetConfig,
+                       rng: jax.Array,
+                       sample_batch: Dict[str, jnp.ndarray],
+                       total_steps: int = 100000
+                       ) -> Tuple[SRFDet, TrainState,
+                                  optax.GradientTransformation]:
+    model = SRFDet(cfg)
+    variables = model.init(rng, sample_batch, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    tx = make_optimizer(cfg, total_steps)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=batch_stats, opt_state=tx.init(params))
+    return model, state, tx
+
+
+def make_train_step(model: SRFDet, tx: optax.GradientTransformation,
+                    cfg: SRFDetConfig) -> Callable:
+    """One SGD step. batch must contain points(+mask), optional images, and
+    gt_boxes (B, G, 7|9) / gt_labels (B, G) / gt_mask (B, G)."""
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array):
+        rngs = {"dropout": jax.random.fold_in(rng, 0),
+                "grid_mask": jax.random.fold_in(rng, 1)}
+
+        def loss_fn(params):
+            (logits, boxes), updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch, train=True, mutable=["batch_stats"], rngs=rngs)
+            losses = srfdet_losses(
+                logits, boxes, batch["gt_boxes"], batch["gt_labels"],
+                batch["gt_mask"], cfg.loss, cfg.ota)
+            total = sum(losses.values())
+            return total, (losses, updates.get("batch_stats", FrozenDict()))
+
+        (total, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_bs, opt_state=new_opt)
+        metrics = dict(losses)
+        metrics["loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_eval_step(model: SRFDet) -> Callable:
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch, method=SRFDet.predict)
+    return jax.jit(eval_step)

@@ -1,0 +1,79 @@
+"""Trainer tests: schedule, freeze masks, DP train step over the CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from srfdet3d_tpu.configs import tiny_test_config
+from srfdet3d_tpu.config import ImgBranchConfig, OptimConfig
+from srfdet3d_tpu.parallel import make_mesh, replicate, shard_batch
+from srfdet3d_tpu.train import (create_train_state, freeze_mask,
+                                make_lr_schedule, make_train_step)
+
+import __graft_entry__ as graft
+
+
+def test_lr_schedule_shape():
+    cfg = tiny_test_config()
+    sched = make_lr_schedule(cfg.optim, total_steps=5000)
+    lr0 = float(sched(0))
+    lr_warm = float(sched(cfg.optim.warmup_iters))
+    lr_end = float(sched(4999))
+    assert np.isclose(lr0, cfg.optim.lr * cfg.optim.warmup_ratio, rtol=1e-3)
+    assert np.isclose(lr_warm, cfg.optim.lr, rtol=1e-3)
+    assert lr_end < cfg.optim.lr * 0.01
+
+
+def test_freeze_mask_lidar():
+    cfg = tiny_test_config().replace(optim=OptimConfig(freeze_lidar=True))
+    batch = graft._synthetic_batch(cfg, 1)
+    from srfdet3d_tpu.models.detector import SRFDet
+    variables = SRFDet(cfg).init(jax.random.PRNGKey(0), batch, train=False)
+    mask = freeze_mask(variables["params"], cfg)
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    froze = [k for k, v in flat if not v]
+    trained = [k for k, v in flat if v]
+    assert froze and trained
+    assert all(k[0].key.startswith("pts_") for k in froze)
+    assert any(k[0].key == "bbox_head" for k in trained)
+
+
+def test_train_step_loss_decreases_dp():
+    cfg = tiny_test_config()
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    batch = graft._synthetic_batch(cfg, n_dev, with_gt=True)
+
+    model, state, tx = create_train_state(
+        cfg, jax.random.PRNGKey(0), batch, total_steps=100)
+    step_fn = make_train_step(model, tx, cfg)
+    state = replicate(state, mesh)
+    batch = shard_batch(batch, mesh)
+
+    losses = []
+    for i in range(8):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 8
+
+
+def test_graft_entry_compiles():
+    fwd, (variables, batch) = _tiny_entry()
+    logits, boxes = jax.jit(fwd)(variables, batch)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def _tiny_entry():
+    """entry() analogue on the tiny config (the real flagship is too heavy
+    for CPU CI; bench.py exercises it on the TPU)."""
+    from srfdet3d_tpu.configs import tiny_test_config
+    from srfdet3d_tpu.models.detector import SRFDet
+    cfg = tiny_test_config()
+    batch = graft._synthetic_batch(cfg, 1)
+    model = SRFDet(cfg)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+
+    def forward(variables, batch):
+        return model.apply(variables, batch, train=False)
+    return forward, (variables, batch)
