@@ -110,7 +110,8 @@ class HeadConfig:
 @dataclasses.dataclass(frozen=True)
 class OptimConfig:
     """optimizer + schedule (cfg srfdet_voxel_nusc_L.py:346-366)."""
-    lr: float = 1e-4
+    lr: float = 2e-4
+    batch_size_per_device: int = 6
     weight_decay: float = 0.01
     grad_clip: float = 35.0
     warmup_iters: int = 1000

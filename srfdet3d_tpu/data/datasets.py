@@ -1,0 +1,339 @@
+"""Datasets: info-pkl loaders + pipelines + CBGS + fixed-shape collate.
+
+Replaces the reference's CustomNuScenesDataset / CustomKittiDataset /
+CustomWaymoDataset (datasets/*.py) and the mmdet3d base datasets they extend.
+All datasets consume the standard mmdet3d "infos" pickle files (the same
+artifacts the reference's data-prep step produces), run the numpy pipeline
+(transforms.py), and emit FIXED-SHAPE sample dicts ready for jnp batching:
+
+  {
+    "points": (P_cap, D) f32, "points_mask": (P_cap,) bool,
+    "gt_boxes": (G_cap, 9) f32 gravity-center z, "gt_labels": (G_cap,) i32,
+    "gt_mask": (G_cap,) bool,
+    ["images": (n_cam, H, W, 3) f32, "lidar2img": (n_cam, 4, 4) f32],
+  }
+
+The lidar2img computation mirrors CustomNuScenesDataset.get_data_info
+(reference nuscenes_dataset.py:19-82): lidar2cam from sensor2lidar R/T,
+composed with the camera intrinsics.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..config import SRFDetConfig
+from . import transforms as T
+
+
+def _load_image(path: str) -> np.ndarray:
+    from PIL import Image
+    return np.asarray(Image.open(path).convert("RGB"), np.float32)
+
+
+class SRFDetDataset:
+    """Base dataset: pipeline + fixed-shape packing."""
+
+    def __init__(self, cfg: SRFDetConfig, info_path: str = "",
+                 data_root: str = "", test_mode: bool = False,
+                 db_sampler: Optional[T.DBSampler] = None,
+                 sweeps_num: int = 10, seed: int = 0):
+        self.cfg = cfg
+        self.data_root = data_root
+        self.test_mode = test_mode
+        self.db_sampler = db_sampler
+        self.sweeps_num = sweeps_num
+        self.rng = np.random.default_rng(seed)
+        self.infos: List[Dict] = []
+        if info_path:
+            with open(info_path, "rb") as f:
+                data = pickle.load(f)
+            self.infos = data["infos"] if isinstance(data, dict) else data
+            if isinstance(data, dict) and "infos" in data:
+                self.metadata = data.get("metadata", {})
+
+    # ---- per-dataset hooks -------------------------------------------------
+    def load_points(self, info: Dict) -> np.ndarray:
+        raise NotImplementedError
+
+    def load_annotations(self, info: Dict):
+        raise NotImplementedError
+
+    def load_images(self, info: Dict):
+        """Returns (images (n_cam, H, W, 3), lidar2img (n_cam, 4, 4))."""
+        raise NotImplementedError
+
+    def sample_categories(self, idx: int) -> Sequence[int]:
+        """Class ids present in sample idx (for CBGS)."""
+        _, labels = self.load_annotations(self.infos[idx])
+        return np.unique(labels[labels >= 0]).tolist()
+
+    # ---- pipeline ----------------------------------------------------------
+    def __len__(self) -> int:
+        return len(self.infos)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        info = self.infos[idx]
+        points = self.load_points(info)
+
+        sample: Dict[str, np.ndarray] = {}
+        if not self.test_mode:
+            boxes, labels = self.load_annotations(info)
+            if self.db_sampler is not None:
+                points, boxes, labels = self.db_sampler.apply(
+                    points, boxes, labels, self.rng)
+            points, boxes = T.global_rot_scale_trans(
+                points, boxes, self.rng,
+                rot_range=(-0.785, 0.785), scale_range=(0.9, 1.1),
+                trans_std=(0.5, 0.5, 0.5))
+            points, boxes, _ = T.random_flip_3d(points, boxes, self.rng)
+            points = T.points_range_filter(points, cfg.pc_range)
+            boxes, labels = T.object_range_filter(boxes, labels,
+                                                  cfg.pc_range)
+            boxes, labels = T.object_name_filter(boxes, labels,
+                                                 cfg.num_classes)
+            points = T.point_shuffle(points, self.rng)
+            gt_boxes, gt_labels, gt_mask = T.pad_gts(
+                boxes, labels, cfg.gt_cap,
+                box_dim=9 if cfg.head.code_size == 10 else 7)
+            sample.update(gt_boxes=gt_boxes, gt_labels=gt_labels,
+                          gt_mask=gt_mask)
+        else:
+            points = T.points_range_filter(points, cfg.pc_range)
+
+        pts, mask = T.pad_points(points, cfg.points_cap)
+        sample.update(points=pts, points_mask=mask)
+
+        if cfg.use_img:
+            images, lidar2img = self.load_images(info)
+            sample.update(images=images.astype(np.float32),
+                          lidar2img=lidar2img.astype(np.float32))
+        return sample
+
+
+# nuScenes camera order used by the mmdet3d infos
+NUS_CAMS = ("CAM_FRONT", "CAM_FRONT_RIGHT", "CAM_FRONT_LEFT", "CAM_BACK",
+            "CAM_BACK_LEFT", "CAM_BACK_RIGHT")
+IMAGENET_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
+IMAGENET_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+class NuScenesDataset(SRFDetDataset):
+    CLASSES = ("car", "truck", "construction_vehicle", "bus", "trailer",
+               "barrier", "motorcycle", "bicycle", "pedestrian",
+               "traffic_cone")
+
+    def load_points(self, info: Dict) -> np.ndarray:
+        path = info["lidar_path"]
+        if not os.path.isabs(path):
+            path = os.path.join(self.data_root, path)
+        points = T.load_points_bin(path, 5, (0, 1, 2, 3, 4))
+        return T.multi_sweep_aggregate(
+            points, info.get("sweeps", []), self.sweeps_num,
+            rng=self.rng, test_mode=self.test_mode)
+
+    def load_annotations(self, info: Dict):
+        boxes = np.asarray(info["gt_boxes"], np.float32)      # (N, 7)
+        vel = np.asarray(info.get("gt_velocity",
+                                  np.zeros((len(boxes), 2))), np.float32)
+        vel = np.nan_to_num(vel)
+        boxes = np.concatenate([boxes, vel], axis=1)          # (N, 9)
+        names = info["gt_names"]
+        labels = np.array(
+            [self.cfg.class_names.index(n) if n in self.cfg.class_names
+             else -1 for n in names], np.int64)
+        valid = np.asarray(
+            info.get("valid_flag", np.ones(len(boxes), bool)), bool)
+        return boxes[valid], labels[valid]
+
+    def load_images(self, info: Dict):
+        imgs, l2is = [], []
+        h_t, w_t = self.cfg.img.img_shape
+        for cam in NUS_CAMS:
+            c = info["cams"][cam]
+            path = c["data_path"]
+            if not os.path.isabs(path):
+                path = os.path.join(self.data_root, path)
+            img = _load_image(path)
+            h0, w0 = img.shape[:2]
+            # lidar -> cam (reference nuscenes_dataset.py:55-70)
+            l2c_r = np.linalg.inv(
+                np.asarray(c["sensor2lidar_rotation"]))
+            l2c_t = -l2c_r @ np.asarray(c["sensor2lidar_translation"])
+            l2c = np.eye(4)
+            l2c[:3, :3] = l2c_r
+            l2c[:3, 3] = l2c_t
+            intr = np.eye(4)
+            intr[:3, :3] = np.asarray(c["cam_intrinsic"])
+            l2i = intr @ l2c
+            # resize to network input; scale the projection accordingly
+            sy, sx = h_t / h0, w_t / w0
+            from PIL import Image
+            img = np.asarray(
+                Image.fromarray(img.astype(np.uint8)).resize(
+                    (w_t, h_t)), np.float32)
+            scale = np.diag([sx, sy, 1.0, 1.0])
+            l2i = scale @ l2i
+            imgs.append((img - IMAGENET_MEAN) / IMAGENET_STD)
+            l2is.append(l2i)
+        return np.stack(imgs), np.stack(l2is).astype(np.float32)
+
+
+class KittiDataset(SRFDetDataset):
+    CLASSES = ("Pedestrian", "Cyclist", "Car")
+
+    def load_points(self, info: Dict) -> np.ndarray:
+        pi = info.get("point_cloud", info)
+        path = pi.get("velodyne_path", pi.get("lidar_path"))
+        if not os.path.isabs(path):
+            path = os.path.join(self.data_root, path)
+        return T.load_points_bin(path, 4, (0, 1, 2, 3))
+
+    def load_annotations(self, info: Dict):
+        ann = info["annos"]
+        # mmdet3d kitti infos store camera-frame boxes + calib; the infos
+        # produced by mmdet3d also carry 'gt_boxes_lidar' after conversion
+        if "gt_boxes_lidar" in ann:
+            boxes = np.asarray(ann["gt_boxes_lidar"], np.float32)
+        else:
+            boxes = np.asarray(ann.get("gt_bboxes_3d", []), np.float32)
+        names = ann.get("name", ann.get("gt_names", []))
+        labels = np.array(
+            [self.cfg.class_names.index(n) if n in self.cfg.class_names
+             else -1 for n in names], np.int64)
+        keep = labels >= 0
+        return boxes[keep], labels[keep]
+
+    def load_images(self, info: Dict):
+        img_info = info.get("image", {})
+        path = img_info.get("image_path")
+        if path and not os.path.isabs(path):
+            path = os.path.join(self.data_root, path)
+        img = _load_image(path)
+        h0, w0 = img.shape[:2]
+        h_t, w_t = self.cfg.img.img_shape
+        calib = info["calib"]
+        p2 = np.asarray(calib["P2"], np.float32)
+        r0 = np.eye(4, dtype=np.float32)
+        r0[:3, :3] = np.asarray(calib["R0_rect"], np.float32)[:3, :3]
+        tr = np.asarray(calib["Tr_velo_to_cam"], np.float32)
+        if tr.shape == (3, 4):
+            tr = np.concatenate([tr, [[0, 0, 0, 1]]], axis=0)
+        p2h = np.eye(4, dtype=np.float32)
+        p2h[:3, :4] = p2[:3, :4]
+        l2i = p2h @ r0 @ tr
+        from PIL import Image
+        img = np.asarray(Image.fromarray(img.astype(np.uint8)).resize(
+            (w_t, h_t)), np.float32)
+        l2i = np.diag([w_t / w0, h_t / h0, 1.0, 1.0]).astype(
+            np.float32) @ l2i
+        img = (img - IMAGENET_MEAN) / IMAGENET_STD
+        return img[None], l2i[None]
+
+
+class WaymoDataset(KittiDataset):
+    """Waymo via the mmdet3d kitti-format conversion (reference
+    waymo_dataset_custom.py:14: num_views=5)."""
+    CLASSES = ("Car", "Pedestrian", "Cyclist")
+
+    def load_points(self, info: Dict) -> np.ndarray:
+        pi = info.get("point_cloud", info)
+        path = pi.get("velodyne_path", pi.get("lidar_path"))
+        if not os.path.isabs(path):
+            path = os.path.join(self.data_root, path)
+        return T.load_points_bin(path, 6, (0, 1, 2, 3, 4))
+
+
+class SyntheticDataset(SRFDetDataset):
+    """Random scenes with planted boxes — tests and benchmarking."""
+
+    def __init__(self, cfg: SRFDetConfig, length: int = 8,
+                 test_mode: bool = False, seed: int = 0,
+                 points_per_scene: int = 0, boxes_per_scene: int = 4):
+        super().__init__(cfg, test_mode=test_mode, seed=seed)
+        self.length = length
+        self.points_per_scene = points_per_scene or cfg.points_cap // 2
+        self.boxes_per_scene = boxes_per_scene
+        self.infos = [{"idx": i} for i in range(length)]
+
+    def load_points(self, info: Dict) -> np.ndarray:
+        rng = np.random.default_rng(info["idx"] + 1)
+        lo, hi = self.cfg.pc_range[:3], self.cfg.pc_range[3:6]
+        n = self.points_per_scene
+        pts = np.zeros((n, self.cfg.points_dim), np.float32)
+        pts[:, 0] = rng.uniform(lo[0], hi[0], n)
+        pts[:, 1] = rng.uniform(lo[1], hi[1], n)
+        pts[:, 2] = rng.uniform(lo[2], hi[2], n)
+        if self.cfg.points_dim > 3:
+            pts[:, 3:] = rng.uniform(0, 1, (n, self.cfg.points_dim - 3))
+        return pts
+
+    def load_annotations(self, info: Dict):
+        rng = np.random.default_rng(info["idx"] + 1000)
+        g = self.boxes_per_scene
+        lo, hi = self.cfg.pc_range[:3], self.cfg.pc_range[3:6]
+        boxes = np.zeros((g, 9), np.float32)
+        boxes[:, 0] = rng.uniform(lo[0] * 0.8, hi[0] * 0.8, g)
+        boxes[:, 1] = rng.uniform(lo[1] * 0.8, hi[1] * 0.8, g)
+        boxes[:, 2] = rng.uniform(lo[2] * 0.5, hi[2] * 0.5, g)
+        boxes[:, 3:6] = rng.uniform(0.5, 4.0, (g, 3))
+        boxes[:, 6] = rng.uniform(-np.pi, np.pi, g)
+        labels = rng.integers(0, self.cfg.num_classes, g)
+        return boxes, labels.astype(np.int64)
+
+    def load_images(self, info: Dict):
+        rng = np.random.default_rng(info["idx"] + 2000)
+        n_cam = self.cfg.img.num_cams
+        h, w = self.cfg.img.img_shape
+        imgs = rng.normal(size=(n_cam, h, w, 3)).astype(np.float32)
+        l2i = np.broadcast_to(np.eye(4, dtype=np.float32),
+                              (n_cam, 4, 4)).copy()
+        return imgs, l2i
+
+
+class CBGSWrapper:
+    """Class-balanced grouping & sampling (mmdet3d CBGSDataset, used by the
+    nuScenes train configs, cfg srfdet_voxel_nusc_L.py:302)."""
+
+    def __init__(self, dataset: SRFDetDataset):
+        self.dataset = dataset
+        num_classes = dataset.cfg.num_classes
+        cls_to_samples = {c: [] for c in range(num_classes)}
+        for i in range(len(dataset)):
+            for c in dataset.sample_categories(i):
+                cls_to_samples[int(c)].append(i)
+        frac = 1.0 / num_classes
+        total = sum(len(v) for v in cls_to_samples.values())
+        self.indices: List[int] = []
+        rng = np.random.default_rng(0)
+        for c, idxs in cls_to_samples.items():
+            if not idxs:
+                continue
+            ratio = frac / (len(idxs) / max(total, 1))
+            reps = int(len(idxs) * ratio)
+            self.indices += list(
+                rng.choice(idxs, reps, replace=True))
+        if not self.indices:
+            self.indices = list(range(len(dataset)))
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, idx):
+        return self.dataset[self.indices[idx]]
+
+    @property
+    def cfg(self):
+        return self.dataset.cfg
+
+
+def collate_batch(samples: Sequence[Dict[str, np.ndarray]]
+                  ) -> Dict[str, np.ndarray]:
+    """Stack fixed-shape samples into a batch dict."""
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples]) for k in keys}

@@ -1,0 +1,326 @@
+"""Host-side point-cloud pipeline transforms (numpy).
+
+TPU-native replacements for the mmdet3d pipeline ops the reference configs
+compose (cfg srfdet_voxel_nusc_L.py:193-262): LoadPointsFromFile,
+LoadPointsFromMultiSweeps, ObjectSample (GT-paste), GlobalRotScaleTrans,
+RandomFlip3D, Points/Object range filters, PointShuffle — plus the
+capacity-padding collate steps the static-shape TPU contract needs.
+
+Boxes here are numpy (N, 7|9) [cx, cy, cz(bottom), w, l, h, yaw(, vx, vy)]
+in LiDAR frame — same layout as mmdet3d LiDARInstance3DBoxes.tensor; model
+GTs use gravity-center z (converted in the collate step, mirroring
+`gt_bboxes.gravity_center` at reference srfdet_head.py:794,1062).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def limit_period(val: np.ndarray, offset: float = 0.5,
+                 period: float = 2 * np.pi) -> np.ndarray:
+    """Wrap angles into [-offset*period, (1-offset)*period)."""
+    return val - np.floor(val / period + offset) * period
+
+
+def load_points_bin(path: str, load_dim: int = 5,
+                    use_dim: Optional[Sequence[int]] = None) -> np.ndarray:
+    """Read a .bin float32 point file (KITTI/nuScenes layout)."""
+    pts = np.fromfile(path, dtype=np.float32).reshape(-1, load_dim)
+    if use_dim is not None:
+        pts = pts[:, list(use_dim)]
+    return pts
+
+
+def remove_close(points: np.ndarray, radius: float = 1.0) -> np.ndarray:
+    """Drop points within `radius` of the sensor in x/y (ego returns)."""
+    keep = ~((np.abs(points[:, 0]) < radius) &
+             (np.abs(points[:, 1]) < radius))
+    return points[keep]
+
+
+def multi_sweep_aggregate(points: np.ndarray,
+                          sweeps: Sequence[Dict],
+                          sweeps_num: int = 10,
+                          use_dim: Sequence[int] = (0, 1, 2, 3, 4),
+                          rng: Optional[np.random.Generator] = None,
+                          test_mode: bool = False,
+                          load_dim: int = 5) -> np.ndarray:
+    """LoadPointsFromMultiSweeps: concat transformed past sweeps.
+
+    Each sweep dict: {"data_path", "sensor2lidar_rotation" (3,3),
+    "sensor2lidar_translation" (3,), "timestamp", ...}.  The key frame's
+    time-lag channel (dim 4) is zeroed; sweep points get their lag in
+    seconds.  Train mode samples sweeps_num without replacement; test mode
+    takes the first sweeps_num.
+    """
+    points = points.copy()
+    if points.shape[1] > 4:
+        points[:, 4] = 0.0
+    out = [points]
+    if len(sweeps) > 0:
+        if len(sweeps) <= sweeps_num:
+            choices = np.arange(len(sweeps))
+        elif test_mode:
+            choices = np.arange(sweeps_num)
+        else:
+            rng = rng or np.random.default_rng()
+            choices = rng.choice(len(sweeps), sweeps_num, replace=False)
+        ts = 0.0
+        for idx in choices:
+            sweep = sweeps[idx]
+            pts = load_points_bin(sweep["data_path"], load_dim,
+                                  list(range(load_dim)))
+            pts = remove_close(pts)
+            xyz = pts[:, :3] @ np.asarray(
+                sweep["sensor2lidar_rotation"]).T + np.asarray(
+                sweep["sensor2lidar_translation"])
+            pts[:, :3] = xyz
+            if pts.shape[1] > 4:
+                pts[:, 4] = ts - sweep.get("timestamp", 0.0) * 1e-6
+            out.append(pts[:, list(range(points.shape[1]))])
+    return np.concatenate(out, axis=0)
+
+
+def global_rot_scale_trans(points: np.ndarray,
+                           boxes: Optional[np.ndarray],
+                           rng: np.random.Generator,
+                           rot_range: Tuple[float, float] = (-0.785, 0.785),
+                           scale_range: Tuple[float, float] = (0.9, 1.1),
+                           trans_std: Tuple[float, float, float] = (0.5,) * 3):
+    """GlobalRotScaleTrans (order rotate -> scale -> translate, mmdet3d).
+
+    Rotation about +z by angle a: [x, y] -> [x cos - y sin, x sin + y cos];
+    box yaw += a.  Scaling multiplies xyz, sizes and velocities; translation
+    adds noise to xyz.
+    """
+    angle = rng.uniform(*rot_range)
+    c, s = np.cos(angle), np.sin(angle)
+    rot = np.array([[c, -s], [s, c]], points.dtype)
+
+    points = points.copy()
+    points[:, :2] = points[:, :2] @ rot.T
+    if boxes is not None and len(boxes):
+        boxes = boxes.copy()
+        boxes[:, :2] = boxes[:, :2] @ rot.T
+        boxes[:, 6] += angle
+        if boxes.shape[1] > 7:
+            boxes[:, 7:9] = boxes[:, 7:9] @ rot.T
+
+    scale = rng.uniform(*scale_range)
+    points[:, :3] *= scale
+    if boxes is not None and len(boxes):
+        boxes[:, :6] *= scale
+        if boxes.shape[1] > 7:
+            boxes[:, 7:9] *= scale
+
+    trans = rng.normal(scale=trans_std, size=3).astype(points.dtype)
+    points[:, :3] += trans
+    if boxes is not None and len(boxes):
+        boxes[:, :3] += trans
+    return points, boxes
+
+
+def random_flip_3d(points: np.ndarray,
+                   boxes: Optional[np.ndarray],
+                   rng: np.random.Generator,
+                   flip_ratio_horizontal: float = 0.5,
+                   flip_ratio_vertical: float = 0.5):
+    """RandomFlip3D. Horizontal = flip y (yaw -> -yaw), vertical = flip x
+    (yaw -> -yaw + pi); velocities flip with their axis (mmdet3d)."""
+    points = points.copy()
+    boxes = boxes.copy() if boxes is not None else None
+    flip_h = rng.uniform() < flip_ratio_horizontal
+    flip_v = rng.uniform() < flip_ratio_vertical
+    if flip_h:
+        points[:, 1] = -points[:, 1]
+        if boxes is not None and len(boxes):
+            boxes[:, 1] = -boxes[:, 1]
+            boxes[:, 6] = -boxes[:, 6]
+            if boxes.shape[1] > 7:
+                boxes[:, 8] = -boxes[:, 8]
+    if flip_v:
+        points[:, 0] = -points[:, 0]
+        if boxes is not None and len(boxes):
+            boxes[:, 0] = -boxes[:, 0]
+            boxes[:, 6] = -boxes[:, 6] + np.pi
+            if boxes.shape[1] > 7:
+                boxes[:, 7] = -boxes[:, 7]
+    return points, boxes, (flip_h, flip_v)
+
+
+def points_range_filter(points: np.ndarray,
+                        pc_range: Sequence[float]) -> np.ndarray:
+    m = ((points[:, 0] >= pc_range[0]) & (points[:, 0] <= pc_range[3]) &
+         (points[:, 1] >= pc_range[1]) & (points[:, 1] <= pc_range[4]) &
+         (points[:, 2] >= pc_range[2]) & (points[:, 2] <= pc_range[5]))
+    return points[m]
+
+
+def object_range_filter(boxes: np.ndarray, labels: np.ndarray,
+                        pc_range: Sequence[float]):
+    """Keep boxes with BEV center in range; wrap yaw to [-pi, pi]
+    (mmdet3d ObjectRangeFilter)."""
+    if len(boxes) == 0:
+        return boxes, labels
+    m = ((boxes[:, 0] >= pc_range[0]) & (boxes[:, 0] <= pc_range[3]) &
+         (boxes[:, 1] >= pc_range[1]) & (boxes[:, 1] <= pc_range[4]))
+    boxes, labels = boxes[m].copy(), labels[m]
+    boxes[:, 6] = limit_period(boxes[:, 6], 0.5, 2 * np.pi)
+    return boxes, labels
+
+
+def object_name_filter(boxes: np.ndarray, labels: np.ndarray,
+                       num_classes: int):
+    m = (labels >= 0) & (labels < num_classes)
+    return boxes[m], labels[m]
+
+
+def point_shuffle(points: np.ndarray,
+                  rng: np.random.Generator) -> np.ndarray:
+    return points[rng.permutation(len(points))]
+
+
+def pad_points(points: np.ndarray, cap: int):
+    """Pad/truncate to (cap, D) + mask. Truncation keeps a random-free
+    prefix (callers shuffle first in train mode)."""
+    n, d = points.shape
+    out = np.zeros((cap, d), np.float32)
+    k = min(n, cap)
+    out[:k] = points[:k]
+    mask = np.zeros((cap,), bool)
+    mask[:k] = True
+    return out, mask
+
+
+def pad_gts(boxes: np.ndarray, labels: np.ndarray, cap: int,
+            box_dim: int = 9):
+    """Pad GTs to (cap, box_dim) with gravity-center z (model convention)."""
+    out = np.zeros((cap, box_dim), np.float32)
+    lab = np.zeros((cap,), np.int32)
+    mask = np.zeros((cap,), bool)
+    k = min(len(boxes), cap)
+    if k:
+        b = boxes[:k, :box_dim].astype(np.float32).copy()
+        if boxes.shape[1] < box_dim:
+            b = np.zeros((k, box_dim), np.float32)
+            b[:, :boxes.shape[1]] = boxes[:k]
+        b[:, 2] += 0.5 * b[:, 5]           # bottom -> gravity center
+        out[:k] = b
+        lab[:k] = labels[:k]
+        mask[:k] = True
+    return out, lab, mask
+
+
+@dataclasses.dataclass
+class DBSampler:
+    """GT-database paste augmentation (mmdet3d ObjectSample/DataBaseSampler).
+
+    info_path: pickle of {class_name: [{"path", "box3d_lidar" (7|9,),
+    "num_points_in_gt", ...}, ...]}.  For each class, samples up to
+    sample_groups[cls] - n_existing objects, rejecting BEV-overlapping
+    candidates, and pastes their points (translated to the box) into the
+    scene.
+    """
+    info_path: str
+    data_root: str
+    classes: Sequence[str]
+    sample_groups: Dict[str, int]
+    min_points: Dict[str, int] = dataclasses.field(default_factory=dict)
+    rate: float = 1.0
+    points_load_dim: int = 5
+    points_use_dim: Sequence[int] = (0, 1, 2, 3, 4)
+
+    def __post_init__(self):
+        with open(self.info_path, "rb") as f:
+            infos = pickle.load(f)
+        self.db: Dict[str, List[Dict]] = {}
+        for cls in self.classes:
+            items = infos.get(cls, [])
+            min_pts = self.min_points.get(cls, 0)
+            self.db[cls] = [
+                it for it in items
+                if it.get("num_points_in_gt", min_pts) >= min_pts and
+                it.get("difficulty", 0) != -1]
+
+    @staticmethod
+    def _bev_iou(b1: np.ndarray, b2: np.ndarray) -> np.ndarray:
+        """Axis-aligned BEV overlap test (coarse but matches the purpose of
+        mmdet3d's box_collision_test)."""
+        if len(b1) == 0 or len(b2) == 0:
+            return np.zeros((len(b1), len(b2)), bool)
+        r1 = np.hypot(b1[:, 3], b1[:, 4]) / 2
+        r2 = np.hypot(b2[:, 3], b2[:, 4]) / 2
+        d = np.hypot(b1[:, None, 0] - b2[None, :, 0],
+                     b1[:, None, 1] - b2[None, :, 1])
+        return d < (r1[:, None] + r2[None, :]) * 0.7
+
+    def sample(self, gt_boxes: np.ndarray, gt_labels: np.ndarray,
+               rng: np.random.Generator):
+        """Returns (extra_boxes, extra_labels, extra_points)."""
+        new_boxes, new_labels, new_points = [], [], []
+        all_boxes = gt_boxes.copy() if len(gt_boxes) else \
+            np.zeros((0, 7), np.float32)
+        for ci, cls in enumerate(self.classes):
+            want = self.sample_groups.get(cls, 0)
+            have = int(np.sum(gt_labels == ci)) if len(gt_labels) else 0
+            need = int((want - have) * self.rate)
+            pool = self.db.get(cls, [])
+            if need <= 0 or not pool:
+                continue
+            idxs = rng.choice(len(pool), min(need, len(pool)), replace=False)
+            for i in idxs:
+                item = pool[i]
+                box = np.asarray(item["box3d_lidar"], np.float32)
+                if self._bev_iou(box[None, :7], all_boxes[:, :7]).any():
+                    continue
+                path = os.path.join(self.data_root, item["path"])
+                try:
+                    pts = load_points_bin(path, self.points_load_dim,
+                                          self.points_use_dim)
+                except (FileNotFoundError, ValueError):
+                    continue
+                pts = pts.copy()
+                pts[:, :3] += box[:3]          # db points are box-relative
+                new_boxes.append(box)
+                new_labels.append(ci)
+                new_points.append(pts)
+                all_boxes = np.concatenate(
+                    [all_boxes, box[None, :all_boxes.shape[1]]], axis=0)
+        if not new_boxes:
+            return (np.zeros((0, all_boxes.shape[1]), np.float32),
+                    np.zeros((0,), np.int64),
+                    np.zeros((0, len(self.points_use_dim)), np.float32))
+        nb = np.stack(new_boxes)
+        if nb.shape[1] < all_boxes.shape[1]:
+            nb = np.pad(nb, ((0, 0), (0, all_boxes.shape[1] - nb.shape[1])))
+        return (nb, np.asarray(new_labels, np.int64),
+                np.concatenate(new_points, axis=0))
+
+    def apply(self, points, gt_boxes, gt_labels, rng):
+        """ObjectSample: paste sampled objects, remove scene points inside
+        their boxes, prepend object points (mmdet3d behavior)."""
+        extra_boxes, extra_labels, extra_points = self.sample(
+            gt_boxes, gt_labels, rng)
+        if len(extra_boxes) == 0:
+            return points, gt_boxes, gt_labels
+        from .box_np import points_in_boxes_bev
+        inside = points_in_boxes_bev(points[:, :3], extra_boxes)
+        points = points[~inside.any(axis=1)]
+        if extra_points.shape[1] < points.shape[1]:
+            pad = np.zeros((len(extra_points),
+                            points.shape[1] - extra_points.shape[1]),
+                           np.float32)
+            extra_points = np.concatenate([extra_points, pad], axis=1)
+        points = np.concatenate(
+            [extra_points[:, :points.shape[1]], points], axis=0)
+        gt_boxes = np.concatenate([gt_boxes, extra_boxes], axis=0) \
+            if len(gt_boxes) else extra_boxes
+        gt_labels = np.concatenate([gt_labels, extra_labels]) \
+            if len(gt_labels) else extra_labels
+        return points, gt_boxes, gt_labels

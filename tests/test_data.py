@@ -1,0 +1,93 @@
+"""Data pipeline tests: transforms, synthetic dataset, CBGS, loader."""
+import numpy as np
+import pytest
+
+from srfdet3d_tpu.configs import tiny_test_config
+from srfdet3d_tpu.data import (CBGSWrapper, SyntheticDataset, collate_batch,
+                               data_loader, global_rot_scale_trans,
+                               limit_period, object_range_filter, pad_gts,
+                               pad_points, points_range_filter,
+                               random_flip_3d)
+from srfdet3d_tpu.data.box_np import points_in_boxes_bev
+
+
+def test_rot_scale_trans_consistency():
+    """Points inside a box stay inside after rot/scale/trans."""
+    rng = np.random.default_rng(0)
+    box = np.array([[2.0, 1.0, 0.0, 2.0, 4.0, 1.5, 0.6, 0.0, 0.0]],
+                   np.float32)
+    # points near box center
+    pts = np.zeros((50, 5), np.float32)
+    pts[:, :2] = box[0, :2] + rng.uniform(-0.4, 0.4, (50, 2))
+    pts[:, 2] = rng.uniform(0.1, 1.0, 50)
+    assert points_in_boxes_bev(pts[:, :3], box).all()
+    p2, b2 = global_rot_scale_trans(pts, box, rng)
+    assert points_in_boxes_bev(p2[:, :3], b2).all()
+
+
+def test_flip_consistency():
+    rng = np.random.default_rng(1)
+    box = np.array([[2.0, 1.0, 0.0, 2.0, 4.0, 1.5, 0.6, 1.0, -2.0]],
+                   np.float32)
+    pts = np.zeros((50, 5), np.float32)
+    pts[:, :2] = box[0, :2] + rng.uniform(-0.4, 0.4, (50, 2))
+    p2, b2, _ = random_flip_3d(pts, box, rng, 1.0, 1.0)  # both flips
+    assert np.allclose(p2[:, 0], -pts[:, 0])
+    assert np.allclose(p2[:, 1], -pts[:, 1])
+    assert points_in_boxes_bev(p2[:, :3], b2).all()
+
+
+def test_range_filters_and_limit_period():
+    pts = np.array([[0, 0, 0, 0, 0], [100, 0, 0, 0, 0]], np.float32)
+    out = points_range_filter(pts, (-10, -10, -5, 10, 10, 5))
+    assert len(out) == 1
+    boxes = np.array([[0, 0, 0, 1, 1, 1, 4.0], [99, 0, 0, 1, 1, 1, 0.0]],
+                     np.float32)
+    labels = np.array([0, 1])
+    b2, l2 = object_range_filter(boxes, labels, (-10, -10, -5, 10, 10, 5))
+    assert len(b2) == 1 and l2[0] == 0
+    assert -np.pi <= b2[0, 6] < np.pi
+    assert np.isclose(limit_period(np.array(4.0)), 4.0 - 2 * np.pi)
+
+
+def test_pad_points_and_gts():
+    pts = np.ones((10, 5), np.float32)
+    out, mask = pad_points(pts, 16)
+    assert out.shape == (16, 5) and mask.sum() == 10
+    boxes = np.array([[1, 2, 0.0, 1, 1, 2.0, 0.5]], np.float32)
+    gb, gl, gm = pad_gts(boxes, np.array([2]), 4, box_dim=9)
+    assert gb.shape == (4, 9) and gm.sum() == 1
+    assert np.isclose(gb[0, 2], 1.0)      # bottom -> gravity center (+h/2)
+
+
+def test_synthetic_dataset_and_loader():
+    cfg = tiny_test_config()
+    ds = SyntheticDataset(cfg, length=6)
+    s = ds[0]
+    assert s["points"].shape == (cfg.points_cap, cfg.points_dim)
+    assert s["gt_boxes"].shape == (cfg.gt_cap, 9)
+    assert s["gt_mask"].any()
+
+    batches = list(data_loader(ds, batch_size=2, num_workers=2, seed=0))
+    assert len(batches) == 3
+    assert batches[0]["points"].shape[0] == 2
+
+    # single-threaded path agrees in shape
+    b0 = next(iter(data_loader(ds, 2, shuffle=False, num_workers=0)))
+    assert b0["points"].shape == batches[0]["points"].shape
+
+
+def test_cbgs_wrapper_balances():
+    cfg = tiny_test_config()
+    ds = SyntheticDataset(cfg, length=10)
+    wrapped = CBGSWrapper(ds)
+    assert len(wrapped) > 0
+    s = wrapped[0]
+    assert s["points"].shape == (cfg.points_cap, cfg.points_dim)
+
+
+def test_collate_batch():
+    cfg = tiny_test_config()
+    ds = SyntheticDataset(cfg, length=2)
+    batch = collate_batch([ds[0], ds[1]])
+    assert batch["points"].shape == (2, cfg.points_cap, cfg.points_dim)
