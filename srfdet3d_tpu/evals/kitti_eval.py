@@ -1,0 +1,123 @@
+"""Native KITTI 3D AP (R40) evaluation.
+
+Replaces the mmdet3d kitti eval the reference reaches via
+`dataset.evaluate()` (tools/test.py:243-252).  Protocol:
+
+  - class-specific 3D IoU thresholds: Car 0.7, Pedestrian/Cyclist 0.5,
+  - three difficulty buckets (easy/moderate/hard) from 2D bbox height /
+    occlusion / truncation when provided (all GTs fall into 'moderate'
+    when those fields are absent, e.g. synthetic data),
+  - AP_R40: precision interpolated at the 40 recall points 1/40 .. 1.
+
+Deviation from the official devkit, documented: matching is one global
+greedy pass over score-sorted detections (like the nuScenes protocol)
+instead of re-matching per score threshold; for well-separated scores the
+two coincide.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..geometry.iou import iou_3d
+
+IOU_THRESHOLDS = {"Car": 0.7, "Pedestrian": 0.5, "Cyclist": 0.5}
+# (min bbox height px, max occlusion, max truncation)
+DIFFICULTY = {
+    "easy": (40, 0, 0.15),
+    "moderate": (25, 1, 0.30),
+    "hard": (25, 2, 0.50),
+}
+
+
+def _gt_difficulty_mask(frame: Dict, diff: str) -> np.ndarray:
+    n = len(frame["boxes"])
+    h_min, occ_max, tr_max = DIFFICULTY[diff]
+    heights = frame.get("bbox_heights")
+    occ = frame.get("occluded")
+    tru = frame.get("truncated")
+    if heights is None or occ is None or tru is None:
+        return np.ones(n, bool)
+    return ((np.asarray(heights) >= h_min) &
+            (np.asarray(occ) <= occ_max) &
+            (np.asarray(tru) <= tr_max))
+
+
+def _iou3d_np(b1: np.ndarray, b2: np.ndarray) -> np.ndarray:
+    if len(b1) == 0 or len(b2) == 0:
+        return np.zeros((len(b1), len(b2)), np.float32)
+    return np.asarray(iou_3d(jnp.asarray(b1[:, :7]), jnp.asarray(b2[:, :7])))
+
+
+def _ap_r40(tp_flags: np.ndarray, scores: np.ndarray, npos: int) -> float:
+    if npos == 0 or len(scores) == 0:
+        return 0.0
+    order = np.argsort(-scores)
+    tp = np.cumsum(tp_flags[order]).astype(float)
+    fp = np.cumsum(~tp_flags[order]).astype(float)
+    rec = tp / npos
+    prec = tp / (tp + fp)
+    # monotone precision envelope
+    for i in range(len(prec) - 2, -1, -1):
+        prec[i] = max(prec[i], prec[i + 1])
+    aps = []
+    for r in np.linspace(1.0 / 40, 1.0, 40):
+        mask = rec >= r
+        aps.append(float(prec[mask].max()) if mask.any() else 0.0)
+    return float(np.mean(aps))
+
+
+def kitti_eval(gts: List[Dict], preds: List[Dict],
+               class_names: Sequence[str] = ("Pedestrian", "Cyclist",
+                                             "Car")) -> Dict:
+    """gts/preds: per-frame dicts with "boxes" (N, 7) bottom- or
+    gravity-center (must be consistent between the two), "labels_name";
+    preds add "scores"; gts may add "bbox_heights"/"occluded"/"truncated".
+
+    Returns {"{cls}_3d_{difficulty}": AP_R40, ..., "mAP_3d_moderate": ...}.
+    """
+    results = {}
+    for cls in class_names:
+        thr = IOU_THRESHOLDS.get(cls, 0.5)
+        for diff in DIFFICULTY:
+            tp_flags, scores = [], []
+            npos = 0
+            for g, p in zip(gts, preds):
+                g_sel = np.nonzero(g["labels_name"] == cls)[0]
+                g_valid = _gt_difficulty_mask(g, diff)
+                g_count = g_sel[g_valid[g_sel]] if len(g_sel) else g_sel
+                npos += len(g_count)
+                p_sel = np.nonzero(p["labels_name"] == cls)[0]
+                if len(p_sel) == 0:
+                    continue
+                p_order = p_sel[np.argsort(-p["scores"][p_sel])]
+                ious = _iou3d_np(p["boxes"][p_order], g["boxes"][g_sel]) \
+                    if len(g_sel) else np.zeros((len(p_order), 0))
+                taken = np.zeros(len(g_sel), bool)
+                for pi in range(len(p_order)):
+                    best_gi, best_iou = -1, thr
+                    for gi in range(len(g_sel)):
+                        if taken[gi]:
+                            continue
+                        if ious[pi, gi] >= best_iou:
+                            best_iou, best_gi = ious[pi, gi], gi
+                    scores.append(float(p["scores"][p_order[pi]]))
+                    if best_gi >= 0:
+                        taken[best_gi] = True
+                        # matches to ignored (harder) GTs count as neither
+                        if g_valid[g_sel[best_gi]]:
+                            tp_flags.append(True)
+                        else:
+                            scores.pop()
+                    else:
+                        tp_flags.append(False)
+            results[f"{cls}_3d_{diff}"] = _ap_r40(
+                np.asarray(tp_flags, bool), np.asarray(scores), npos)
+    for diff in DIFFICULTY:
+        results[f"mAP_3d_{diff}"] = float(np.mean(
+            [results[f"{c}_3d_{diff}"] for c in class_names]))
+    return results

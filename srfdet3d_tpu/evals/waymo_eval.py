@@ -1,0 +1,117 @@
+"""Native Waymo detection metrics (AP / APH, LEVEL_1 / LEVEL_2).
+
+Replaces the Waymo C++ `compute_detection_metrics_main` bazel binary the
+reference shells out to (README.md:72-93).  Protocol:
+
+  - match by 3D IoU: Car/Vehicle 0.7, Pedestrian/Cyclist 0.5, greedy in
+    score order,
+  - LEVEL_2 = all GTs; LEVEL_1 = GTs with > 5 lidar points (and not marked
+    difficulty 2),
+  - AP = 101-point interpolated PR area; APH weights each TP by heading
+    accuracy (1 - |Δyaw_wrapped| / pi).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..geometry.iou import iou_3d
+
+IOU_THRESHOLDS = {"Car": 0.7, "Vehicle": 0.7, "Pedestrian": 0.5,
+                  "Cyclist": 0.5}
+
+
+def _heading_acc(yaw_p: float, yaw_g: float) -> float:
+    d = abs(yaw_p - yaw_g) % (2 * np.pi)
+    d = min(d, 2 * np.pi - d)
+    return max(0.0, 1.0 - d / np.pi)
+
+
+def _pr_area(weights: np.ndarray, is_tp: np.ndarray, scores: np.ndarray,
+             npos: int) -> float:
+    if npos == 0 or len(scores) == 0:
+        return 0.0
+    order = np.argsort(-scores)
+    tp_w = np.cumsum(np.where(is_tp[order], weights[order], 0.0))
+    fp = np.cumsum(~is_tp[order]).astype(float)
+    tp = np.cumsum(is_tp[order]).astype(float)
+    rec = tp / npos
+    prec_w = tp_w / np.maximum(tp + fp, 1e-9)
+    rec_i = np.linspace(0, 1, 101)
+    prec_i = np.interp(rec_i, rec, prec_w, right=0.0)
+    # monotone envelope
+    for i in range(len(prec_i) - 2, -1, -1):
+        prec_i[i] = max(prec_i[i], prec_i[i + 1])
+    return float(np.mean(prec_i))
+
+
+def waymo_eval(gts: List[Dict], preds: List[Dict],
+               class_names: Sequence[str] = ("Car", "Pedestrian",
+                                             "Cyclist")) -> Dict:
+    """gts: {"boxes" (N, 7), "labels_name", optional "num_points" (N,),
+    optional "difficulty" (N,)}; preds add "scores".
+
+    Returns {"{cls}_AP_L1", "{cls}_APH_L1", "{cls}_AP_L2", "{cls}_APH_L2",
+    "mAPH_L1", "mAPH_L2"}.
+    """
+    out = {}
+    for cls in class_names:
+        thr = IOU_THRESHOLDS.get(cls, 0.5)
+        for level in (1, 2):
+            is_tp, weights, scores = [], [], []
+            npos = 0
+            for g, p in zip(gts, preds):
+                g_sel = np.nonzero(g["labels_name"] == cls)[0]
+                npts = np.asarray(g.get("num_points",
+                                        np.full(len(g["boxes"]), 100)))
+                diff = np.asarray(g.get("difficulty",
+                                        np.zeros(len(g["boxes"]))))
+                if level == 1:
+                    lvl_ok = (npts > 5) & (diff < 2)
+                else:
+                    lvl_ok = np.ones(len(g["boxes"]), bool)
+                npos += int(lvl_ok[g_sel].sum()) if len(g_sel) else 0
+                p_sel = np.nonzero(p["labels_name"] == cls)[0]
+                if len(p_sel) == 0:
+                    continue
+                p_order = p_sel[np.argsort(-p["scores"][p_sel])]
+                if len(g_sel):
+                    ious = np.asarray(iou_3d(
+                        jnp.asarray(p["boxes"][p_order][:, :7]),
+                        jnp.asarray(g["boxes"][g_sel][:, :7])))
+                else:
+                    ious = np.zeros((len(p_order), 0))
+                taken = np.zeros(len(g_sel), bool)
+                for pi in range(len(p_order)):
+                    best_gi, best_iou = -1, thr
+                    for gi in range(len(g_sel)):
+                        if taken[gi]:
+                            continue
+                        if ious[pi, gi] >= best_iou:
+                            best_iou, best_gi = ious[pi, gi], gi
+                    scores.append(float(p["scores"][p_order[pi]]))
+                    if best_gi >= 0:
+                        taken[best_gi] = True
+                        if not lvl_ok[g_sel[best_gi]]:
+                            scores.pop()         # ignored GT: drop the det
+                            continue
+                        is_tp.append(True)
+                        weights.append(_heading_acc(
+                            float(p["boxes"][p_order[pi]][6]),
+                            float(g["boxes"][g_sel[best_gi]][6])))
+                    else:
+                        is_tp.append(False)
+                        weights.append(0.0)
+            is_tp_a = np.asarray(is_tp, bool)
+            w_a = np.asarray(weights)
+            s_a = np.asarray(scores)
+            out[f"{cls}_AP_L{level}"] = _pr_area(
+                np.ones_like(w_a), is_tp_a, s_a, npos)
+            out[f"{cls}_APH_L{level}"] = _pr_area(w_a, is_tp_a, s_a, npos)
+    for level in (1, 2):
+        out[f"mAPH_L{level}"] = float(np.mean(
+            [out[f"{c}_APH_L{level}"] for c in class_names]))
+    return out
