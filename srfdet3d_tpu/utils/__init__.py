@@ -1,0 +1,6 @@
+from .checkpoint import (save_checkpoint, restore_checkpoint,
+                         load_partial, torch_to_jax_array)
+from .logging import MetricLogger
+
+__all__ = ["save_checkpoint", "restore_checkpoint", "load_partial",
+           "torch_to_jax_array", "MetricLogger"]

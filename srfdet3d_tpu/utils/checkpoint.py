@@ -1,0 +1,90 @@
+"""Checkpointing: orbax save/restore, prefix partial loads, torch import.
+
+Replaces the reference's mmcv CheckpointHook + per-module
+`init_cfg=dict(type='Pretrained', checkpoint=..., prefix=...)` partial
+restores (cfg srfdet_voxel_nusc_LC.py:51-53,81-83) and `load_from` /
+`resume_from` (cfg :393-394, tools/train.py:151-152).
+
+Checkpoint layout: orbax PyTree checkpoint of
+{"params", "batch_stats", "opt_state", "step"} plus a JSON metadata file
+(config name, class names, framework version) mirroring the reference's
+ckpt meta (tools/train.py:292-302).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path: str, state, meta: Optional[Dict] = None) -> None:
+    """Save a TrainState (or any pytree) to `path` (a directory)."""
+    path = os.path.abspath(path)
+    tree = {"params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": np.asarray(state.step)}
+    _checkpointer().save(path, tree, force=True)
+    if meta is not None:
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+
+
+def restore_checkpoint(path: str, state):
+    """Restore a TrainState saved by :func:`save_checkpoint`."""
+    path = os.path.abspath(path)
+    template = {"params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "step": np.asarray(state.step)}
+    tree = _checkpointer().restore(path, item=template)
+    return state.replace(params=tree["params"],
+                         batch_stats=tree["batch_stats"],
+                         opt_state=tree["opt_state"],
+                         step=jax.numpy.asarray(tree["step"]))
+
+
+def load_partial(params: Any, ckpt_path: str, prefix: str = "") -> Any:
+    """Prefix-filtered partial restore (the reference's Pretrained-prefix
+    mechanism): overwrite every leaf of `params` under top-level key
+    `prefix` with the checkpoint's matching subtree; everything else keeps
+    its fresh initialization."""
+    ckpt = _checkpointer().restore(os.path.abspath(ckpt_path))
+    src = ckpt.get("params", ckpt)
+    params = jax.tree_util.tree_map(lambda x: x, params)   # shallow copy
+
+    def merge(dst, s):
+        out = dict(dst)
+        for k, v in s.items():
+            if k in out and isinstance(v, dict) and isinstance(out[k], dict):
+                out[k] = merge(out[k], v)
+            elif k in out:
+                out[k] = v
+        return out
+
+    if not prefix:
+        return merge(dict(params), dict(src))
+    if prefix in src and prefix in params:
+        new = dict(params)
+        new[prefix] = merge(dict(params[prefix]), dict(src[prefix]))
+        return new
+    return params
+
+
+def torch_to_jax_array(t) -> np.ndarray:
+    """Convert a torch tensor to numpy with layout translation:
+    conv OIHW -> HWIO, conv3d OIDHW stays caller-handled, linear (out,in)
+    -> (in,out)."""
+    arr = t.detach().cpu().numpy() if hasattr(t, "detach") else np.asarray(t)
+    if arr.ndim == 4:                     # conv2d OIHW -> HWIO
+        return np.transpose(arr, (2, 3, 1, 0))
+    if arr.ndim == 2:                     # linear (out, in) -> (in, out)
+        return arr.T
+    return arr

@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Training CLI (mirrors reference tools/train.py surface).
+
+Usage:
+  python tools/train.py <config_name> [--work-dir DIR] [--resume-from CKPT]
+      [--load-from CKPT] [--epochs N] [--batch-size B] [--seed S]
+      [--synthetic] [--data-root PATH] [--ann-file PATH]
+      [--cfg-options k=v ...]
+
+config_name is one of srfdet3d_tpu.configs.CONFIGS (the 11 experiments).
+--synthetic trains on generated scenes (smoke testing without datasets).
+--cfg-options supports dotted keys into the frozen dataclasses, e.g.
+  optim.lr=1e-4 head.num_proposals=300 (reference --cfg-options mechanism).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def apply_cfg_options(cfg, options):
+    """Dotted-key overrides into nested frozen dataclasses."""
+    for opt in options or []:
+        key, _, raw = opt.partition("=")
+        try:
+            val = json.loads(raw)
+        except json.JSONDecodeError:
+            val = raw
+        parts = key.split(".")
+        objs = [cfg]
+        for p in parts[:-1]:
+            objs.append(getattr(objs[-1], p))
+        new_leaf = val                      # rebuild from the leaf outwards
+        for depth in range(len(parts) - 1, -1, -1):
+            new_leaf = dataclasses.replace(
+                objs[depth], **{parts[depth]: new_leaf})
+        cfg = new_leaf
+    return cfg
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("config")
+    ap.add_argument("--work-dir", default="work_dirs")
+    ap.add_argument("--resume-from", default=None)
+    ap.add_argument("--load-from", default=None)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--synthetic", action="store_true")
+    ap.add_argument("--synthetic-length", type=int, default=32)
+    ap.add_argument("--data-root", default="data/nuscenes")
+    ap.add_argument("--ann-file", default=None)
+    ap.add_argument("--log-interval", type=int, default=50)
+    ap.add_argument("--ckpt-interval", type=int, default=1)
+    ap.add_argument("--no-cbgs", action="store_true")
+    ap.add_argument("--cfg-options", nargs="*", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from srfdet3d_tpu.configs import get_config
+    from srfdet3d_tpu.data import (CBGSWrapper, KittiDataset,
+                                   NuScenesDataset, SyntheticDataset,
+                                   WaymoDataset, data_loader)
+    from srfdet3d_tpu.parallel import make_mesh, replicate, shard_batch
+    from srfdet3d_tpu.train import (create_train_state, make_lr_schedule,
+                                    make_train_step)
+    from srfdet3d_tpu.utils import (MetricLogger, load_partial,
+                                    restore_checkpoint, save_checkpoint)
+
+    cfg = get_config(args.config)
+    cfg = apply_cfg_options(cfg, args.cfg_options)
+    epochs = args.epochs or cfg.optim.epochs
+    work_dir = os.path.join(args.work_dir, cfg.name)
+    os.makedirs(work_dir, exist_ok=True)
+
+    n_dev = len(jax.devices())
+    batch_size = args.batch_size or cfg.optim.batch_size_per_device * n_dev
+    batch_size = max(batch_size - batch_size % n_dev, n_dev)
+
+    if args.synthetic:
+        dataset = SyntheticDataset(cfg, length=args.synthetic_length,
+                                   seed=args.seed)
+    else:
+        ds_cls = {"nuscenes": NuScenesDataset, "kitti": KittiDataset,
+                  "waymo": WaymoDataset}[cfg.dataset]
+        ann = args.ann_file or os.path.join(
+            args.data_root, f"{cfg.dataset}_infos_train.pkl")
+        dataset = ds_cls(cfg, info_path=ann, data_root=args.data_root,
+                         seed=args.seed)
+        if cfg.dataset == "nuscenes" and not args.no_cbgs:
+            dataset = CBGSWrapper(dataset)
+
+    steps_per_epoch = max(len(dataset) // batch_size, 1)
+    total_steps = steps_per_epoch * epochs
+    print(f"config={cfg.name} devices={n_dev} batch={batch_size} "
+          f"steps/epoch={steps_per_epoch} epochs={epochs}", flush=True)
+
+    mesh = make_mesh(n_dev)
+    sample = next(iter(data_loader(dataset, batch_size, shuffle=False,
+                                   num_workers=0)))
+    sample = {k: jnp.asarray(v) for k, v in sample.items()}
+    model, state, tx = create_train_state(
+        cfg, jax.random.PRNGKey(args.seed), sample, total_steps)
+    schedule = make_lr_schedule(cfg.optim, total_steps)
+
+    if args.load_from:
+        state = state.replace(
+            params=load_partial(state.params, args.load_from))
+        print(f"loaded pretrained params from {args.load_from}", flush=True)
+    if args.resume_from:
+        state = restore_checkpoint(args.resume_from, state)
+        print(f"resumed from {args.resume_from} @ step {int(state.step)}",
+              flush=True)
+
+    train_step = make_train_step(model, tx, cfg)
+    state = replicate(state, mesh)
+    logger = MetricLogger(args.log_interval,
+                          log_dir=os.path.join(work_dir, "tb"))
+
+    start_epoch = int(state.step) // steps_per_epoch
+    for epoch in range(start_epoch, epochs):
+        for batch in data_loader(dataset, batch_size, shuffle=True,
+                                 seed=args.seed + epoch):
+            batch = shard_batch(
+                {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
+            state, metrics = train_step(
+                state, batch, jax.random.PRNGKey(int(state.step)))
+            logger.log(int(state.step),
+                       {k: float(v) for k, v in metrics.items()},
+                       lr=float(schedule(int(state.step))))
+        if (epoch + 1) % args.ckpt_interval == 0 or epoch == epochs - 1:
+            path = os.path.join(work_dir, f"epoch_{epoch + 1}")
+            save_checkpoint(path, jax.device_get(state), meta={
+                "config": cfg.name, "classes": cfg.class_names,
+                "epoch": epoch + 1, "step": int(state.step)})
+            print(f"saved {path}", flush=True)
+    print("training done", flush=True)
+
+
+if __name__ == "__main__":
+    main()
