@@ -95,6 +95,7 @@ class HeadConfig:
     prior_prob: float = 0.01
     with_dpg: bool = True
     num_dpg_exp: int = 4
+    with_lidar_encoder: bool = False
     code_size: int = 10
     # single_head knobs (cfg single_head_lidar :115-127)
     dim_feedforward: int = 512

@@ -1,0 +1,184 @@
+"""Multi-scale deformable attention + BEV encoder (optional head stage).
+
+TPU-native replacement for mmcv's CUDA `MultiScaleDeformableAttention` and
+the 2-layer DetrTransformerEncoder the reference builds when
+`with_lidar_encoder=True` (srfdet_head.py:228-263, 657-757; cfg
+lidar_encoder_cfg srfdet_voxel_nusc_L.py:95-114).  Note all 11 shipped
+configs keep it OFF (with_lidar_encoder=False); it is provided for API
+parity and ablations.
+
+Deformable attention = per-query learned sampling offsets + attention
+weights over (heads x levels x points) bilinear taps of the value maps —
+a batched gather + weighted sum, no custom kernel needed on TPU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+_XAVIER = nn.initializers.xavier_uniform()
+
+
+def _bilinear_sample(flat_table: jnp.ndarray, hw: Tuple[int, int],
+                     offset: int, xy: jnp.ndarray) -> jnp.ndarray:
+    """Sample (..., 2) normalized [0,1] locations from one level.
+
+    flat_table: (S_total + 1, C) with a zero pad row last; offset is the
+    level's start row.  Out-of-range taps read zeros.
+    """
+    h, w = hw
+    pad = flat_table.shape[0] - 1
+    x = xy[..., 0] * w - 0.5
+    y = xy[..., 1] * h - 0.5
+    x0, y0 = jnp.floor(x), jnp.floor(y)
+    lx, ly = x - x0, y - y0
+
+    def idx(yy, xx):
+        ok = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        flat = offset + yy.astype(jnp.int32) * w + xx.astype(jnp.int32)
+        return jnp.where(ok, flat, pad)
+
+    g00 = flat_table[idx(y0, x0)]
+    g01 = flat_table[idx(y0, x0 + 1)]
+    g10 = flat_table[idx(y0 + 1, x0)]
+    g11 = flat_table[idx(y0 + 1, x0 + 1)]
+    return (g00 * ((1 - ly) * (1 - lx))[..., None] +
+            g01 * ((1 - ly) * lx)[..., None] +
+            g10 * (ly * (1 - lx))[..., None] +
+            g11 * (ly * lx)[..., None])
+
+
+class MSDeformAttention(nn.Module):
+    """queries (B, Q, C) attending to multi-level maps (B, H_l, W_l, C)."""
+    embed_dim: int = 128
+    num_heads: int = 8
+    num_points: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query: jnp.ndarray,
+                 value_levels: Sequence[jnp.ndarray],
+                 reference_points: jnp.ndarray) -> jnp.ndarray:
+        """reference_points: (B, Q, 2) normalized [0, 1] (x, y)."""
+        b, q, c = query.shape
+        nh, np_, nl = self.num_heads, self.num_points, len(value_levels)
+        hd = c // nh
+
+        value_proj = nn.Dense(c, kernel_init=_XAVIER, dtype=self.dtype,
+                              name="value_proj")
+        value = [value_proj(v) for v in value_levels]
+        hws = [(v.shape[1], v.shape[2]) for v in value]
+        flat = jnp.concatenate([v.reshape(b, -1, c) for v in value], axis=1)
+        flat = jnp.concatenate(
+            [flat, jnp.zeros((b, 1, c), flat.dtype)], axis=1)
+        offsets = [0]
+        for hh, ww in hws[:-1]:
+            offsets.append(offsets[-1] + hh * ww)
+
+        off = nn.Dense(nh * nl * np_ * 2,
+                       kernel_init=nn.initializers.zeros,
+                       dtype=self.dtype, name="sampling_offsets")(query)
+        off = off.reshape(b, q, nh, nl, np_, 2)
+        attn = nn.Dense(nh * nl * np_, kernel_init=nn.initializers.zeros,
+                        dtype=self.dtype, name="attention_weights")(query)
+        attn = jax.nn.softmax(attn.reshape(b, q, nh, nl * np_), axis=-1)
+        attn = attn.reshape(b, q, nh, nl, np_)
+
+        head_table = flat.reshape(b, -1, nh, hd)      # (B, S+1, nh, hd)
+        out = jnp.zeros((b, q, nh, hd), self.dtype)
+        for li, (hh, ww) in enumerate(hws):
+            # normalized sampling locations for this level
+            loc = reference_points[:, :, None, None, :] + \
+                off[:, :, :, li, :, :] / jnp.asarray([ww, hh], self.dtype)
+            for h in range(nh):           # static head loop (nh small)
+                sampled = jax.vmap(
+                    lambda t, x, o=offsets[li], hw=(hh, ww):
+                    _bilinear_sample(t, hw, o, x))(
+                    head_table[:, :, h, :], loc[:, :, h, :, :])
+                out = out.at[:, :, h, :].add(jnp.sum(
+                    sampled * attn[:, :, h, li, :, None], axis=2))
+        out = out.reshape(b, q, c)
+        return nn.Dense(c, kernel_init=_XAVIER, dtype=self.dtype,
+                        name="output_proj")(out)
+
+
+class PositionEmbeddingLearned(nn.Module):
+    """Conv1d-BN-ReLU-Conv1d MLP over (x, y) positions
+    (reference srfdet_head.py:25-45)."""
+    num_pos_feats: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        x = nn.Dense(self.num_pos_feats, kernel_init=_XAVIER,
+                     dtype=self.dtype)(xyz)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                         epsilon=1e-5, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        return nn.Dense(self.num_pos_feats, kernel_init=_XAVIER,
+                        dtype=self.dtype)(x)
+
+
+class LidarBEVEncoder(nn.Module):
+    """2-layer deformable self-attention encoder over multi-level BEV maps
+    (reference _get_lidar_encoder_feats, srfdet_head.py:657-757)."""
+    embed_dim: int = 128
+    num_layers: int = 2
+    ffn_dim: int = 256
+    dropout: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, levels: Sequence[jnp.ndarray], train: bool = False
+                 ) -> Tuple[jnp.ndarray, ...]:
+        b = levels[0].shape[0]
+        c = self.embed_dim
+        nl = len(levels)
+        level_embed = self.param("level_embed", nn.initializers.normal(1.0),
+                                 (nl, c), jnp.float32)
+
+        # flattened queries + positions for every level
+        queries, refs, shapes = [], [], []
+        for li, lv in enumerate(levels):
+            h, w = lv.shape[1], lv.shape[2]
+            shapes.append((h, w))
+            ys, xs = jnp.meshgrid(jnp.arange(h) + 0.5, jnp.arange(w) + 0.5,
+                                  indexing="ij")
+            pos = jnp.stack([xs / w, ys / h], -1).reshape(1, -1, 2)
+            pos = jnp.broadcast_to(pos, (b, h * w, 2)).astype(self.dtype)
+            emb = PositionEmbeddingLearned(c, dtype=self.dtype,
+                                           name=f"pos_{li}")(pos, train)
+            queries.append(lv.reshape(b, -1, c) + emb +
+                           level_embed[li].astype(self.dtype))
+            refs.append(pos)
+        x = jnp.concatenate(queries, axis=1)
+        ref = jnp.concatenate(refs, axis=1)
+
+        for layer in range(self.num_layers):
+            # rebuild per-level views for the value path
+            out_levels, start = [], 0
+            for (h, w) in shapes:
+                out_levels.append(
+                    x[:, start:start + h * w].reshape(b, h, w, c))
+                start += h * w
+            attn = MSDeformAttention(c, dtype=self.dtype,
+                                     name=f"attn_{layer}")(x, out_levels,
+                                                           ref)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(
+                x + nn.Dropout(self.dropout, deterministic=not train)(attn))
+            y = nn.Dense(self.ffn_dim, kernel_init=_XAVIER,
+                         dtype=self.dtype)(x)
+            y = nn.Dropout(self.dropout, deterministic=not train)(nn.relu(y))
+            y = nn.Dense(c, kernel_init=_XAVIER, dtype=self.dtype)(y)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(
+                x + nn.Dropout(self.dropout, deterministic=not train)(y))
+
+        outs, start = [], 0
+        for (h, w) in shapes:
+            outs.append(x[:, start:start + h * w].reshape(b, h, w, c))
+            start += h * w
+        return tuple(outs)

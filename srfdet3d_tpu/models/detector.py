@@ -185,6 +185,7 @@ class SRFDet(nn.Module):
             code_size=h.code_size,
             with_dpg=h.with_dpg,
             num_dpg_exp=h.num_dpg_exp,
+            with_lidar_encoder=h.with_lidar_encoder,
             pc_range=tuple(cfg.pc_range),
             voxel_size=tuple(cfg.voxel_size),
             dim_feedforward=h.dim_feedforward,

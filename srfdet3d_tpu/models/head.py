@@ -312,6 +312,7 @@ class SRFDetHead(nn.Module):
     code_size: int = 10
     with_dpg: bool = True
     num_dpg_exp: int = 4
+    with_lidar_encoder: bool = False
     pc_range: Sequence[float] = (-55.2, -55.2, -5.0, 55.2, 55.2, 3.0)
     voxel_size: Sequence[float] = (0.075, 0.075, 0.2)
     # single-head knobs (cfg single_head_lidar, srfdet_voxel_nusc_L.py:115)
@@ -369,6 +370,14 @@ class SRFDetHead(nn.Module):
         bs = (point_feats[0] if point_feats is not None
               else img_feats[0]).shape[0]
         n_p, n_exp = self.num_proposals, self.num_dpg_exp
+
+        # optional deformable-attention BEV encoder
+        # (reference srfdet_head.py:399-401; off in all shipped configs)
+        if self.with_lidar_encoder and point_feats is not None:
+            from .deform_attn import LidarBEVEncoder
+            point_feats = list(LidarBEVEncoder(
+                self.feat_channels_lidar, dtype=self.dtype,
+                name="lidar_encoder")(point_feats, train=train))
 
         # reduce image channels to hidden_dim (reference srfdet_head.py:404)
         if self.use_img and self.hidden_dim != self.feat_channels_img:
