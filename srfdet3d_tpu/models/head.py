@@ -440,40 +440,58 @@ class SRFDetHead(nn.Module):
         boxes = boxes.astype(self.dtype)
         prop_feats = feats0.astype(self.dtype)
 
-        logits_all, boxes_all = [], []
-        for i in range(self.num_heads):
-            logits, pred, prop_feats = SingleSRFDetHead(
-                num_classes=self.num_classes,
-                feat_channels=self.feat_channels_lidar,
-                dim_feedforward=self.dim_feedforward,
-                num_cls_convs=self.num_cls_convs,
-                num_reg_convs=self.num_reg_convs,
-                num_attn_heads=self.num_attn_heads,
-                dropout=self.dropout,
-                code_size=self.code_size,
-                dynamic_dim=self.dynamic_dim,
-                pc_range=tuple(self.pc_range),
-                voxel_size=tuple(self.voxel_size),
-                use_pts=point_feats is not None,
-                use_img=self.use_img and img_feats is not None,
-                lidar_strides=tuple(self.lidar_strides),
-                img_strides=tuple(self.img_strides),
-                prior_prob=self.prior_prob,
-                dtype=self.dtype,
-                name=f"head_{i}")(
-                point_feats, img_feats, boxes, prop_feats, lidar2img,
-                train=train)
-            logits_all.append(logits)
-            boxes_all.append(pred)
-            # boxes detached between iterations (reference :441,458)
-            boxes = jax.lax.stop_gradient(pred)
+        # The refinement iterations share structure with per-iteration
+        # weights, so they compile as ONE scanned program (5x smaller HLO
+        # than unrolling; the remote TPU compiler is the bottleneck).
+        single_kwargs = dict(
+            num_classes=self.num_classes,
+            feat_channels=self.feat_channels_lidar,
+            dim_feedforward=self.dim_feedforward,
+            num_cls_convs=self.num_cls_convs,
+            num_reg_convs=self.num_reg_convs,
+            num_attn_heads=self.num_attn_heads,
+            dropout=self.dropout,
+            code_size=self.code_size,
+            dynamic_dim=self.dynamic_dim,
+            pc_range=tuple(self.pc_range),
+            voxel_size=tuple(self.voxel_size),
+            use_pts=point_feats is not None,
+            use_img=self.use_img and img_feats is not None,
+            lidar_strides=tuple(self.lidar_strides),
+            img_strides=tuple(self.img_strides),
+            prior_prob=self.prior_prob,
+            dtype=self.dtype)
+
+        class _ScanBody(nn.Module):
+            train: bool = False
+
+            @nn.compact
+            def __call__(self, carry, _):
+                boxes, prop_feats = carry
+                logits, pred, prop_feats = SingleSRFDetHead(
+                    **single_kwargs, name="single_head")(
+                    point_feats, img_feats, boxes, prop_feats, lidar2img,
+                    train=self.train)
+                # boxes detached between iterations (reference :441,458)
+                return (jax.lax.stop_gradient(pred), prop_feats), \
+                    (logits, pred)
+
+        scan = nn.scan(
+            _ScanBody,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            length=self.num_heads,
+            in_axes=0, out_axes=0)
+        (_, _), (logits_all, boxes_all) = scan(
+            train=train, name="head_series")(
+            (boxes, prop_feats), jnp.zeros((self.num_heads,)))
 
         if self.deep_supervision:
-            pred_logits = jnp.stack(logits_all)
-            pred_boxes = jnp.stack(boxes_all)
+            pred_logits = logits_all
+            pred_boxes = boxes_all
         else:
-            pred_logits = logits_all[-1][None]
-            pred_boxes = boxes_all[-1][None]
+            pred_logits = logits_all[-1:]
+            pred_boxes = boxes_all[-1:]
         pred_boxes = denormalize_centers(pred_boxes, self.pc_range)
         return pred_logits, pred_boxes
 
