@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Render BEV visualizations from a dumped results pickle
+(reference tools/show_results_from_pkl.py:21-52).
+
+Usage: python tools/show_results_from_pkl.py results.pkl --out-dir vis/
+       [--pc-range x0 y0 z0 x1 y1 z1] [--max-frames N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("pkl")
+    ap.add_argument("--out-dir", default="vis")
+    ap.add_argument("--pc-range", type=float, nargs=6,
+                    default=[-55.2, -55.2, -5.0, 55.2, 55.2, 3.0])
+    ap.add_argument("--max-frames", type=int, default=50)
+    args = ap.parse_args()
+
+    from srfdet3d_tpu.vis import show_bev_result
+
+    with open(args.pkl, "rb") as f:
+        dump = pickle.load(f)
+    gts, preds = dump["gts"], dump["preds"]
+    for i, (g, p) in enumerate(zip(gts, preds)):
+        if i >= args.max_frames:
+            break
+        show_bev_result(p.get("points"), g["boxes"], p["boxes"],
+                        os.path.join(args.out_dir, f"frame_{i:04d}.png"),
+                        pc_range=args.pc_range)
+    print(f"wrote {min(len(preds), args.max_frames)} frames to "
+          f"{args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()
