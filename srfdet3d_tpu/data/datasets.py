@@ -92,21 +92,22 @@ class SRFDetDataset:
                 rot_range=(-0.785, 0.785), scale_range=(0.9, 1.1),
                 trans_std=(0.5, 0.5, 0.5))
             points, boxes, _ = T.random_flip_3d(points, boxes, self.rng)
-            points = T.points_range_filter(points, cfg.pc_range)
             boxes, labels = T.object_range_filter(boxes, labels,
                                                   cfg.pc_range)
             boxes, labels = T.object_name_filter(boxes, labels,
                                                  cfg.num_classes)
-            points = T.point_shuffle(points, self.rng)
             gt_boxes, gt_labels, gt_mask = T.pad_gts(
                 boxes, labels, cfg.gt_cap,
                 box_dim=9 if cfg.head.code_size == 10 else 7)
             sample.update(gt_boxes=gt_boxes, gt_labels=gt_labels,
                           gt_mask=gt_mask)
-        else:
-            points = T.points_range_filter(points, cfg.pc_range)
 
-        pts, mask = T.pad_points(points, cfg.points_cap)
+        # range filter + shuffle + capacity pad, one native pass
+        from .native import filter_pad_fast
+        pts, mask = filter_pad_fast(
+            points, cfg.pc_range, cfg.points_cap,
+            shuffle=not self.test_mode,
+            seed=int(self.rng.integers(1 << 31)))
         sample.update(points=pts, points_mask=mask)
 
         if cfg.use_img:

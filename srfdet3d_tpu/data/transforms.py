@@ -30,9 +30,12 @@ def limit_period(val: np.ndarray, offset: float = 0.5,
 
 def load_points_bin(path: str, load_dim: int = 5,
                     use_dim: Optional[Sequence[int]] = None) -> np.ndarray:
-    """Read a .bin float32 point file (KITTI/nuScenes layout)."""
-    pts = np.fromfile(path, dtype=np.float32).reshape(-1, load_dim)
-    if use_dim is not None:
+    """Read a .bin float32 point file (KITTI/nuScenes layout).
+
+    Uses the native C++ reader when built (native/pointio.cpp)."""
+    from .native import load_points_fast
+    pts = load_points_fast(path, load_dim)
+    if use_dim is not None and list(use_dim) != list(range(load_dim)):
         pts = pts[:, list(use_dim)]
     return pts
 
