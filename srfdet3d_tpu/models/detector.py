@@ -209,3 +209,12 @@ class SRFDet(nn.Module):
             use_nms=t.use_nms, nms_thr=t.nms_thr, score_thr=t.score_thr,
             max_per_img=t.max_per_img,
             post_center_range=t.post_center_range)
+
+
+# The reference's SRFDetWaymo (srfdetwaymo.py:7-42) differs from SRFDet only
+# in simple_test's RESULT PACKAGING: it returns the raw bbox3d2result list
+# instead of nesting it under a 'pts_bbox' key.  Here predict() already
+# returns flat arrays (boxes/scores/labels/valid) for every dataset, so the
+# Waymo variant is the same class; the Waymo-specific eval formatting lives
+# in evals/waymo_eval.py and tools/test.py.
+SRFDetWaymo = SRFDet
