@@ -38,18 +38,24 @@ def main():
     forward, (variables, batch) = entry()
     fn = jax.jit(forward)
 
+    def run_sync():
+        # On the tunneled axon backend block_until_ready returns before the
+        # device finishes; a scalar host readback is the only true sync.
+        logits, boxes = fn(variables, batch)
+        return float(jnp.sum(logits[-1, :, 0, 0]))
+
+    import jax.numpy as jnp
     t0 = time.perf_counter()
-    out = fn(variables, batch)
-    jax.block_until_ready(out)
+    run_sync()
     compile_s = time.perf_counter() - t0
 
     for _ in range(WARMUP):
-        jax.block_until_ready(fn(variables, batch))
+        run_sync()
 
     times = []
     for _ in range(ITERS):
         t = time.perf_counter()
-        jax.block_until_ready(fn(variables, batch))
+        run_sync()
         times.append(time.perf_counter() - t)
 
     p50 = float(np.percentile(times, 50))

@@ -11,9 +11,12 @@ both shipped layouts:
 Followed by conv_out (kernel (3,1,1), stride (2,1,1), pad 0) and a scatter to
 a dense BEV map (B, H, W, D*C).
 
-Batch handling: per-sample sparse ops are vmapped; batch norm runs on the
-batched (B, V, C) features with the voxel mask, so statistics span the whole
-(sharded) batch like the reference's BN1d over concatenated voxels.
+Batch handling is FLAT, not vmapped: rulebook lookups, feature gathers and
+the dense scatter fold the batch index into the cell/row key so every
+scatter/gather is a single unbatched op — vmapped scatters compile ~8x
+slower on the remote TPU compiler and the flat form runs identically
+(see ops/sparse_conv.py batched_lookup).  Only the per-sample output-site
+sort is vmapped (batched sorts lower natively).
 """
 
 from __future__ import annotations
@@ -25,16 +28,17 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.sparse_conv import (
-    SparseTensor, subm_gather_indices, strided_gather_indices,
-    gathered_conv_apply, generate_output_sites, conv_out_shape,
-    sparse_to_dense)
+    SparseTensor, subm_gather_indices_batched,
+    strided_gather_indices_batched, gathered_conv_apply_batched,
+    generate_output_sites, conv_out_shape, sparse_to_dense_batched)
 from .layers import MaskedBatchNorm
 
 _KAIMING = nn.initializers.variance_scaling(2.0, "fan_in", "normal", in_axis=(0, 1))
 
 
 class _GatheredConvBN(nn.Module):
-    """Shared conv-apply + BN + optional ReLU over precomputed gather idx."""
+    """Shared conv-apply + BN + optional ReLU over a precomputed batched
+    rulebook of GLOBAL flat gather indices (B, M, K)."""
     out_channels: int
     num_offsets: int
     relu: bool = True
@@ -45,9 +49,9 @@ class _GatheredConvBN(nn.Module):
     def __call__(self, feats, gidx, mask, train=False):
         cin = feats.shape[-1]
         w = self.param("kernel", _KAIMING,
-                       (self.num_offsets, cin, self.out_channels), jnp.float32)
-        out = jax.vmap(gathered_conv_apply, in_axes=(0, 0, None))(
-            feats, gidx, w.astype(self.dtype))
+                       (self.num_offsets, cin, self.out_channels),
+                       jnp.float32)
+        out = gathered_conv_apply_batched(feats, gidx, w.astype(self.dtype))
         if self.bn:
             out = MaskedBatchNorm(dtype=self.dtype)(out, mask, train=train)
         if self.relu:
@@ -76,46 +80,45 @@ class SparseEncoder(nn.Module):
     def __call__(self, voxel_feats: jnp.ndarray, voxel_coords: jnp.ndarray,
                  voxel_mask: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         """voxel_feats (B, V, C), voxel_coords (B, V, 3) zyx, mask (B, V)."""
-        st = jax.vmap(
-            lambda f, c, m: SparseTensor(f, c, m, tuple(self.sparse_shape)))(
-            voxel_feats.astype(self.dtype), voxel_coords, voxel_mask)
+        feats = voxel_feats.astype(self.dtype)
+        coords, mask = voxel_coords, voxel_mask
+        shape = tuple(self.sparse_shape)
 
-        def subm_idx(s):
-            return jax.vmap(lambda t: subm_gather_indices(t, 3))(s)
+        def subm_idx():
+            return subm_gather_indices_batched(coords, mask, shape, 3)
 
-        def downsample(s, out_ch, padding, capacity, name):
+        def downsample(out_ch, padding, capacity, name):
+            nonlocal feats, coords, mask, shape
             kernel, stride = (3, 3, 3), (2, 2, 2)
             pad = self._pad3(padding)
-            oshape = conv_out_shape(s.shape, kernel, stride, pad)
+            oshape = conv_out_shape(shape, kernel, stride, pad)
             oc, om = jax.vmap(
-                lambda t: generate_output_sites(t, kernel, stride, pad,
-                                                capacity))(s)
-            gidx = jax.vmap(
-                lambda t, c, m: strided_gather_indices(t, c, m, kernel,
-                                                       stride, pad))(s, oc, om)
-            f = _GatheredConvBN(out_ch, 27, dtype=self.dtype, name=name)(
-                s.features, gidx, om, train=train)
-            return jax.vmap(lambda ff, cc, mm: SparseTensor(
-                ff, cc, mm, oshape))(f, oc, om)
+                lambda c, m: generate_output_sites(
+                    SparseTensor(jnp.zeros((c.shape[0], 1)), c, m, shape),
+                    kernel, stride, pad, capacity))(coords, mask)
+            gidx = strided_gather_indices_batched(
+                coords, mask, shape, oc, om, kernel, stride, pad)
+            feats = _GatheredConvBN(out_ch, 27, dtype=self.dtype,
+                                    name=name)(feats, gidx, om, train=train)
+            coords, mask, shape = oc, om, oshape
 
-        def basic_block(s, gidx, ch, name):
-            identity = s.features
+        def basic_block(gidx, ch, name):
+            nonlocal feats
+            identity = feats
             f = _GatheredConvBN(ch, 27, dtype=self.dtype,
                                 name=f"{name}_conv1")(
-                s.features, gidx, s.mask, train=train)
+                feats, gidx, mask, train=train)
             f = _GatheredConvBN(ch, 27, relu=False, dtype=self.dtype,
                                 name=f"{name}_conv2")(
-                f, gidx, s.mask, train=train)
+                f, gidx, mask, train=train)
             f = nn.relu(f + identity)
-            f = jnp.where(s.mask[..., None], f, 0.0)
-            return SparseTensor(f, s.coords, s.mask, s.shape)
+            feats = jnp.where(mask[..., None], f, 0.0)
 
         # conv_input: SubMConv3d(in -> base) + BN + ReLU
-        gidx = subm_idx(st)
-        f = _GatheredConvBN(self.base_channels, 27, dtype=self.dtype,
-                            name="conv_input")(
-            st.features, gidx, st.mask, train=train)
-        st = st.replace(features=f)
+        gidx = subm_idx()
+        feats = _GatheredConvBN(self.base_channels, 27, dtype=self.dtype,
+                                name="conv_input")(
+            feats, gidx, mask, train=train)
 
         ds_count = 0
         if self.block_type == "conv_module":
@@ -123,48 +126,44 @@ class SparseEncoder(nn.Module):
                 for j, out_ch in enumerate(blocks):
                     pad = self.encoder_paddings[i][j]
                     if i != 0 and j == 0:
-                        st = downsample(st, out_ch, pad,
-                                        self.capacities[ds_count],
-                                        f"down{i}")
+                        downsample(out_ch, pad, self.capacities[ds_count],
+                                   f"down{i}")
                         ds_count += 1
-                        gidx = subm_idx(st)
+                        gidx = subm_idx()
                     else:
-                        f = _GatheredConvBN(out_ch, 27, dtype=self.dtype,
-                                            name=f"subm{i}_{j}")(
-                            st.features, gidx, st.mask, train=train)
-                        st = st.replace(features=f)
+                        feats = _GatheredConvBN(
+                            out_ch, 27, dtype=self.dtype,
+                            name=f"subm{i}_{j}")(feats, gidx, mask,
+                                                 train=train)
         elif self.block_type == "basicblock":
             n_stages = len(self.encoder_channels)
             for i, blocks in enumerate(self.encoder_channels):
                 for j, out_ch in enumerate(blocks):
                     pad = self.encoder_paddings[i][j]
                     if j == len(blocks) - 1 and i != n_stages - 1:
-                        st = downsample(st, out_ch, pad,
-                                        self.capacities[ds_count],
-                                        f"down{i}")
+                        downsample(out_ch, pad, self.capacities[ds_count],
+                                   f"down{i}")
                         ds_count += 1
-                        gidx = subm_idx(st)
+                        gidx = subm_idx()
                     else:
-                        st = basic_block(st, gidx, out_ch, f"bb{i}_{j}")
+                        basic_block(gidx, out_ch, f"bb{i}_{j}")
         else:
             raise ValueError(self.block_type)
 
         # conv_out: SparseConv3d k(3,1,1) s(2,1,1) p0 + BN + ReLU
         kernel, stride, pad = (3, 1, 1), (2, 1, 1), (0, 0, 0)
-        oshape = conv_out_shape(st.shape, kernel, stride, pad)
+        oshape = conv_out_shape(shape, kernel, stride, pad)
         oc, om = jax.vmap(
-            lambda t: generate_output_sites(t, kernel, stride, pad,
-                                            self.capacities[-1]))(st)
-        gidx_out = jax.vmap(
-            lambda t, c, m: strided_gather_indices(t, c, m, kernel, stride,
-                                                   pad))(st, oc, om)
-        f = _GatheredConvBN(self.output_channels, 3, dtype=self.dtype,
-                            name="conv_out")(
-            st.features, gidx_out, om, train=train)
-        st = jax.vmap(lambda ff, cc, mm: SparseTensor(ff, cc, mm, oshape))(
-            f, oc, om)
+            lambda c, m: generate_output_sites(
+                SparseTensor(jnp.zeros((c.shape[0], 1)), c, m, shape),
+                kernel, stride, pad, self.capacities[-1]))(coords, mask)
+        gidx_out = strided_gather_indices_batched(
+            coords, mask, shape, oc, om, kernel, stride, pad)
+        feats = _GatheredConvBN(self.output_channels, 3, dtype=self.dtype,
+                                name="conv_out")(
+            feats, gidx_out, om, train=train)
 
-        dense = jax.vmap(sparse_to_dense)(st)       # (B, D, H, W, C)
+        dense = sparse_to_dense_batched(feats, oc, om, oshape)
         b, d_, h_, w_, c_ = dense.shape
         # (B, H, W, D*C): z-major channel grouping (layout differs from the
         # reference's (C*D) only by a fixed permutation; trained from scratch)

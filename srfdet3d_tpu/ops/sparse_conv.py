@@ -78,45 +78,132 @@ def _lookup_gather(sorted_keys: jnp.ndarray,
     return feats_padded[jnp.where(found, idx, v)]
 
 
-def subm_gather_indices(st: SparseTensor,
-                        kernel: int = 3) -> jnp.ndarray:
-    """Neighbor gather indices for a submanifold conv: (K, V) int32.
+# Rulebook lookup strategy.  Measured on v5e (120k keys, 3.24M queries,
+# 88.8M cells): dense table 64 ms, searchsorted method='sort' 93 ms,
+# method='scan' (the default) 415 ms — scan's log2(V) sequential gather
+# rounds are the old encoder's 1.2 s hot spot.  'dense' scatters row ids
+# into a transient (D*H*W,) table (ONE scatter + ONE gather); grids larger
+# than the cell cap fall back to 'sort'.
+LOOKUP_METHOD = "dense"          # dense | sort | scan
+_DENSE_LOOKUP_MAX_CELLS = 96_000_000
 
-    Misses / invalid voxels map to index V (a zero pad row).  Because coords
-    never change across the submanifold convs of a stage, this "rulebook"
-    is computed once per stage and reused by every conv in it.
+
+def _lookup_keys(keys: jnp.ndarray, queries: jnp.ndarray,
+                 num_cells: int) -> jnp.ndarray:
+    """Map query keys -> row index in `keys` (V = miss/pad).
+
+    keys: (V,) sorted linear keys with sentinel num_cells for invalid rows.
+    queries: (Q,) linear keys (sentinel for invalid).
     """
-    d, h, w = st.shape
+    v = keys.shape[0]
+    if LOOKUP_METHOD == "dense" and num_cells <= _DENSE_LOOKUP_MAX_CELLS:
+        # invalid keys (== num_cells) write into the spare slot, which is
+        # never read: sentinel queries short-circuit to the pad row v.
+        table = jnp.full((num_cells + 1,), v, jnp.int32)
+        table = table.at[keys].set(
+            jnp.arange(v, dtype=jnp.int32), mode="drop")
+        hit = table[jnp.minimum(queries, num_cells - 1)]
+        return jnp.where(queries < num_cells, hit, v).astype(jnp.int32)
+    method = "sort" if LOOKUP_METHOD in ("dense", "sort") else "scan"
+    idx = jnp.minimum(jnp.searchsorted(keys, queries, method=method), v - 1)
+    found = (keys[idx] == queries) & (queries < num_cells)
+    return jnp.where(found, idx, v).astype(jnp.int32)
+
+
+def batched_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
+                   num_cells: int) -> jnp.ndarray:
+    """Batched key lookup -> GLOBAL flat row indices.
+
+    keys (B, V) per-sample sorted linear keys (sentinel num_cells invalid);
+    queries (B, Q).  Returns (B, Q) int32 indices into the FLATTENED
+    (B*V + 1,) feature table, with B*V as the miss/pad row.
+
+    Batch handling is a per-sample cell offset folded into the key — the
+    scatter/gather stay UNBATCHED, which compiles ~8x faster than a vmapped
+    scatter on the remote TPU compiler (95 s -> 12 s for an 88.8M-cell
+    table) and runs identically.
+    """
+    b, v = keys.shape
+    if LOOKUP_METHOD == "dense" and \
+            b * num_cells <= _DENSE_LOOKUP_MAX_CELLS and \
+            b * num_cells < (1 << 31):
+        offs = (jnp.arange(b, dtype=jnp.int32) * num_cells)[:, None]
+        total = b * num_cells
+        gk = jnp.where(keys < num_cells, keys + offs, total)
+        gq = jnp.where(queries < num_cells, queries + offs, total)
+        table = jnp.full((total + 1,), b * v, jnp.int32)
+        table = table.at[gk.reshape(-1)].set(
+            jnp.arange(b * v, dtype=jnp.int32), mode="drop")
+        hit = table[jnp.minimum(gq, total - 1)]
+        return jnp.where(gq < total, hit, b * v).astype(jnp.int32)
+
+    def per_sample(k, q):
+        method = "sort" if LOOKUP_METHOD in ("dense", "sort") else "scan"
+        idx = jnp.minimum(
+            jnp.searchsorted(k, q, method=method), v - 1)
+        found = (k[idx] == q) & (q < num_cells)
+        return jnp.where(found, idx, v).astype(jnp.int32)
+
+    local = jax.vmap(per_sample)(keys, queries)               # (B, Q)
+    offs = (jnp.arange(b, dtype=jnp.int32) * v)[:, None]
+    return jnp.where(local < v, local + offs, b * v)
+
+
+def subm_gather_indices_batched(coords: jnp.ndarray, mask: jnp.ndarray,
+                                shape, kernel: int = 3) -> jnp.ndarray:
+    """Batched submanifold rulebook: coords (B, V, 3), mask (B, V) ->
+    (B, V, K) GLOBAL flat indices into the flattened (B*V+1, C) features.
+
+    Because coords never change across the submanifold convs of a stage,
+    this is computed once per stage and reused by every conv in it.
+    """
+    d, h, w = shape
     half = kernel // 2
     offs = _offsets((kernel,) * 3) - half                     # (K, 3)
-
+    k = offs.shape[0]
+    b, v, _ = coords.shape
     sentinel = d * h * w
-    keys = _key(st.coords, st.shape, st.mask)
-    v = keys.shape[0]
 
-    ncoords = st.coords[None, :, :] + offs[:, None, :]        # (K, V, 3)
+    keys = jax.vmap(lambda c, m: _key(c, shape, m))(coords, mask)
+    ncoords = coords[:, :, None, :] + offs[None, None, :, :]  # (B, V, K, 3)
     in_rng = ((ncoords >= 0).all(-1) &
               (ncoords[..., 0] < d) & (ncoords[..., 1] < h) &
               (ncoords[..., 2] < w))
     nkeys = (ncoords[..., 0] * h + ncoords[..., 1]) * w + ncoords[..., 2]
-    nkeys = jnp.where(in_rng & st.mask[None, :], nkeys, sentinel)
+    nkeys = jnp.where(in_rng & mask[:, :, None], nkeys, sentinel)
 
-    flat = nkeys.reshape(-1)
-    idx = jnp.minimum(jnp.searchsorted(keys, flat), v - 1)
-    found = (keys[idx] == flat) & (flat < sentinel)
-    return jnp.where(found, idx, v).reshape(offs.shape[0], v).astype(jnp.int32)
+    idx = batched_lookup(keys, nkeys.reshape(b, v * k), sentinel)
+    return idx.reshape(b, v, k)
+
+
+def subm_gather_indices(st: SparseTensor,
+                        kernel: int = 3) -> jnp.ndarray:
+    """Single-sample submanifold rulebook: (K, V) int32 (V = miss/pad)."""
+    flat = subm_gather_indices_batched(
+        st.coords[None], st.mask[None], st.shape, kernel)[0]  # (V, K)
+    v = st.coords.shape[0]
+    return jnp.minimum(flat.T, v)                             # (K, V)
 
 
 def gathered_conv_apply(features: jnp.ndarray,
                         gather_idx: jnp.ndarray,
                         weights: jnp.ndarray,
                         bias: jnp.ndarray | None = None) -> jnp.ndarray:
-    """features (V, Cin), gather_idx (K, M), weights (K, Cin, Cout) -> (M, Cout)."""
+    """features (V, Cin), gather_idx (K, M), weights (K, Cin, Cout) -> (M, Cout).
+
+    Gathers in (M, K, Cin) layout and contracts over K*Cin in ONE matmul:
+    with Cin as small as 5-32, K separate (M, Cin) x (Cin, Cout) products
+    would starve the 128-wide MXU; fusing the kernel axis into the
+    contraction keeps it fed.
+    """
+    k, m = gather_idx.shape
+    cin, cout = weights.shape[1], weights.shape[2]
     feats_padded = jnp.concatenate(
         [features, jnp.zeros_like(features[:1])], axis=0)
-    gathered = feats_padded[gather_idx]                       # (K, M, Cin)
-    out = jnp.einsum("kvc,kco->vo", gathered, weights,
-                     preferred_element_type=jnp.float32)
+    gathered = feats_padded[gather_idx.T]                     # (M, K, Cin)
+    out = jnp.dot(gathered.reshape(m, k * cin),
+                  weights.reshape(k * cin, cout),
+                  preferred_element_type=jnp.float32)
     out = out.astype(features.dtype)
     if bias is not None:
         out = out + bias
@@ -141,9 +228,12 @@ def subm_conv3d(st: SparseTensor,
 
 
 def conv_out_shape(in_shape, kernel, stride, padding) -> Tuple[int, int, int]:
-    """Dense output shape of a (sparse) conv, per standard conv arithmetic."""
+    """Dense output shape of a (sparse) conv, per standard conv arithmetic.
+
+    Clamped at 0: an input smaller than the kernel has no valid outputs
+    (degenerate configs in tests)."""
     return tuple(
-        (i + 2 * p - k) // s + 1
+        max((i + 2 * p - k) // s + 1, 0)
         for i, k, s, p in zip(in_shape, kernel, stride, padding))
 
 
@@ -202,34 +292,50 @@ def generate_output_sites(st: SparseTensor,
     return out_coords, out_mask
 
 
+def strided_gather_indices_batched(coords: jnp.ndarray, mask: jnp.ndarray,
+                                   shape,
+                                   out_coords: jnp.ndarray,
+                                   out_mask: jnp.ndarray,
+                                   kernel: Tuple[int, int, int],
+                                   stride: Tuple[int, int, int],
+                                   padding: Tuple[int, int, int]
+                                   ) -> jnp.ndarray:
+    """Batched strided-conv rulebook: (B, M, K) GLOBAL flat indices into the
+    flattened (B*V+1, C) input features."""
+    d, h, w = shape
+    sentinel = d * h * w
+    b, v, _ = coords.shape
+    m = out_coords.shape[1]
+    keys = jax.vmap(lambda c, mk: _key(c, shape, mk))(coords, mask)
+
+    offs = _offsets(kernel)                                   # (K, 3)
+    k = offs.shape[0]
+    strides = jnp.array(stride)
+    pads = jnp.array(padding)
+    # input coord read by output o at kernel offset k: i = o*s - p + k
+    icoords = out_coords[:, :, None, :] * strides - pads + \
+        offs[None, None, :, :]                                # (B, M, K, 3)
+    in_rng = ((icoords >= 0).all(-1) &
+              (icoords[..., 0] < d) & (icoords[..., 1] < h) &
+              (icoords[..., 2] < w))
+    ikeys = (icoords[..., 0] * h + icoords[..., 1]) * w + icoords[..., 2]
+    ikeys = jnp.where(in_rng & out_mask[:, :, None], ikeys, sentinel)
+
+    idx = batched_lookup(keys, ikeys.reshape(b, m * k), sentinel)
+    return idx.reshape(b, m, k)
+
+
 def strided_gather_indices(st: SparseTensor,
                            out_coords: jnp.ndarray,
                            out_mask: jnp.ndarray,
                            kernel: Tuple[int, int, int],
                            stride: Tuple[int, int, int],
                            padding: Tuple[int, int, int]) -> jnp.ndarray:
-    """Gather indices (K, M) for a strided conv given its output sites."""
-    d, h, w = st.shape
-    sentinel = d * h * w
-    keys = _key(st.coords, st.shape, st.mask)
-    v = keys.shape[0]
-
-    offs = _offsets(kernel)                                   # (K, 3)
-    strides = jnp.array(stride)[None, None, :]
-    pads = jnp.array(padding)[None, None, :]
-    # input coord read by output o at kernel offset k: i = o*s - p + k
-    icoords = out_coords[None, :, :] * strides - pads + offs[:, None, :]
-    in_rng = ((icoords >= 0).all(-1) &
-              (icoords[..., 0] < d) & (icoords[..., 1] < h) &
-              (icoords[..., 2] < w))
-    ikeys = (icoords[..., 0] * h + icoords[..., 1]) * w + icoords[..., 2]
-    ikeys = jnp.where(in_rng & out_mask[None, :], ikeys, sentinel)
-
-    flat = ikeys.reshape(-1)
-    idx = jnp.minimum(jnp.searchsorted(keys, flat), v - 1)
-    found = (keys[idx] == flat) & (flat < sentinel)
-    return jnp.where(found, idx, v).reshape(
-        offs.shape[0], out_coords.shape[0]).astype(jnp.int32)
+    """Single-sample strided rulebook: (K, M) int32 (V = miss/pad)."""
+    flat = strided_gather_indices_batched(
+        st.coords[None], st.mask[None], st.shape, out_coords[None],
+        out_mask[None], kernel, stride, padding)[0]           # (M, K)
+    return jnp.minimum(flat.T, st.coords.shape[0])
 
 
 def sparse_conv3d(st: SparseTensor,
@@ -253,6 +359,29 @@ def sparse_conv3d(st: SparseTensor,
     return SparseTensor(out, out_coords, out_mask, out_shape)
 
 
+def gathered_conv_apply_batched(features: jnp.ndarray,
+                                gather_idx: jnp.ndarray,
+                                weights: jnp.ndarray,
+                                bias: jnp.ndarray | None = None
+                                ) -> jnp.ndarray:
+    """features (B, V, Cin), gather_idx (B, M, K) GLOBAL flat indices,
+    weights (K, Cin, Cout) -> (B, M, Cout).  One big gather + one matmul."""
+    b, v, cin = features.shape
+    _, m, k = gather_idx.shape
+    cout = weights.shape[2]
+    flat = jnp.concatenate(
+        [features.reshape(b * v, cin),
+         jnp.zeros((1, cin), features.dtype)], axis=0)
+    g = flat[gather_idx.reshape(b * m, k)]                    # (B*M, K, Cin)
+    out = jnp.dot(g.reshape(b * m, k * cin),
+                  weights.reshape(k * cin, cout),
+                  preferred_element_type=jnp.float32)
+    out = out.astype(features.dtype).reshape(b, m, cout)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
 def sparse_to_dense(st: SparseTensor) -> jnp.ndarray:
     """Scatter to a dense (D, H, W, C) canvas (SparseConvTensor.dense())."""
     d, h, w = st.shape
@@ -262,3 +391,19 @@ def sparse_to_dense(st: SparseTensor) -> jnp.ndarray:
     canvas = jnp.zeros((d * h * w + 1, c), st.features.dtype)
     canvas = canvas.at[flat].set(st.features, mode="drop")
     return canvas[:-1].reshape(d, h, w, c)
+
+
+def sparse_to_dense_batched(features: jnp.ndarray, coords: jnp.ndarray,
+                            mask: jnp.ndarray, shape) -> jnp.ndarray:
+    """Batched dense scatter: (B, V, C) -> (B, D, H, W, C) via one flat
+    scatter (vmapped scatters compile pathologically slowly)."""
+    d, h, w = shape
+    b, v, c = features.shape
+    cells = d * h * w
+    flat = (coords[..., 0] * h + coords[..., 1]) * w + coords[..., 2]
+    offs = (jnp.arange(b, dtype=jnp.int32) * cells)[:, None]
+    flat = jnp.where(mask, flat + offs, b * cells)
+    canvas = jnp.zeros((b * cells + 1, c), features.dtype)
+    canvas = canvas.at[flat.reshape(-1)].set(
+        features.reshape(-1, c), mode="drop")
+    return canvas[:-1].reshape(b, d, h, w, c)
