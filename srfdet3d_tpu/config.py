@@ -128,6 +128,10 @@ class SRFDetConfig:
     """One experiment = one reference config file."""
     name: str = "srfdet_voxel_nusc_L"
     dataset: str = "nuscenes"          # nuscenes | kitti | waymo
+    # model compute dtype ('float32' | 'bfloat16'); losses, assignment and
+    # box decode always run fp32, mirroring the reference's force_fp32
+    # boundaries (srfdet.py:91,141,204; srfdet_head.py:760,1041,1227)
+    compute_dtype: str = "float32"
     class_names: Tuple[str, ...] = (
         "car", "truck", "construction_vehicle", "bus", "trailer", "barrier",
         "motorcycle", "bicycle", "pedestrian", "traffic_cone")

@@ -64,7 +64,11 @@ class SRFDet(nn.Module):
     absolute centers — feed to srfdet_losses / decode_boxes.
     """
     cfg: SRFDetConfig
-    dtype: Any = jnp.float32
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" \
+            else jnp.float32
 
     def extract_point_features(self, points: jnp.ndarray,
                                points_mask: jnp.ndarray,

@@ -288,8 +288,9 @@ class SingleSRFDetHead(nn.Module):
         lo = jnp.asarray(self.pc_range[:3], jnp.float32)
         hi = jnp.asarray(self.pc_range[3:6], jnp.float32)
         ctr = jnp.clip((ctr - lo) / (hi - lo), 0.0, 1.0)
-        return jnp.concatenate([ctr, new_sizes, d[..., 6:]],
-                               axis=-1).astype(deltas.dtype)
+        # boxes stay fp32 regardless of compute dtype: bf16 would quantize
+        # normalized centers by ~4e-3 (~0.5 m at nuScenes range)
+        return jnp.concatenate([ctr, new_sizes, d[..., 6:]], axis=-1)
 
 
 class SRFDetHead(nn.Module):
@@ -434,10 +435,11 @@ class SRFDetHead(nn.Module):
             feats0 = jnp.broadcast_to(
                 feats_emb[None], (bs, n_p, self.feat_channels_lidar))
 
-        # centers via sigmoid -> [0, 1] (reference srfdet_head.py:425-426)
+        # centers via sigmoid -> [0, 1] (reference srfdet_head.py:425-426);
+        # box buffers are fp32 always (see apply_deltas)
         boxes = jnp.concatenate(
             [jax.nn.sigmoid(boxes0[..., :3]), boxes0[..., 3:]], axis=-1)
-        boxes = boxes.astype(self.dtype)
+        boxes = boxes.astype(jnp.float32)
         prop_feats = feats0.astype(self.dtype)
 
         # The refinement iterations share structure with per-iteration
