@@ -117,6 +117,20 @@ class SRFDetDataset:
         return sample
 
 
+def are_points_in_image(points: np.ndarray, lidar2img: np.ndarray,
+                        img_hw) -> np.ndarray:
+    """Which lidar points project inside an image
+    (reference CustomNuScenesDataset.are_points_in_image,
+    nuscenes_dataset.py:84-117)."""
+    hom = np.concatenate(
+        [points[:, :3], np.ones((len(points), 1), points.dtype)], axis=1)
+    cam = hom @ lidar2img.T
+    z = cam[:, 2]
+    uv = cam[:, :2] / np.maximum(z[:, None], 1e-5)
+    return ((z > 0.1) & (uv[:, 0] >= 0) & (uv[:, 0] < img_hw[1]) &
+            (uv[:, 1] >= 0) & (uv[:, 1] < img_hw[0]))
+
+
 # nuScenes camera order used by the mmdet3d infos
 NUS_CAMS = ("CAM_FRONT", "CAM_FRONT_RIGHT", "CAM_FRONT_LEFT", "CAM_BACK",
             "CAM_BACK_LEFT", "CAM_BACK_RIGHT")

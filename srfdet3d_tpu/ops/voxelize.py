@@ -135,9 +135,9 @@ def voxelize_points(points: jnp.ndarray,
     num_points = jnp.zeros((v_cap + 1,), jnp.int32).at[slot_sorted].add(
         1, mode="drop")[:v_cap]
 
-    # un-sort the per-point slot ids
-    inv = jnp.argsort(order)
-    point_voxel_idx = slot_sorted[inv].astype(jnp.int32)
+    # un-sort the per-point slot ids (scatter beats a second argsort)
+    point_voxel_idx = jnp.zeros((p,), jnp.int32).at[order].set(
+        slot_sorted.astype(jnp.int32))
     point_mask = point_voxel_idx < v_cap
 
     return VoxelizedPoints(

@@ -62,10 +62,23 @@ def main():
     ap.add_argument("--log-interval", type=int, default=50)
     ap.add_argument("--ckpt-interval", type=int, default=1)
     ap.add_argument("--no-cbgs", action="store_true")
+    ap.add_argument("--debug-nans", action="store_true",
+                    help="jax nan debugging (reference "
+                         "set_detect_anomaly, train.py:317)")
     ap.add_argument("--cfg-options", nargs="*", default=None)
     args = ap.parse_args()
 
     import jax
+
+    # multi-host bootstrap (tools/dist_train.sh)
+    coord = os.environ.get("SRFDET_COORD_ADDR")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ.get("SRFDET_NUM_HOSTS", "1")),
+            process_id=int(os.environ.get("SRFDET_HOST_ID", "0")))
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     import jax.numpy as jnp
 
     from srfdet3d_tpu.configs import get_config
