@@ -188,6 +188,7 @@ CONFIGS = {
         srfdet_dvoxel_waymo_L, srfdet_dvoxel_waymo_LC, srfdet_dvoxel_nusc_L,
     )
 }
+CONFIGS["tiny"] = lambda: tiny_test_config()
 
 
 def get_config(name: str) -> SRFDetConfig:
