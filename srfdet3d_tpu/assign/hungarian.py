@@ -37,6 +37,56 @@ def _lsa_host(cost: np.ndarray, n_valid: np.ndarray) -> np.ndarray:
     return out
 
 
+def auction_assign(cost: jnp.ndarray, gt_mask: jnp.ndarray,
+                   eps: float = 1e-3,
+                   max_rounds: int = 5000) -> jnp.ndarray:
+    """Jittable one-to-one assignment via the auction algorithm (Bertsekas)
+    — an on-device alternative to the scipy callback.
+
+    cost (n_p, G) fp32; gt_mask (G,) validity.  Returns matched gt per pred
+    (n_p,), -1 unmatched.  Total cost is within G*eps of the Hungarian
+    optimum (verified vs scipy in tests).  Jacobi bidding: all unassigned
+    GTs bid each round; convergence is bounded by cost_span/eps rounds.
+    """
+    n_p, g = cost.shape
+    benefit = -cost.astype(jnp.float32).T            # (G, n_p) maximize
+    big_neg = -1e9
+    benefit = jnp.where(gt_mask[:, None], benefit, big_neg)
+
+    def cond(s):
+        _, owner_, it = s
+        assigned = jnp.zeros((g,), bool).at[
+            jnp.maximum(owner_, 0)].max(owner_ >= 0, mode="drop")
+        return jnp.any(gt_mask & ~assigned) & (it < max_rounds)
+
+    def body(s):
+        prices_, owner_, it = s
+        assigned = jnp.zeros((g,), bool).at[
+            jnp.maximum(owner_, 0)].max(owner_ >= 0, mode="drop")
+        bidder = gt_mask & ~assigned                 # (G,)
+        values = benefit - prices_[None, :]          # (G, n_p)
+        top2, idx2 = jax.lax.top_k(values, 2)
+        best_pred = idx2[:, 0]
+        bid = prices_[best_pred] + (top2[:, 0] - top2[:, 1]) + eps
+        bid = jnp.where(bidder, bid, big_neg)
+        # per-pred max bid wins; ties resolved to the lowest gt id
+        best_bid = jnp.full((n_p,), big_neg).at[best_pred].max(
+            bid, mode="drop")
+        wins = bidder & (bid >= best_bid[best_pred] - 1e-12)
+        winner = jnp.full((n_p,), g, jnp.int32).at[
+            jnp.where(wins, best_pred, n_p)].min(
+            jnp.arange(g, dtype=jnp.int32), mode="drop")
+        new_owner = jnp.where(winner < g, winner, owner_)
+        new_prices = jnp.where(winner < g,
+                               jnp.maximum(prices_, best_bid), prices_)
+        return new_prices, new_owner, it + 1
+
+    _, owner, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((n_p,), jnp.float32),
+                     jnp.full((n_p,), -1, jnp.int32), jnp.int32(0)))
+    return owner
+
+
 def hungarian_assign(pred_boxes: jnp.ndarray,
                      pred_logits: jnp.ndarray,
                      gt_boxes: jnp.ndarray,
