@@ -87,18 +87,14 @@ def auction_assign(cost: jnp.ndarray, gt_mask: jnp.ndarray,
     return owner
 
 
-def hungarian_assign(pred_boxes: jnp.ndarray,
-                     pred_logits: jnp.ndarray,
-                     gt_boxes: jnp.ndarray,
-                     gt_labels: jnp.ndarray,
-                     gt_mask: jnp.ndarray,
-                     cls_weight: float = 2.0,
-                     reg_weight: float = 0.25) -> jnp.ndarray:
-    """One sample. Valid GTs must be packed first (standard padding layout).
-
-    pred_boxes (n_p, >=8) normalized code, gt_boxes (G, 7|9) raw ->
-    matched_gt (n_p,) int32, -1 = unmatched.
-    """
+def matching_cost(pred_boxes: jnp.ndarray,
+                  pred_logits: jnp.ndarray,
+                  gt_boxes: jnp.ndarray,
+                  gt_labels: jnp.ndarray,
+                  cls_weight: float = 2.0,
+                  reg_weight: float = 0.25) -> jnp.ndarray:
+    """FocalLossCost + BBox3DL1Cost (reference
+    hungarian_assigner_srfdet.py:85-105): (n_p, G)."""
     pred_boxes = jax.lax.stop_gradient(pred_boxes.astype(jnp.float32))
     pred_logits = jax.lax.stop_gradient(pred_logits.astype(jnp.float32))
     cls_cost = focal_loss_cost(pred_logits, gt_labels, weight=cls_weight,
@@ -106,7 +102,27 @@ def hungarian_assign(pred_boxes: jnp.ndarray,
     gt_norm = normalize_bbox(gt_boxes[:, :7])
     reg_cost = reg_weight * jnp.sum(
         jnp.abs(pred_boxes[:, None, :8] - gt_norm[None]), axis=-1)
-    cost = cls_cost + reg_cost
+    return cls_cost + reg_cost
+
+
+def hungarian_assign(pred_boxes: jnp.ndarray,
+                     pred_logits: jnp.ndarray,
+                     gt_boxes: jnp.ndarray,
+                     gt_labels: jnp.ndarray,
+                     gt_mask: jnp.ndarray,
+                     cls_weight: float = 2.0,
+                     reg_weight: float = 0.25,
+                     on_device: bool = False) -> jnp.ndarray:
+    """One sample. Valid GTs must be packed first (standard padding layout)
+    for the scipy path; the on-device auction handles any layout.
+
+    pred_boxes (n_p, >=8) normalized code, gt_boxes (G, 7|9) raw ->
+    matched_gt (n_p,) int32, -1 = unmatched.
+    """
+    cost = matching_cost(pred_boxes, pred_logits, gt_boxes, gt_labels,
+                         cls_weight, reg_weight)
+    if on_device:
+        return auction_assign(cost, gt_mask)
     n_valid = jnp.sum(gt_mask.astype(jnp.int32))
     result_shape = jax.ShapeDtypeStruct((pred_boxes.shape[0],), jnp.int32)
     return jax.pure_callback(_lsa_host, result_shape, cost, n_valid,

@@ -106,8 +106,12 @@ def srfdet_losses(pred_logits: jnp.ndarray,
                 pred_boxes[layer], pred_logits[layer], gt_boxes, gt_labels,
                 gt_mask, head_idx, ota_cfg)
         else:
+            # 'hungarian' = exact scipy host callback (like the reference);
+            # 'auction' = fully on-device Bertsekas auction
+            on_device = loss_cfg.assigner == "auction"
             matched = jax.vmap(
-                hungarian_assign, in_axes=(0, 0, 0, 0, 0))(
+                lambda pb, pl_, gb, gl, gm: hungarian_assign(
+                    pb, pl_, gb, gl, gm, on_device=on_device))(
                 pred_boxes[layer], pred_logits[layer], gt_boxes, gt_labels,
                 gt_mask)
         loss_cls, loss_bbox = _layer_losses(
