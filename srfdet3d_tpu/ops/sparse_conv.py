@@ -79,13 +79,33 @@ def _lookup_gather(sorted_keys: jnp.ndarray,
 
 
 # Rulebook lookup strategy.  Measured on v5e (120k keys, 3.24M queries,
-# 88.8M cells): dense table 64 ms, searchsorted method='sort' 93 ms,
-# method='scan' (the default) 415 ms — scan's log2(V) sequential gather
-# rounds are the old encoder's 1.2 s hot spot.  'dense' scatters row ids
-# into a transient (D*H*W,) table (ONE scatter + ONE gather); grids larger
-# than the cell cap fall back to 'sort'.
-LOOKUP_METHOD = "dense"          # dense | sort | scan
+# 88.8M cells): per-offset batched merge sort ~11 ms, dense table 64 ms
+# (dominated by writing the 355 MB cell table), one-shot searchsorted
+# method='sort' 93 ms, method='scan' 415 ms (log2(V) sequential gather
+# rounds — the original 1.2 s hot spot).  'offset_sort' (per-offset merge
+# of the sorted key+delta queries) measured WORSE end-to-end (463 vs
+# 261 ms encoder) despite the smaller sorts — batched merge sort does not
+# pay off on this chip; kept as an option for other topologies.
+LOOKUP_METHOD = "dense"          # dense | offset_sort | sort | scan
 _DENSE_LOOKUP_MAX_CELLS = 96_000_000
+
+
+def _per_offset_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
+                       num_cells: int) -> jnp.ndarray:
+    """keys (B, V) per-sample sorted; queries (B, K, Q) sorted along Q
+    (key + constant offset delta).  Returns (B, K, Q) GLOBAL flat rows
+    into the (B*V + 1,) feature table (B*V = miss)."""
+    b, v = keys.shape
+
+    def one(k_, q_):
+        idx = jnp.minimum(
+            jnp.searchsorted(k_, q_, method="sort"), v - 1)
+        found = (k_[idx] == q_) & (q_ < num_cells)
+        return jnp.where(found, idx, v).astype(jnp.int32)
+
+    local = jax.vmap(jax.vmap(one, in_axes=(None, 0)))(keys, queries)
+    offs = (jnp.arange(b, dtype=jnp.int32) * v)[:, None, None]
+    return jnp.where(local < v, local + offs, b * v)
 
 
 def _lookup_keys(keys: jnp.ndarray, queries: jnp.ndarray,
@@ -172,6 +192,10 @@ def subm_gather_indices_batched(coords: jnp.ndarray, mask: jnp.ndarray,
     nkeys = (ncoords[..., 0] * h + ncoords[..., 1]) * w + ncoords[..., 2]
     nkeys = jnp.where(in_rng & mask[:, :, None], nkeys, sentinel)
 
+    if LOOKUP_METHOD == "offset_sort":
+        idx = _per_offset_lookup(
+            keys, nkeys.transpose(0, 2, 1), sentinel)         # (B, K, V)
+        return idx.transpose(0, 2, 1)
     idx = batched_lookup(keys, nkeys.reshape(b, v * k), sentinel)
     return idx.reshape(b, v, k)
 
@@ -321,6 +345,10 @@ def strided_gather_indices_batched(coords: jnp.ndarray, mask: jnp.ndarray,
     ikeys = (icoords[..., 0] * h + icoords[..., 1]) * w + icoords[..., 2]
     ikeys = jnp.where(in_rng & out_mask[:, :, None], ikeys, sentinel)
 
+    if LOOKUP_METHOD == "offset_sort":
+        idx = _per_offset_lookup(
+            keys, ikeys.transpose(0, 2, 1), sentinel)         # (B, K, M)
+        return idx.transpose(0, 2, 1)
     idx = batched_lookup(keys, ikeys.reshape(b, m * k), sentinel)
     return idx.reshape(b, m, k)
 
