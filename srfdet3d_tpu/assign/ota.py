@@ -135,7 +135,14 @@ def ota_assign(pred_boxes: jnp.ndarray,
     gt_norm = normalize_bbox(gt_boxes[:, :7])                      # (G, 8)
     reg_cost = cfg.reg_weight * jnp.sum(
         jnp.abs(pred_boxes[:, None, :8] - gt_norm[None]), axis=-1)
-    ious = iou_3d(denormalize_bbox(pred_boxes), gt_boxes[:, :7])   # (n_p, G)
+    # Reference quirk (ota_srfdet.py:148-150): BboxOverlaps3D('lidar')
+    # interprets the z slot as BOTTOM center, but the assigner feeds
+    # gravity-center boxes — its height overlap spans [z, z+h].  Shifting
+    # cz by +h/2 reproduces that interval with our gravity-center iou_3d.
+    pred_raw = denormalize_bbox(pred_boxes)
+    pred_shift = pred_raw.at[:, 2].add(0.5 * pred_raw[:, 5])
+    gt_shift = gt_boxes[:, :7].at[:, 2].add(0.5 * gt_boxes[:, 5])
+    ious = iou_3d(pred_shift[:, :7], gt_shift)                     # (n_p, G)
     ious = jnp.where(gt_mask[None, :], ious, 0.0)
     iou_cost = -cfg.iou_weight * ious
 

@@ -72,8 +72,12 @@ def _costs(pred_boxes, pred_logits, gt_boxes, gt_labels, num_gt, cfg):
     gt_norm = np.asarray(normalize_bbox(jnp.asarray(gt_boxes[:, :7])))
     reg = cfg.reg_weight * np.abs(
         pred_boxes[:, None, :8] - gt_norm[None]).sum(-1)
-    ious = np.asarray(iou_3d(denormalize_bbox(jnp.asarray(pred_boxes)),
-                             jnp.asarray(gt_boxes[:, :7])))
+    pred_raw = np.array(denormalize_bbox(jnp.asarray(pred_boxes)))
+    pred_raw[:, 2] += 0.5 * pred_raw[:, 5]     # reference z-slot quirk
+    gt_shift = gt_boxes[:, :7].copy()
+    gt_shift[:, 2] += 0.5 * gt_shift[:, 5]
+    ious = np.asarray(iou_3d(jnp.asarray(pred_raw[:, :7]),
+                             jnp.asarray(gt_shift)))
     ious = np.where(gm[None], ious, 0.0)
     cost = cls_cost + reg - cfg.iou_weight * ious + 100.0 * (~in_both)
     cost = cost + 1e4 * (~valid)[:, None]
