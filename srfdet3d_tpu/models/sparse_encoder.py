@@ -30,7 +30,8 @@ from flax import linen as nn
 from ..ops.sparse_conv import (
     SparseTensor, subm_gather_indices_batched,
     strided_gather_indices_batched, gathered_conv_apply_batched,
-    generate_output_sites, conv_out_shape, sparse_to_dense_batched)
+    generate_output_sites, conv_out_shape, sparse_to_dense_batched,
+    make_key_table)
 from .layers import MaskedBatchNorm
 
 _KAIMING = nn.initializers.variance_scaling(2.0, "fan_in", "normal", in_axis=(0, 1))
@@ -83,12 +84,17 @@ class SparseEncoder(nn.Module):
         feats = voxel_feats.astype(self.dtype)
         coords, mask = voxel_coords, voxel_mask
         shape = tuple(self.sparse_shape)
+        # one cell table per stage, shared by the subm rulebook and the
+        # following strided conv's input lookup (the stage-0 table alone is
+        # a 355 MB write at nuScenes scale)
+        key_table = make_key_table(coords, mask, shape)
 
         def subm_idx():
-            return subm_gather_indices_batched(coords, mask, shape, 3)
+            return subm_gather_indices_batched(coords, mask, shape, 3,
+                                               key_table=key_table)
 
         def downsample(out_ch, padding, capacity, name):
-            nonlocal feats, coords, mask, shape
+            nonlocal feats, coords, mask, shape, key_table
             kernel, stride = (3, 3, 3), (2, 2, 2)
             pad = self._pad3(padding)
             oshape = conv_out_shape(shape, kernel, stride, pad)
@@ -97,10 +103,12 @@ class SparseEncoder(nn.Module):
                     SparseTensor(jnp.zeros((c.shape[0], 1)), c, m, shape),
                     kernel, stride, pad, capacity))(coords, mask)
             gidx = strided_gather_indices_batched(
-                coords, mask, shape, oc, om, kernel, stride, pad)
+                coords, mask, shape, oc, om, kernel, stride, pad,
+                key_table=key_table)
             feats = _GatheredConvBN(out_ch, 27, dtype=self.dtype,
                                     name=name)(feats, gidx, om, train=train)
             coords, mask, shape = oc, om, oshape
+            key_table = make_key_table(coords, mask, shape)
 
         def basic_block(gidx, ch, name):
             nonlocal feats
@@ -158,7 +166,8 @@ class SparseEncoder(nn.Module):
                 SparseTensor(jnp.zeros((c.shape[0], 1)), c, m, shape),
                 kernel, stride, pad, self.capacities[-1]))(coords, mask)
         gidx_out = strided_gather_indices_batched(
-            coords, mask, shape, oc, om, kernel, stride, pad)
+            coords, mask, shape, oc, om, kernel, stride, pad,
+            key_table=key_table)
         feats = _GatheredConvBN(self.output_channels, 3, dtype=self.dtype,
                                 name="conv_out")(
             feats, gidx_out, om, train=train)

@@ -130,6 +130,42 @@ def _lookup_keys(keys: jnp.ndarray, queries: jnp.ndarray,
     return jnp.where(found, idx, v).astype(jnp.int32)
 
 
+def make_key_table(coords: jnp.ndarray, mask: jnp.ndarray, shape):
+    """Precompute (keys (B, V), dense table | None) for a coords set.
+
+    The dense cell table costs a full-size write (355 MB at nuScenes
+    stage 0) — build it ONCE per stage and reuse it for both the subm
+    rulebook and the following strided conv's input lookup."""
+    d, h, w = shape
+    num_cells = d * h * w
+    keys = jax.vmap(lambda c, m: _key(c, shape, m))(coords, mask)
+    b, v = keys.shape
+    if LOOKUP_METHOD == "dense" and \
+            b * num_cells <= _DENSE_LOOKUP_MAX_CELLS and \
+            b * num_cells < (1 << 31):
+        offs = (jnp.arange(b, dtype=jnp.int32) * num_cells)[:, None]
+        total = b * num_cells
+        gk = jnp.where(keys < num_cells, keys + offs, total)
+        table = jnp.full((total + 1,), b * v, jnp.int32)
+        table = table.at[gk.reshape(-1)].set(
+            jnp.arange(b * v, dtype=jnp.int32), mode="drop")
+        return keys, table
+    return keys, None
+
+
+def lookup_in_table(keys: jnp.ndarray, table, queries: jnp.ndarray,
+                    num_cells: int) -> jnp.ndarray:
+    """Query a prebuilt (keys, table) pair: (B, Q) -> (B, Q) GLOBAL rows."""
+    b, v = keys.shape
+    if table is not None:
+        offs = (jnp.arange(b, dtype=jnp.int32) * num_cells)[:, None]
+        total = b * num_cells
+        gq = jnp.where(queries < num_cells, queries + offs, total)
+        hit = table[jnp.minimum(gq, total - 1)]
+        return jnp.where(gq < total, hit, b * v).astype(jnp.int32)
+    return batched_lookup(keys, queries, num_cells)
+
+
 def batched_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
                    num_cells: int) -> jnp.ndarray:
     """Batched key lookup -> GLOBAL flat row indices.
@@ -170,12 +206,14 @@ def batched_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
 
 
 def subm_gather_indices_batched(coords: jnp.ndarray, mask: jnp.ndarray,
-                                shape, kernel: int = 3) -> jnp.ndarray:
+                                shape, kernel: int = 3,
+                                key_table=None) -> jnp.ndarray:
     """Batched submanifold rulebook: coords (B, V, 3), mask (B, V) ->
     (B, V, K) GLOBAL flat indices into the flattened (B*V+1, C) features.
 
     Because coords never change across the submanifold convs of a stage,
     this is computed once per stage and reused by every conv in it.
+    key_table: optional (keys, table) from make_key_table to reuse.
     """
     d, h, w = shape
     half = kernel // 2
@@ -184,7 +222,8 @@ def subm_gather_indices_batched(coords: jnp.ndarray, mask: jnp.ndarray,
     b, v, _ = coords.shape
     sentinel = d * h * w
 
-    keys = jax.vmap(lambda c, m: _key(c, shape, m))(coords, mask)
+    keys, table = key_table if key_table is not None else \
+        (jax.vmap(lambda c, m: _key(c, shape, m))(coords, mask), None)
     ncoords = coords[:, :, None, :] + offs[None, None, :, :]  # (B, V, K, 3)
     in_rng = ((ncoords >= 0).all(-1) &
               (ncoords[..., 0] < d) & (ncoords[..., 1] < h) &
@@ -192,11 +231,15 @@ def subm_gather_indices_batched(coords: jnp.ndarray, mask: jnp.ndarray,
     nkeys = (ncoords[..., 0] * h + ncoords[..., 1]) * w + ncoords[..., 2]
     nkeys = jnp.where(in_rng & mask[:, :, None], nkeys, sentinel)
 
-    if LOOKUP_METHOD == "offset_sort":
+    if LOOKUP_METHOD == "offset_sort" and table is None:
         idx = _per_offset_lookup(
             keys, nkeys.transpose(0, 2, 1), sentinel)         # (B, K, V)
         return idx.transpose(0, 2, 1)
-    idx = batched_lookup(keys, nkeys.reshape(b, v * k), sentinel)
+    if table is not None:
+        idx = lookup_in_table(keys, table, nkeys.reshape(b, v * k),
+                              sentinel)
+    else:
+        idx = batched_lookup(keys, nkeys.reshape(b, v * k), sentinel)
     return idx.reshape(b, v, k)
 
 
@@ -322,15 +365,18 @@ def strided_gather_indices_batched(coords: jnp.ndarray, mask: jnp.ndarray,
                                    out_mask: jnp.ndarray,
                                    kernel: Tuple[int, int, int],
                                    stride: Tuple[int, int, int],
-                                   padding: Tuple[int, int, int]
-                                   ) -> jnp.ndarray:
+                                   padding: Tuple[int, int, int],
+                                   key_table=None) -> jnp.ndarray:
     """Batched strided-conv rulebook: (B, M, K) GLOBAL flat indices into the
-    flattened (B*V+1, C) input features."""
+    flattened (B*V+1, C) input features.
+
+    key_table: optional (keys, table) of the INPUT coords to reuse."""
     d, h, w = shape
     sentinel = d * h * w
     b, v, _ = coords.shape
     m = out_coords.shape[1]
-    keys = jax.vmap(lambda c, mk: _key(c, shape, mk))(coords, mask)
+    keys, table = key_table if key_table is not None else \
+        (jax.vmap(lambda c, mk: _key(c, shape, mk))(coords, mask), None)
 
     offs = _offsets(kernel)                                   # (K, 3)
     k = offs.shape[0]
@@ -345,11 +391,15 @@ def strided_gather_indices_batched(coords: jnp.ndarray, mask: jnp.ndarray,
     ikeys = (icoords[..., 0] * h + icoords[..., 1]) * w + icoords[..., 2]
     ikeys = jnp.where(in_rng & out_mask[:, :, None], ikeys, sentinel)
 
-    if LOOKUP_METHOD == "offset_sort":
+    if LOOKUP_METHOD == "offset_sort" and table is None:
         idx = _per_offset_lookup(
             keys, ikeys.transpose(0, 2, 1), sentinel)         # (B, K, M)
         return idx.transpose(0, 2, 1)
-    idx = batched_lookup(keys, ikeys.reshape(b, m * k), sentinel)
+    if table is not None:
+        idx = lookup_in_table(keys, table, ikeys.reshape(b, m * k),
+                              sentinel)
+    else:
+        idx = batched_lookup(keys, ikeys.reshape(b, m * k), sentinel)
     return idx.reshape(b, m, k)
 
 
