@@ -93,7 +93,10 @@ def create_train_state(cfg: SRFDetConfig,
                        ) -> Tuple[SRFDet, TrainState,
                                   optax.GradientTransformation]:
     model = SRFDet(cfg)
-    variables = model.init(rng, sample_batch, train=False)
+    # jit the init: eager (op-by-op) initialization compiles thousands of
+    # micro-programs and takes minutes; one jitted program compiles once
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        rng, sample_batch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", FrozenDict())
     tx = make_optimizer(cfg, total_steps)
