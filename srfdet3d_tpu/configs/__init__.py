@@ -191,6 +191,41 @@ CONFIGS = {
 CONFIGS["tiny"] = lambda: tiny_test_config()
 
 
+def tiny_kitti_test_config(**overrides) -> SRFDetConfig:
+    """Miniature KITTI-style config: dynamic voxelization, code size 8,
+    conv_module sparse encoder — exercises every non-nuScenes code path."""
+    pc = (0.0, -10.0, -3.0, 20.0, 10.0, 1.0)
+    cfg = tiny_test_config().replace(
+        name="tiny_kitti",
+        dataset="kitti",
+        class_names=("Pedestrian", "Cyclist", "Car"),
+        pc_range=pc,
+        voxel_size=(0.25, 0.25, 0.1),     # 80 x 80 x 40 grid
+        points_dim=4,
+        max_points_per_voxel=-1,
+        vfe=VFEConfig(kind="dynamic", in_channels=4, feat_channels=(4,)),
+        middle=MiddleConfig(
+            kind="sparse", in_channels=4, base_channels=8,
+            output_channels=32,
+            encoder_channels=((8,), (16, 16), (16, 16), (16, 16)),
+            encoder_paddings=((1,), (1, 1), (1, 1), ((0, 1, 1), 1)),
+            block_type="conv_module",
+            capacities=(1024, 512, 256, 256)),
+        head=HeadConfig(num_classes=3, feat_channels_lidar=32,
+                        hidden_dim=32, num_proposals=24, num_heads=2,
+                        num_dpg_exp=2, dim_feedforward=64, num_attn_heads=4,
+                        dynamic_dim=8, dropout=0.0, code_size=8),
+        ota=OTAConfig(pc_range=pc),
+        loss=LossConfig(code_weights=(1.0,) * 8, num_classes=3),
+        test=TestConfig(max_per_img=16,
+                        post_center_range=(-2.0, -12.0, -10.0, 22.0, 12.0,
+                                           10.0)))
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+CONFIGS["tiny_kitti"] = lambda: tiny_kitti_test_config()
+
+
 def get_config(name: str) -> SRFDetConfig:
     return CONFIGS[name]()
 

@@ -59,6 +59,9 @@ def main():
     ap.add_argument("--synthetic-length", type=int, default=32)
     ap.add_argument("--data-root", default="data/nuscenes")
     ap.add_argument("--ann-file", default=None)
+    ap.add_argument("--db-info", default=None,
+                    help="GT-database pickle for ObjectSample paste "
+                         "augmentation (e.g. nuscenes_dbinfos_train.pkl)")
     ap.add_argument("--log-interval", type=int, default=50)
     ap.add_argument("--ckpt-interval", type=int, default=1)
     ap.add_argument("--no-cbgs", action="store_true")
@@ -105,12 +108,30 @@ def main():
         dataset = SyntheticDataset(cfg, length=args.synthetic_length,
                                    seed=args.seed)
     else:
+        from srfdet3d_tpu.data.transforms import DBSampler
+
+        # per-class paste counts (cfg ObjectSample sample_groups,
+        # srfdet_voxel_nusc_L.py:229-240)
+        nus_groups = dict(car=2, truck=3, construction_vehicle=7, bus=4,
+                          trailer=6, barrier=2, motorcycle=6, bicycle=6,
+                          pedestrian=2, traffic_cone=2)
+        kitti_groups = dict(Car=12, Pedestrian=6, Cyclist=6)
+        db_sampler = None
+        if args.db_info:
+            db_sampler = DBSampler(
+                info_path=args.db_info, data_root=args.data_root,
+                classes=cfg.class_names,
+                sample_groups=(nus_groups if cfg.dataset == "nuscenes"
+                               else kitti_groups),
+                min_points={c: 5 for c in cfg.class_names},
+                points_load_dim=cfg.points_dim,
+                points_use_dim=tuple(range(cfg.points_dim)))
         ds_cls = {"nuscenes": NuScenesDataset, "kitti": KittiDataset,
                   "waymo": WaymoDataset}[cfg.dataset]
         ann = args.ann_file or os.path.join(
             args.data_root, f"{cfg.dataset}_infos_train.pkl")
         dataset = ds_cls(cfg, info_path=ann, data_root=args.data_root,
-                         seed=args.seed)
+                         seed=args.seed, db_sampler=db_sampler)
         if cfg.dataset == "nuscenes" and not args.no_cbgs:
             dataset = CBGSWrapper(dataset)
 
