@@ -115,7 +115,7 @@ class OptimConfig:
     batch_size_per_device: int = 6
     weight_decay: float = 0.01
     grad_clip: float = 35.0
-    warmup_iters: int = 1000
+    warmup_iters: int = 2000           # cfg lr_config warmup_iters=4*500
     warmup_ratio: float = 1.0 / 3
     min_lr_ratio: float = 1e-3
     epochs: int = 20

@@ -150,10 +150,17 @@ class NuScenesDataset(SRFDetDataset):
         points = T.load_points_bin(path, 5, (0, 1, 2, 3, 4))
         return T.multi_sweep_aggregate(
             points, info.get("sweeps", []), self.sweeps_num,
-            rng=self.rng, test_mode=self.test_mode)
+            rng=self.rng, test_mode=self.test_mode,
+            key_timestamp_us=float(info.get("timestamp", 0.0)))
 
     def load_annotations(self, info: Dict):
-        boxes = np.asarray(info["gt_boxes"], np.float32)      # (N, 7)
+        boxes = np.asarray(info["gt_boxes"], np.float32).copy()  # (N, 7)
+        # mmdet3d nuScenes infos store GRAVITY-center z (origin 0.5);
+        # the pipeline convention is bottom-center like
+        # LiDARInstance3DBoxes, so shift down by h/2 here (pad_gts converts
+        # back to gravity center for the model).
+        if len(boxes):
+            boxes[:, 2] -= 0.5 * boxes[:, 5]
         vel = np.asarray(info.get("gt_velocity",
                                   np.zeros((len(boxes), 2))), np.float32)
         vel = np.nan_to_num(vel)

@@ -70,14 +70,18 @@ def photometric_distortion(sample: Dict, rng: np.random.Generator,
         contrast_first = rng.integers(2)
         if contrast_first and rng.integers(2):
             img = img * rng.uniform(*contrast_range)
-        # saturation/hue in HSV
-        if rng.integers(2) or rng.integers(2):
+        # saturation and hue applied INDEPENDENTLY w.p. 0.5 each (mmdet)
+        do_sat = bool(rng.integers(2))
+        do_hue = bool(rng.integers(2))
+        if do_sat or do_hue:
             import cv2
             hsv = cv2.cvtColor(np.clip(img, 0, 255).astype(np.uint8),
                                cv2.COLOR_RGB2HSV).astype(np.float32)
-            hsv[..., 1] *= rng.uniform(*saturation_range)
-            hsv[..., 0] = (hsv[..., 0] + rng.uniform(-hue_delta, hue_delta)
-                           ) % 180
+            if do_sat:
+                hsv[..., 1] *= rng.uniform(*saturation_range)
+            if do_hue:
+                hsv[..., 0] = (hsv[..., 0] +
+                               rng.uniform(-hue_delta, hue_delta)) % 180
             img = cv2.cvtColor(
                 np.clip(hsv, 0, 255).astype(np.uint8),
                 cv2.COLOR_HSV2RGB).astype(np.float32)

@@ -42,6 +42,16 @@ def data_loader(dataset,
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
 
+    def put(item) -> bool:
+        """Bounded put that honors stop (no deadlock on abandonment)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def worker():
         try:
             from concurrent.futures import ThreadPoolExecutor
@@ -52,9 +62,12 @@ def data_loader(dataset,
                     idxs = order[b * batch_size:(b + 1) * batch_size]
                     samples = list(pool.map(
                         lambda i: dataset[int(i)], idxs))
-                    q.put(collate_batch(samples))
-        finally:
-            q.put(None)
+                    if not put(collate_batch(samples)):
+                        return
+        except BaseException as e:          # propagate to the consumer
+            put(e)
+            return
+        put(None)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -63,6 +76,8 @@ def data_loader(dataset,
             batch = q.get()
             if batch is None:
                 return
+            if isinstance(batch, BaseException):
+                raise batch
             yield batch
     finally:
         stop.set()

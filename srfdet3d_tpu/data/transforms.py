@@ -53,14 +53,16 @@ def multi_sweep_aggregate(points: np.ndarray,
                           use_dim: Sequence[int] = (0, 1, 2, 3, 4),
                           rng: Optional[np.random.Generator] = None,
                           test_mode: bool = False,
-                          load_dim: int = 5) -> np.ndarray:
+                          load_dim: int = 5,
+                          key_timestamp_us: float = 0.0) -> np.ndarray:
     """LoadPointsFromMultiSweeps: concat transformed past sweeps.
 
     Each sweep dict: {"data_path", "sensor2lidar_rotation" (3,3),
-    "sensor2lidar_translation" (3,), "timestamp", ...}.  The key frame's
-    time-lag channel (dim 4) is zeroed; sweep points get their lag in
-    seconds.  Train mode samples sweeps_num without replacement; test mode
-    takes the first sweeps_num.
+    "sensor2lidar_translation" (3,), "timestamp" (microseconds), ...}.
+    The key frame's time-lag channel (dim 4) is zeroed; sweep points get
+    their lag in seconds relative to `key_timestamp_us` (the key frame's
+    microsecond timestamp, mmdet3d convention).  Train mode samples
+    sweeps_num without replacement; test mode takes the first sweeps_num.
     """
     points = points.copy()
     if points.shape[1] > 4:
@@ -74,7 +76,7 @@ def multi_sweep_aggregate(points: np.ndarray,
         else:
             rng = rng or np.random.default_rng()
             choices = rng.choice(len(sweeps), sweeps_num, replace=False)
-        ts = 0.0
+        ts = key_timestamp_us * 1e-6
         for idx in choices:
             sweep = sweeps[idx]
             pts = load_points_bin(sweep["data_path"], load_dim,

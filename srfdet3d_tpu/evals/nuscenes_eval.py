@@ -92,7 +92,8 @@ def _accumulate(gts: List[Dict], preds: List[Dict], class_name: str,
             err_scale.append(1.0 - _aligned_iou_1d(pb[3:6], gb[3:6]))
             period = np.pi if class_name in YAW_PERIOD_PI else 2 * np.pi
             err_orient.append(_yaw_diff(pb[6], gb[6], period))
-            if class_name in NO_VELOCITY or pb.shape[0] < 9:
+            if class_name in NO_VELOCITY or pb.shape[0] < 9 or \
+                    gb.shape[0] < 9:
                 err_vel.append(np.nan)
             else:
                 err_vel.append(float(np.hypot(pb[7] - gb[7], pb[8] - gb[8])))

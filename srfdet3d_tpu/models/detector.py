@@ -30,7 +30,7 @@ from ..ops.voxelize import VoxelizedPoints, voxelize_points
 from .fpn import FPN
 from .grid_mask import grid_mask
 from .head import SRFDetHead, decode_boxes
-from .middle import pillar_scatter
+from .middle import pillar_scatter_batched
 from .resnet import ResNet
 from .second import SECOND
 from .sparse_encoder import SparseEncoder
@@ -124,8 +124,8 @@ class SRFDet(nn.Module):
                 voxel_feats, vox.voxel_coords, vox.voxel_mask, train=train)
         elif cfg.middle.kind == "pillar_scatter":
             nx, ny, _ = spec.grid_size
-            x = jax.vmap(lambda f, c, m: pillar_scatter(f, c, m, (ny, nx)))(
-                voxel_feats, vox.voxel_coords, vox.voxel_mask)
+            x = pillar_scatter_batched(
+                voxel_feats, vox.voxel_coords, vox.voxel_mask, (ny, nx))
         else:
             raise ValueError(cfg.middle.kind)
 

@@ -30,6 +30,25 @@ def pillar_scatter(voxel_feats: jnp.ndarray, voxel_coords: jnp.ndarray,
     return canvas[:-1].reshape(ny, nx, c)
 
 
+def pillar_scatter_batched(voxel_feats: jnp.ndarray,
+                           voxel_coords: jnp.ndarray,
+                           voxel_mask: jnp.ndarray,
+                           output_shape: Tuple[int, int]) -> jnp.ndarray:
+    """(B, V, C) -> (B, ny, nx, C) via ONE flat scatter (the batch index
+    folds into the cell key; vmapped scatters compile pathologically
+    slowly on the remote TPU compiler)."""
+    ny, nx = output_shape
+    b, v, c = voxel_feats.shape
+    cells = ny * nx
+    flat_idx = voxel_coords[..., 1] * nx + voxel_coords[..., 2]
+    offs = (jnp.arange(b, dtype=jnp.int32) * cells)[:, None]
+    flat_idx = jnp.where(voxel_mask, flat_idx + offs, b * cells)
+    canvas = jnp.zeros((b * cells + 1, c), voxel_feats.dtype)
+    canvas = canvas.at[flat_idx.reshape(-1)].set(
+        voxel_feats.reshape(-1, c), mode="drop")
+    return canvas[:-1].reshape(b, ny, nx, c)
+
+
 class PointPillarsScatter(nn.Module):
     """Module wrapper over :func:`pillar_scatter` (per-sample inputs)."""
     output_shape: Tuple[int, int]  # (ny, nx)

@@ -63,21 +63,6 @@ def _offsets(kernel: Tuple[int, int, int]) -> jnp.ndarray:
     return jnp.stack([oz.ravel(), oy.ravel(), ox.ravel()], axis=-1)  # (K, 3)
 
 
-def _lookup_gather(sorted_keys: jnp.ndarray,
-                   feats_padded: jnp.ndarray,
-                   query_keys: jnp.ndarray,
-                   sentinel: int) -> jnp.ndarray:
-    """Gather rows for query keys from a key-sorted table; miss -> zero row.
-
-    feats_padded must carry one extra zero row at index V.
-    """
-    v = sorted_keys.shape[0]
-    idx = jnp.searchsorted(sorted_keys, query_keys)
-    idx = jnp.minimum(idx, v - 1)
-    found = (sorted_keys[idx] == query_keys) & (query_keys < sentinel)
-    return feats_padded[jnp.where(found, idx, v)]
-
-
 # Rulebook lookup strategy.  Measured on v5e (120k keys, 3.24M queries,
 # 88.8M cells): per-offset batched merge sort ~11 ms, dense table 64 ms
 # (dominated by writing the 355 MB cell table), one-shot searchsorted
@@ -108,28 +93,6 @@ def _per_offset_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
     return jnp.where(local < v, local + offs, b * v)
 
 
-def _lookup_keys(keys: jnp.ndarray, queries: jnp.ndarray,
-                 num_cells: int) -> jnp.ndarray:
-    """Map query keys -> row index in `keys` (V = miss/pad).
-
-    keys: (V,) sorted linear keys with sentinel num_cells for invalid rows.
-    queries: (Q,) linear keys (sentinel for invalid).
-    """
-    v = keys.shape[0]
-    if LOOKUP_METHOD == "dense" and num_cells <= _DENSE_LOOKUP_MAX_CELLS:
-        # invalid keys (== num_cells) write into the spare slot, which is
-        # never read: sentinel queries short-circuit to the pad row v.
-        table = jnp.full((num_cells + 1,), v, jnp.int32)
-        table = table.at[keys].set(
-            jnp.arange(v, dtype=jnp.int32), mode="drop")
-        hit = table[jnp.minimum(queries, num_cells - 1)]
-        return jnp.where(queries < num_cells, hit, v).astype(jnp.int32)
-    method = "sort" if LOOKUP_METHOD in ("dense", "sort") else "scan"
-    idx = jnp.minimum(jnp.searchsorted(keys, queries, method=method), v - 1)
-    found = (keys[idx] == queries) & (queries < num_cells)
-    return jnp.where(found, idx, v).astype(jnp.int32)
-
-
 def make_key_table(coords: jnp.ndarray, mask: jnp.ndarray, shape):
     """Precompute (keys (B, V), dense table | None) for a coords set.
 
@@ -139,18 +102,24 @@ def make_key_table(coords: jnp.ndarray, mask: jnp.ndarray, shape):
     d, h, w = shape
     num_cells = d * h * w
     keys = jax.vmap(lambda c, m: _key(c, shape, m))(coords, mask)
+    if LOOKUP_METHOD != "dense":
+        return keys, None
+    return _build_dense_table(keys, num_cells)
+
+
+def _build_dense_table(keys: jnp.ndarray, num_cells: int):
+    """(keys (B, V)) -> (keys, dense (B*cells+1,) slot table | None)."""
     b, v = keys.shape
-    if LOOKUP_METHOD == "dense" and \
-            b * num_cells <= _DENSE_LOOKUP_MAX_CELLS and \
-            b * num_cells < (1 << 31):
-        offs = (jnp.arange(b, dtype=jnp.int32) * num_cells)[:, None]
-        total = b * num_cells
-        gk = jnp.where(keys < num_cells, keys + offs, total)
-        table = jnp.full((total + 1,), b * v, jnp.int32)
-        table = table.at[gk.reshape(-1)].set(
-            jnp.arange(b * v, dtype=jnp.int32), mode="drop")
-        return keys, table
-    return keys, None
+    if b * num_cells > _DENSE_LOOKUP_MAX_CELLS or \
+            b * num_cells >= (1 << 31):
+        return keys, None
+    offs = (jnp.arange(b, dtype=jnp.int32) * num_cells)[:, None]
+    total = b * num_cells
+    gk = jnp.where(keys < num_cells, keys + offs, total)
+    table = jnp.full((total + 1,), b * v, jnp.int32)
+    table = table.at[gk.reshape(-1)].set(
+        jnp.arange(b * v, dtype=jnp.int32), mode="drop")
+    return keys, table
 
 
 def lookup_in_table(keys: jnp.ndarray, table, queries: jnp.ndarray,
@@ -180,18 +149,10 @@ def batched_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
     table) and runs identically.
     """
     b, v = keys.shape
-    if LOOKUP_METHOD == "dense" and \
-            b * num_cells <= _DENSE_LOOKUP_MAX_CELLS and \
-            b * num_cells < (1 << 31):
-        offs = (jnp.arange(b, dtype=jnp.int32) * num_cells)[:, None]
-        total = b * num_cells
-        gk = jnp.where(keys < num_cells, keys + offs, total)
-        gq = jnp.where(queries < num_cells, queries + offs, total)
-        table = jnp.full((total + 1,), b * v, jnp.int32)
-        table = table.at[gk.reshape(-1)].set(
-            jnp.arange(b * v, dtype=jnp.int32), mode="drop")
-        hit = table[jnp.minimum(gq, total - 1)]
-        return jnp.where(gq < total, hit, b * v).astype(jnp.int32)
+    if LOOKUP_METHOD == "dense":
+        _, table = _build_dense_table(keys, num_cells)
+        if table is not None:
+            return lookup_in_table(keys, table, queries, num_cells)
 
     def per_sample(k, q):
         method = "sort" if LOOKUP_METHOD in ("dense", "sort") else "scan"

@@ -105,10 +105,21 @@ def create_train_state(cfg: SRFDetConfig,
     return model, state, tx
 
 
+def _frozen_top_keys(cfg: SRFDetConfig):
+    keys = []
+    if cfg.optim.freeze_img:
+        keys.append("img_backbone")
+    if cfg.optim.freeze_lidar:
+        keys += ["pts_voxel_encoder", "pts_middle_encoder", "pts_backbone",
+                 "pts_neck"]
+    return keys
+
+
 def make_train_step(model: SRFDet, tx: optax.GradientTransformation,
                     cfg: SRFDetConfig) -> Callable:
     """One SGD step. batch must contain points(+mask), optional images, and
     gt_boxes (B, G, 7|9) / gt_labels (B, G) / gt_mask (B, G)."""
+    frozen_keys = _frozen_top_keys(cfg)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):
@@ -127,6 +138,14 @@ def make_train_step(model: SRFDet, tx: optax.GradientTransformation,
 
         (total, (losses, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        # frozen branches keep their pretrained BN running stats
+        # (reference fix_bn in freeze_lidar_components, tools/train.py:245)
+        if frozen_keys and new_bs:
+            new_bs = dict(new_bs)
+            for k in frozen_keys:
+                if k in state.batch_stats:
+                    new_bs[k] = state.batch_stats[k]
+            new_bs = FrozenDict(new_bs)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=new_params,

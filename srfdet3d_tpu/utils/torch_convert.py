@@ -35,18 +35,19 @@ def linear_w(w) -> np.ndarray:
     return np.asarray(w).T
 
 
-def spconv_w(w, layout: str = "auto") -> np.ndarray:
+def spconv_w(w, layout: str = "OKI") -> np.ndarray:
     """spconv kernel -> (K, in, out), K in z-major (kz, ky, kx) order.
 
-    spconv 2.x native layout is (out, kz, ky, kx, in); older exports use
-    (kz, ky, kx, in, out).  'auto' guesses by which axis is largest-last.
+    layout must be given explicitly: 'OKI' = spconv 2.x native
+    (out, kz, ky, kx, in); 'KIO' = older exports (kz, ky, kx, in, out).
+    Shape-based auto-detection is impossible — a real 3x3x3 kernel has
+    small middle dims in BOTH layouts.
     """
     w = np.asarray(w)
     if w.ndim != 5:
         raise ValueError(f"expected 5D spconv weight, got {w.shape}")
-    if layout == "auto":
-        # (out, kz, ky, kx, in) has small kernel dims in the middle
-        layout = "OKI" if w.shape[1] <= 5 and w.shape[2] <= 5 else "KIO"
+    if layout not in ("OKI", "KIO"):
+        raise ValueError(f"layout must be 'OKI' or 'KIO', got {layout!r}")
     if layout == "OKI":                     # (out, kz, ky, kx, in)
         w = np.transpose(w, (1, 2, 3, 4, 0))
     k = w.shape[0] * w.shape[1] * w.shape[2]
