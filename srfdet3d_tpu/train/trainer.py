@@ -51,9 +51,10 @@ def make_lr_schedule(optim, total_steps: int) -> optax.Schedule:
 
 
 def freeze_mask(params, cfg: SRFDetConfig):
-    """True = trainable. Mirrors freeze_img (srfdet.py:83-89) and
-    freeze_lidar_components (tools/train.py:221-276: every `pts_*` module
-    plus the head's proposal embeddings)."""
+    """True = trainable. Mirrors freeze_img (srfdet.py:83-89),
+    freeze_lidar_components (tools/train.py:221-276: every `pts_*` module)
+    and the image backbone's stage-wise frozen_stages
+    (reference vovnet.py:353-366 / mmdet ResNet)."""
     frozen_prefixes = []
     if cfg.optim.freeze_img:
         frozen_prefixes.append(("img_backbone",))
@@ -61,10 +62,28 @@ def freeze_mask(params, cfg: SRFDetConfig):
         frozen_prefixes += [("pts_voxel_encoder",), ("pts_middle_encoder",),
                             ("pts_backbone",), ("pts_neck",)]
 
+    # frozen_stages: stem + the first (fs - 1) stages stay frozen even
+    # when the rest of the image backbone trains
+    fs = cfg.img.frozen_stages if (cfg.img and not cfg.optim.freeze_img) \
+        else 0
+    stage_prefixes = []
+    if fs >= 1:
+        stage_prefixes += [("img_backbone", "stem"),      # VoVNet stems
+                           ("img_backbone", "Conv_0"),    # ResNet root
+                           ("img_backbone", "BatchNorm_0")]
+        for s in range(1, fs):
+            stage_prefixes.append(("img_backbone", f"stage{s + 1}_"))
+            stage_prefixes.append(("img_backbone", f"layer{s}_"))
+
     def trainable(path, _):
         keys = tuple(p.key for p in path if hasattr(p, "key"))
         for pre in frozen_prefixes:
             if keys[:len(pre)] == pre:
+                return False
+        for pre in stage_prefixes:
+            if len(keys) >= len(pre) and \
+                    keys[:len(pre) - 1] == pre[:-1] and \
+                    keys[len(pre) - 1].startswith(pre[-1]):
                 return False
         return True
 
@@ -77,7 +96,9 @@ def make_optimizer(cfg: SRFDetConfig, total_steps: int
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.optim.grad_clip),
         optax.adamw(schedule, weight_decay=cfg.optim.weight_decay))
-    if cfg.optim.freeze_img or cfg.optim.freeze_lidar:
+    needs_mask = cfg.optim.freeze_img or cfg.optim.freeze_lidar or \
+        (cfg.img is not None and cfg.img.frozen_stages > 0)
+    if needs_mask:
         tx = optax.multi_transform(
             {"train": tx, "freeze": optax.set_to_zero()},
             lambda params: jax.tree_util.tree_map(

@@ -1,0 +1,47 @@
+"""Stage-wise image-backbone freezing (frozen_stages)."""
+import dataclasses
+import numpy as np
+import jax
+
+from srfdet3d_tpu.config import ImgBranchConfig
+from srfdet3d_tpu.configs import tiny_test_config
+from srfdet3d_tpu.models.detector import SRFDet
+from srfdet3d_tpu.train import freeze_mask
+
+import __graft_entry__ as graft
+
+
+def test_frozen_stages_vovnet():
+    cfg = tiny_test_config(
+        use_img=True,
+        img=ImgBranchConfig(backbone="vovnet-19-slim", num_cams=1,
+                            neck_out_channels=64, frozen_stages=2))
+    cfg = cfg.replace(
+        head=dataclasses.replace(cfg.head, feat_channels_img=64))
+    batch = graft._synthetic_batch(cfg, 1)
+    rng = np.random.default_rng(0)
+    batch["images"] = jax.numpy.asarray(
+        rng.normal(size=(1, 1, 64, 96, 3)).astype(np.float32))
+    batch["lidar2img"] = jax.numpy.broadcast_to(
+        jax.numpy.eye(4), (1, 1, 4, 4)).astype(jax.numpy.float32)
+
+    variables = jax.jit(
+        lambda r, b: SRFDet(cfg).init(r, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+    mask = freeze_mask(variables["params"], cfg)
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+
+    def top2(path):
+        ks = tuple(p.key for p in path if hasattr(p, "key"))
+        return ks[:2]
+
+    frozen = {top2(k) for k, v in flat if not v}
+    trained = {top2(k) for k, v in flat if v}
+    # fs=2: stems + stage2 frozen; stage3+ and everything else trainable
+    assert ("img_backbone", "stem1") in frozen
+    assert any(t[1].startswith("stage2_") for t in frozen
+               if t[0] == "img_backbone")
+    assert any(t[1].startswith("stage3_") for t in trained
+               if t[0] == "img_backbone")
+    assert ("bbox_head",) == tuple(
+        t[:1] for t in trained if t[0] == "bbox_head")[0]
