@@ -60,7 +60,10 @@ def freeze_mask(params, cfg: SRFDetConfig):
         frozen_prefixes.append(("img_backbone",))
     if cfg.optim.freeze_lidar:
         frozen_prefixes += [("pts_voxel_encoder",), ("pts_middle_encoder",),
-                            ("pts_backbone",), ("pts_neck",)]
+                            ("pts_backbone",), ("pts_neck",),
+                            # reference also freezes the head's optional
+                            # BEV encoder (train.py:229-234)
+                            ("bbox_head", "lidar_encoder")]
 
     # frozen_stages: stem + the first (fs - 1) stages stay frozen even
     # when the rest of the image backbone trains
