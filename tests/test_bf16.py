@@ -2,6 +2,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from srfdet3d_tpu.configs import tiny_test_config
 from srfdet3d_tpu.models.detector import SRFDet
@@ -9,6 +10,7 @@ from srfdet3d_tpu.models.detector import SRFDet
 import __graft_entry__ as graft
 
 
+@pytest.mark.slow
 def test_bf16_forward_close_to_fp32():
     cfg32 = tiny_test_config()
     cfg16 = tiny_test_config(compute_dtype="bfloat16")

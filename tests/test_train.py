@@ -2,6 +2,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from srfdet3d_tpu.configs import tiny_test_config
 from srfdet3d_tpu.config import ImgBranchConfig, OptimConfig
@@ -37,6 +38,7 @@ def test_freeze_mask_lidar():
     assert any(k[0].key == "bbox_head" for k in trained)
 
 
+@pytest.mark.slow
 def test_train_step_loss_decreases_dp():
     cfg = tiny_test_config()
     n_dev = len(jax.devices())
