@@ -50,6 +50,7 @@ def test_lidar_detector_forward_and_predict():
     assert out["boxes"].shape == (B, cfg.test.max_per_img, 9)
 
 
+@pytest.mark.slow
 def test_lidar_detector_train_losses():
     cfg = tiny_test_config()
     rng = np.random.default_rng(1)

@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from srfdet3d_tpu.configs import tiny_kitti_test_config
 from srfdet3d_tpu.models.detector import SRFDet
@@ -36,6 +37,7 @@ def test_kitti_style_forward_loss_decode():
     assert np.isfinite(np.asarray(out["boxes"])).all()
 
 
+@pytest.mark.slow
 def test_kitti_style_train_grads():
     cfg = tiny_kitti_test_config()
     batch = graft._synthetic_batch(cfg, B, with_gt=True)
