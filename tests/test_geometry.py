@@ -89,8 +89,9 @@ def test_rotated_iou_axis_aligned():
     b1 = jnp.array([[0.0, 0.0, 2.0, 2.0, 0.0]])
     b2 = jnp.array([[1.0, 0.0, 2.0, 2.0, 0.0]])
     iou = np.asarray(rotated_iou_bev(b1, b2))[0, 0]
-    # inter = 1x2 = 2, union = 4+4-2 = 6
-    np.testing.assert_allclose(iou, 2.0 / 6.0, atol=1e-5)
+    # inter = 1x2 = 2, union = 4+4-2 = 6; atol covers the boundary
+    # tie-break `shrink` (geometry/iou.py rotated_intersection_pairs)
+    np.testing.assert_allclose(iou, 2.0 / 6.0, atol=1e-4)
 
 
 def test_rotated_iou_identical():
@@ -193,3 +194,65 @@ def test_multiclass_nms_jit():
     f = jax.jit(lambda b, bv, s: multiclass_nms_3d(b, bv, s, 0.1, 4, 0.4))
     out = f(boxes, bev, scores)
     assert out[0].shape == (4, 7)
+
+
+def test_green_clipping_matches_candidate_sort():
+    """The Liang-Barsky/Green's-theorem intersection must agree with the
+    candidate-vertex + angular-sort reference construction."""
+    from srfdet3d_tpu.geometry.iou import (
+        rotated_intersection_bev, _rotated_intersection_bev_sort)
+    rng = np.random.RandomState(7)
+    n = 64
+    b1 = np.stack([rng.uniform(-30, 30, n), rng.uniform(-30, 30, n),
+                   rng.uniform(0.3, 8, n), rng.uniform(0.3, 8, n),
+                   rng.uniform(-2 * np.pi, 2 * np.pi, n)], -1)
+    b2 = np.stack([rng.uniform(-30, 30, n), rng.uniform(-30, 30, n),
+                   rng.uniform(0.3, 8, n), rng.uniform(0.3, 8, n),
+                   rng.uniform(-2 * np.pi, 2 * np.pi, n)], -1)
+    # heavy-overlap subset (the regime NMS actually exercises)
+    b2[:32] = b1[:32] + rng.normal(0, 0.4, (32, 5))
+    b1 = b1.astype(np.float32)
+    b2 = b2.astype(np.float32)
+    new = np.asarray(rotated_intersection_bev(jnp.array(b1), jnp.array(b2)))
+    ref = np.asarray(
+        _rotated_intersection_bev_sort(jnp.array(b1), jnp.array(b2)))
+    np.testing.assert_allclose(new, ref, atol=5e-3)
+
+
+def _greedy_nms_oracle(ious, scores, valid, thr):
+    order = np.argsort(-np.where(valid, scores, -np.inf))
+    keep = np.zeros_like(valid)
+    for i in order:
+        if not valid[i]:
+            continue
+        ok = True
+        for j in np.flatnonzero(keep):
+            if scores[j] > scores[i] or (scores[j] == scores[i] and j != i
+                                         and np.where(order == j)[0][0] <
+                                         np.where(order == i)[0][0]):
+                if ious[i, j] > thr:
+                    ok = False
+                    break
+        keep[i] = ok
+    return keep
+
+
+def test_nms_fixed_point_matches_sequential_greedy():
+    """The self-suppression fixed point must equal sequential greedy NMS."""
+    from srfdet3d_tpu.geometry.iou import rotated_iou_bev
+    rng = np.random.RandomState(3)
+    n = 80
+    boxes = np.stack([rng.uniform(-10, 10, n), rng.uniform(-10, 10, n),
+                      rng.uniform(1, 5, n), rng.uniform(1, 5, n),
+                      rng.uniform(-np.pi, np.pi, n)], -1).astype(np.float32)
+    # clusters of near-duplicates to force long suppression chains
+    for c in range(0, 60, 6):
+        boxes[c:c + 6] = boxes[c] + rng.normal(0, 0.35,
+                                               (6, 5)).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    valid = rng.uniform(0, 1, n) > 0.1
+    keep = np.asarray(rotated_nms_bev(
+        jnp.array(boxes), jnp.array(scores), 0.3, jnp.array(valid)))
+    ious = np.asarray(rotated_iou_bev(jnp.array(boxes), jnp.array(boxes)))
+    oracle = _greedy_nms_oracle(ious, scores, valid, 0.3)
+    np.testing.assert_array_equal(keep, oracle.astype(bool))
