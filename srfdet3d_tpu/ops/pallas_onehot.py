@@ -1,0 +1,281 @@
+"""Packed one-hot windowed gather+matmul Pallas kernel for sparse conv.
+
+Third-generation TPU kernel for the sparse-conv gather wall (PERF.md):
+the XLA row-gather runs at ~30 GB/s effective; Mosaic's `tpu.dynamic_gather`
+cannot lower the VMEM shuffles the earlier kernels needed
+(ops/pallas_gather.py, ops/pallas_window_gather.py).  This kernel removes
+dynamic gathers entirely:
+
+  1. **Windows**: for one kernel offset, the input rows matched by a tile of
+     consecutive output rows are monotone non-decreasing (query keys are
+     sorted keys + a constant delta), so most fall in a contiguous window of
+     the feature table.  Each (tile, offset-group) DMAs ONE contiguous
+     window — large blocks ride full HBM bandwidth.
+  2. **Packing**: the table is viewed as (N/pack, pack*Cin) with
+     pack = 128 // Cin, so a VMEM window is lane-dense (a (W, 16) f32 window
+     would pad 8x to the 128-lane width).
+  3. **One-hot matmul**: gathering row r from the window becomes
+     `onehot(r // pack) @ window` on the MXU — a (TM, Wp) x (Wp, 128)
+     matmul — followed by a lane-group mask selecting slot `r % pack` and a
+     matmul with the pack-times-tiled weights.  One-hot rows of a miss are
+     all-zero, so rulebook misses cost nothing.
+
+Rows that fall outside their window are repaired by a compacted XLA
+correction pass (cumsum scatter, no sort).
+
+Replaces the gather in spconv-equivalent convs (reference
+sparse_encoder_custom.py:74-107 consumes spconv's CUDA gather-GEMM-scatter).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _kernel(starts_ref, plidx_ref, sub_ref, feats_hbm, wt_ref, out_ref,
+            win_scratch, acc_ref, sems, *, groups, pack, cin_pad, wp):
+    """One grid step = one output tile.
+
+    starts (T, G) packed-row window starts (scalar-prefetched, SMEM);
+    plidx (TM, K) window-relative PACKED row (-1 = miss/out-of-window);
+    sub (TM, K) sub-slot in [0, pack); feats (Np, pack*Cin) HBM packed table;
+    wt (K, pack*Cin, Cout) pack-tiled weights; out (TM, Cout);
+    win_scratch (G, Wp, pack*Cin); acc (TM, Cout) f32; sems (G,) DMA.
+    groups: tuple of tuples — offset ids per window group.
+    """
+    t = pl.program_id(0)
+    tm, k = plidx_ref.shape
+    cout = out_ref.shape[-1]
+    # starts are host-snapped to the sublane tile; multiple_of lets Mosaic
+    # prove slice alignment (bf16 tables otherwise fail to lower)
+    snap = 8 if win_scratch.dtype == jnp.float32 else 16
+
+    for g in range(len(groups)):
+        pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(pl.multiple_of(starts_ref[t, g], snap), wp), :],
+            win_scratch.at[g],
+            sems.at[g],
+        ).start()
+
+    acc_ref[:] = jnp.zeros((tm, cout), jnp.float32)
+    lane_group = jax.lax.broadcasted_iota(
+        jnp.int32, (tm, pack * cin_pad), 1) // cin_pad
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (tm, wp), 1)
+
+    for g, offs in enumerate(groups):
+        pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(pl.multiple_of(starts_ref[t, g], snap), wp), :],
+            win_scratch.at[g],
+            sems.at[g],
+        ).wait()
+        window = win_scratch[g]                       # (Wp, pack*Cin)
+        # one-hot rows are exact at any matmul precision (products are
+        # 1.0 * v); HIGHEST keeps v itself un-truncated for f32 tables.
+        prec = (jax.lax.Precision.HIGHEST
+                if window.dtype == jnp.float32 else None)
+        for j in offs:
+            onehot = (plidx_ref[:, j][:, None] == row_iota).astype(
+                window.dtype)                         # (TM, Wp)
+            rows = jnp.dot(onehot, window, precision=prec,
+                           preferred_element_type=jnp.float32)
+            sel = (sub_ref[:, j][:, None] == lane_group)
+            rows = jnp.where(sel, rows, 0.0).astype(window.dtype)
+            acc_ref[:] += jnp.dot(rows, wt_ref[j],
+                                  preferred_element_type=jnp.float32)
+    out_ref[:] = acc_ref[:].astype(out_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _default_groups(k: int):
+    """Group kernel offsets by their slowest (z) coordinate: for a cubic
+    kernel the 27 offsets split into 3 groups of 9 whose key deltas differ
+    by <= h*w, so their window positions nearly coincide."""
+    if k % 3 == 0:
+        per = k // 3
+        return tuple(tuple(range(g * per, (g + 1) * per)) for g in range(3))
+    return tuple((j,) for j in range(k))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tm", "wp", "interpret", "correct",
+                              "correction_tiles", "group_by_z"))
+def gather_matmul_onehot(features: jnp.ndarray,
+                         gather_idx: jnp.ndarray,
+                         weights: jnp.ndarray,
+                         tm: int = 512,
+                         wp: int = 256,
+                         interpret: bool = False,
+                         correct: bool = True,
+                         correction_tiles: int = 16,
+                         group_by_z: bool = True) -> jnp.ndarray:
+    """Windowed one-hot gather + conv matmul.
+
+    Args:
+      features: (N, Cin) flat table; index N (== miss) reads zeros.
+      gather_idx: (M, K) int32 in [0, N].
+      weights: (K, Cin, Cout).
+      tm: output tile rows.
+      wp: window size in PACKED rows (each packed row = 128 // Cin_pad
+        table rows).
+      correct: repair out-of-window rows with a TILE-granular XLA pass:
+        the `correction_tiles` tiles with the most out-of-window entries
+        are re-gathered directly (exact while no more than that many tiles
+        contain any out-of-window entry; rulebook indices are per-offset
+        monotone, so on real scenes almost no tile does).
+    Returns: (M, Cout) in features.dtype.
+    """
+    n, cin = features.shape
+    m, k = gather_idx.shape
+    cout = weights.shape[2]
+    dtype = features.dtype
+
+    # pad Cin to a divisor of 128 and pick the pack factor
+    cin_pad = 1
+    while cin_pad < cin or LANE % cin_pad:
+        cin_pad *= 2
+    cin_pad = min(cin_pad, LANE)
+    pack = LANE // cin_pad
+
+    snap = 8 if dtype == jnp.float32 else 16
+
+    feats = features
+    if cin_pad != cin:
+        feats = jnp.pad(feats, ((0, 0), (0, cin_pad - cin)))
+    # one zero miss row, then pad rows to a multiple of pack*snap (sublane-
+    # aligned packed windows) plus one full window of DMA overrun slack
+    n1 = n + 1
+    np_rows = _round_up(n1, pack * snap) + wp * pack
+    feats = jnp.pad(feats, ((0, np_rows - n), (0, 0)))
+    packed = feats.reshape(np_rows // pack, pack * cin_pad)
+
+    w_pad = weights.astype(dtype)
+    if cin_pad != cin:
+        w_pad = jnp.pad(w_pad, ((0, 0), (0, cin_pad - cin), (0, 0)))
+    # tile weights over the pack axis: (K, pack*Cin_pad, Cout)
+    wt = jnp.tile(w_pad, (1, pack, 1))
+
+    pad_m = (-m) % tm
+    idx = jnp.pad(gather_idx, ((0, pad_m), (0, 0)), constant_values=n)
+    mp = idx.shape[0]
+    n_tiles = mp // tm
+
+    groups = _default_groups(k) if group_by_z else \
+        tuple((j,) for j in range(k))
+
+    # per (tile, group): packed window start = min valid packed row,
+    # snapped to the sublane tile
+    pidx = idx // pack                                   # (Mp, K) packed row
+    sub = (idx % pack).astype(jnp.int32)
+    tiles = pidx.reshape(n_tiles, tm, k)
+    max_start = max(np_rows // pack - wp, 0)
+    starts = []
+    rel_parts = []
+    for offs in groups:
+        sel = tiles[:, :, list(offs)]                    # (T, TM, |g|)
+        s = jnp.min(jnp.where(sel < (n // pack) + 1, sel, n // pack),
+                    axis=(1, 2))
+        s = jnp.minimum((s // snap) * snap, max_start)   # (T,)
+        starts.append(s)
+        rel_parts.append(sel - s[:, None, None])
+    starts = jnp.stack(starts, axis=1).astype(jnp.int32)  # (T, G)
+    rel = jnp.concatenate(rel_parts, axis=2)             # group-ordered
+    # restore original offset order: rel[..., j] must describe offset j
+    order = [j for g in groups for j in g]
+    perm = jnp.zeros((k,), jnp.int32).at[jnp.array(order)].set(
+        jnp.arange(k, dtype=jnp.int32))
+    rel = jnp.take(rel, perm, axis=2)
+
+    miss = idx.reshape(n_tiles, tm, k) >= n              # rulebook miss
+    in_win = (rel >= 0) & (rel < wp) & ~miss
+    plidx = jnp.where(in_win, rel, -1).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tm, k), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, k), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),           # packed table, HBM
+            pl.BlockSpec((k, pack * cin_pad, cout), lambda i, s: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tm, cout), lambda i, s: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((len(groups), wp, pack * cin_pad), dtype),
+            pltpu.VMEM((tm, cout), jnp.float32),
+            pltpu.SemaphoreType.DMA((len(groups),)),
+        ],
+    )
+    kernel = functools.partial(_kernel, groups=groups, pack=pack,
+                               cin_pad=cin_pad, wp=wp)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((mp, cout), dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, plidx.reshape(mp, k), sub.reshape(mp, k), packed, wt)
+
+    if not correct:
+        return out[:m]
+
+    # ---- tile-granular correction: pick the tiles with the most
+    # out-of-window entries and re-gather ONLY their flagged entries
+    # directly (plain XLA row gather + one matmul + one contiguous-row
+    # scatter-add).  No cumsum, no full-size scatter — the per-entry
+    # compaction machinery cost more than the kernel itself.
+    oow = ~in_win & ~miss                                    # (T, TM, K)
+    cap_t = min(correction_tiles, n_tiles)
+    counts = jnp.sum(oow, axis=(1, 2))                       # (T,)
+    _, sel = jax.lax.top_k(counts, cap_t)                    # (cap_t,)
+    sel_idx = idx.reshape(n_tiles, tm, k)[sel]               # (cap_t, tm, K)
+    sel_oow = oow[sel]
+    feats0 = jnp.concatenate(
+        [features, jnp.zeros((1, cin), dtype)], axis=0)
+    g = feats0[jnp.where(sel_oow, sel_idx, n)]               # (cap_t,tm,K,Ci)
+    part = jnp.dot(g.reshape(cap_t * tm, k * cin),
+                   weights.astype(dtype).reshape(k * cin, cout),
+                   preferred_element_type=jnp.float32).astype(out.dtype)
+    rows = (sel[:, None] * tm +
+            jnp.arange(tm, dtype=jnp.int32)[None, :]).reshape(-1)
+    out = out.at[rows].add(part, mode="drop")
+    return out[:m]
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "wp", "group_by_z"))
+def onehot_miss_count(gather_idx: jnp.ndarray, n: int, pack: int,
+                      tm: int = 512, wp: int = 256,
+                      group_by_z: bool = True) -> jnp.ndarray:
+    """Count of out-of-window entries for the given layout — use to size
+    `correction_frac` on representative data."""
+    m, k = gather_idx.shape
+    pad_m = (-m) % tm
+    idx = jnp.pad(gather_idx, ((0, pad_m), (0, 0)), constant_values=n)
+    n_tiles = idx.shape[0] // tm
+    pidx = idx // pack
+    tiles = pidx.reshape(n_tiles, tm, k)
+    groups = _default_groups(k) if group_by_z else \
+        tuple((j,) for j in range(k))
+    total = jnp.zeros((), jnp.int32)
+    for offs in groups:
+        sel = tiles[:, :, list(offs)]
+        s = jnp.min(jnp.where(sel < (n // pack) + 1, sel, n // pack),
+                    axis=(1, 2))
+        s = (s // 8) * 8
+        rel = sel - s[:, None, None]
+        miss = idx.reshape(n_tiles, tm, k)[:, :, list(offs)] >= n
+        oow = ((rel < 0) | (rel >= wp)) & ~miss
+        total += jnp.sum(oow.astype(jnp.int32))
+    return total

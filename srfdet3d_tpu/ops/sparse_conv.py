@@ -26,6 +26,7 @@ applied at the batched level by the flax modules in models/sparse_encoder.py).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import Sequence, Tuple
 
@@ -398,16 +399,104 @@ def sparse_conv3d(st: SparseTensor,
     return SparseTensor(out, out_coords, out_mask, out_shape)
 
 
+# Gather strategy for the conv hot path.  "xla": one big row gather + one
+# matmul (~30 GB/s effective on v5e, PERF.md).  "onehot": the packed one-hot
+# windowed Pallas kernel (ops/pallas_onehot.py) — contiguous window DMAs +
+# MXU one-hot matmuls, no dynamic gathers.  "auto": onehot on TPU, xla
+# elsewhere (the kernel only lowers via Mosaic).
+GATHER_METHOD = os.environ.get("SRFDET_GATHER", "auto")
+ONEHOT_TM = 512
+ONEHOT_WINDOW_ROWS = 2048        # window size in TABLE rows
+ONEHOT_CORRECTION_TILES = 16     # tile-granular correction budget
+# the kernel wins where the row-gather wall bites: many small rows.  Deep
+# stages (few voxels, wide channels) gather fewer, wider rows and XLA is
+# already fast there, while the one-hot matmul cost scales with window
+# TABLE rows (constant per pack) — skip the kernel when it cannot pay.
+ONEHOT_MIN_GATHER_ROWS = 1_000_000
+ONEHOT_MAX_CIN = 64
+
+
+def _use_onehot() -> bool:
+    if GATHER_METHOD == "onehot":
+        return True
+    if GATHER_METHOD == "auto":
+        try:
+            return jax.default_backend() not in ("cpu",)
+        except Exception:
+            return False
+    return False
+
+
+@jax.custom_vjp
+def _onehot_conv(flat_feats: jnp.ndarray, flat_idx: jnp.ndarray,
+                 weights: jnp.ndarray) -> jnp.ndarray:
+    """flat_feats (N, Cin) (miss row NOT included; index N = miss),
+    flat_idx (M, K), weights (K, Cin, Cout) -> (M, Cout)."""
+    from .pallas_onehot import gather_matmul_onehot
+    cin = flat_feats.shape[1]
+    cin_pad = 1
+    while cin_pad < cin or 128 % cin_pad:
+        cin_pad *= 2
+    pack = 128 // min(cin_pad, 128)
+    wp = max(ONEHOT_WINDOW_ROWS // pack, 16)
+    return gather_matmul_onehot(
+        flat_feats, flat_idx, weights, tm=ONEHOT_TM, wp=wp,
+        correction_tiles=ONEHOT_CORRECTION_TILES)
+
+
+def _onehot_conv_fwd(flat_feats, flat_idx, weights):
+    return _onehot_conv(flat_feats, flat_idx, weights), (
+        flat_feats, flat_idx, weights)
+
+
+def _onehot_conv_bwd(res, g):
+    """Backward identical to the XLA path's autodiff: re-gather for dW,
+    scatter-add for dfeats (the forward kernel is gather+matmul exactly)."""
+    flat_feats, flat_idx, weights = res
+    n, cin = flat_feats.shape
+    m, k = flat_idx.shape
+    feats0 = jnp.concatenate(
+        [flat_feats, jnp.zeros((1, cin), flat_feats.dtype)], axis=0)
+    gathered = feats0[flat_idx]                               # (M, K, Cin)
+    g32 = g.astype(jnp.float32)
+    dw = jnp.einsum("mkc,md->kcd", gathered.astype(jnp.float32), g32,
+                    preferred_element_type=jnp.float32)
+    dcontrib = jnp.einsum("md,kcd->mkc", g32,
+                          weights.astype(jnp.float32),
+                          preferred_element_type=jnp.float32)
+    dfeats = jnp.zeros((n + 1, cin), jnp.float32).at[
+        flat_idx.reshape(-1)].add(
+        dcontrib.reshape(-1, cin), mode="drop")[:n]
+    return (dfeats.astype(flat_feats.dtype), None,
+            dw.astype(weights.dtype))
+
+
+_onehot_conv.defvjp(_onehot_conv_fwd, _onehot_conv_bwd)
+
+
 def gathered_conv_apply_batched(features: jnp.ndarray,
                                 gather_idx: jnp.ndarray,
                                 weights: jnp.ndarray,
                                 bias: jnp.ndarray | None = None
                                 ) -> jnp.ndarray:
     """features (B, V, Cin), gather_idx (B, M, K) GLOBAL flat indices,
-    weights (K, Cin, Cout) -> (B, M, Cout).  One big gather + one matmul."""
+    weights (K, Cin, Cout) -> (B, M, Cout).
+
+    Two equivalent lowerings of spconv's gather-GEMM (see GATHER_METHOD):
+    one fused XLA row gather + matmul, or the windowed one-hot Pallas
+    kernel. Both contract the full K*Cin axis per output row."""
     b, v, cin = features.shape
     _, m, k = gather_idx.shape
     cout = weights.shape[2]
+    if (_use_onehot() and b * m * k >= ONEHOT_MIN_GATHER_ROWS
+            and cin <= ONEHOT_MAX_CIN):
+        out = _onehot_conv(features.reshape(b * v, cin),
+                           gather_idx.reshape(b * m, k),
+                           weights).astype(features.dtype)
+        out = out.reshape(b, m, cout)
+        if bias is not None:
+            out = out + bias
+        return out
     flat = jnp.concatenate(
         [features.reshape(b * v, cin),
          jnp.zeros((1, cin), features.dtype)], axis=0)
