@@ -72,8 +72,49 @@ def _offsets(kernel: Tuple[int, int, int]) -> jnp.ndarray:
 # of the sorted key+delta queries) measured WORSE end-to-end (463 vs
 # 261 ms encoder) despite the smaller sorts — batched merge sort does not
 # pay off on this chip; kept as an option for other topologies.
-LOOKUP_METHOD = "dense"          # dense | offset_sort | sort | scan
+# 'pallas' = windowed in-kernel key search (ops/pallas_rulebook.py): no
+# cell table at all; falls back to 'dense' off-TPU or when the flat key
+# space exceeds int32.
+LOOKUP_METHOD = os.environ.get("SRFDET_LOOKUP", "dense")
 _DENSE_LOOKUP_MAX_CELLS = 96_000_000
+RULEBOOK_WK = 16                 # pallas key window: wk * 128 keys
+RULEBOOK_CORRECTION_TILES = 16
+
+
+def _use_pallas_lookup(b: int, num_cells: int) -> bool:
+    if LOOKUP_METHOD != "pallas":
+        return False
+    if b * (num_cells + 1) >= (1 << 31):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu",)
+    except Exception:
+        return False
+
+
+def _pallas_rulebook_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
+                            num_cells: int) -> jnp.ndarray:
+    """keys (B, V) per-sample sorted (sentinel num_cells on masked rows);
+    queries (B, Q, K) with >= num_cells marking invalid.  Returns (B, Q, K)
+    GLOBAL flat rows into the (B*V + 1,) feature table (B*V = miss).
+
+    Samples are folded into ONE globally sorted key array by shifting each
+    sample by (num_cells + 1): valid keys map below the sample's sentinel
+    slot and the sentinel slot stays below the next sample's range, so
+    sortedness and uniqueness survive flattening.
+    """
+    from .pallas_rulebook import rulebook_lookup
+    b, v = keys.shape
+    _, q, k = queries.shape
+    shift = num_cells + 1
+    offs = (jnp.arange(b, dtype=jnp.int32) * shift)[:, None]
+    gkeys = jnp.where(keys < num_cells, keys + offs,
+                      offs + num_cells).reshape(-1)
+    gq = jnp.where(queries < num_cells, queries + offs[:, :, None],
+                   b * shift).reshape(b * q, k)
+    idx = rulebook_lookup(gkeys, gq, b * shift, wk=RULEBOOK_WK,
+                          correction_tiles=RULEBOOK_CORRECTION_TILES)
+    return idx.reshape(b, q, k)
 
 
 def _per_offset_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
@@ -103,7 +144,8 @@ def make_key_table(coords: jnp.ndarray, mask: jnp.ndarray, shape):
     d, h, w = shape
     num_cells = d * h * w
     keys = jax.vmap(lambda c, m: _key(c, shape, m))(coords, mask)
-    if LOOKUP_METHOD != "dense":
+    if LOOKUP_METHOD != "dense" or _use_pallas_lookup(
+            keys.shape[0], num_cells):
         return keys, None
     return _build_dense_table(keys, num_cells)
 
@@ -193,6 +235,8 @@ def subm_gather_indices_batched(coords: jnp.ndarray, mask: jnp.ndarray,
     nkeys = (ncoords[..., 0] * h + ncoords[..., 1]) * w + ncoords[..., 2]
     nkeys = jnp.where(in_rng & mask[:, :, None], nkeys, sentinel)
 
+    if _use_pallas_lookup(b, sentinel):
+        return _pallas_rulebook_lookup(keys, nkeys, sentinel)
     if LOOKUP_METHOD == "offset_sort" and table is None:
         idx = _per_offset_lookup(
             keys, nkeys.transpose(0, 2, 1), sentinel)         # (B, K, V)
@@ -353,6 +397,8 @@ def strided_gather_indices_batched(coords: jnp.ndarray, mask: jnp.ndarray,
     ikeys = (icoords[..., 0] * h + icoords[..., 1]) * w + icoords[..., 2]
     ikeys = jnp.where(in_rng & out_mask[:, :, None], ikeys, sentinel)
 
+    if _use_pallas_lookup(b, sentinel):
+        return _pallas_rulebook_lookup(keys, ikeys, sentinel)
     if LOOKUP_METHOD == "offset_sort" and table is None:
         idx = _per_offset_lookup(
             keys, ikeys.transpose(0, 2, 1), sentinel)         # (B, K, M)
