@@ -33,16 +33,16 @@ ITERS = 20
 
 
 def main():
-    from __graft_entry__ import entry
+    from __graft_entry__ import predict_entry
 
-    forward, (variables, batch) = entry()
-    fn = jax.jit(forward)
+    predict, (variables, batch) = predict_entry()
+    fn = jax.jit(predict)
 
     def run_sync():
         # On the tunneled axon backend block_until_ready returns before the
         # device finishes; a scalar host readback is the only true sync.
-        logits, boxes = fn(variables, batch)
-        return float(jnp.sum(logits[-1, :, 0, 0]))
+        out = fn(variables, batch)
+        return float(jnp.sum(out["scores"]))
 
     import jax.numpy as jnp
     t0 = time.perf_counter()
