@@ -46,13 +46,20 @@ def _kernel(starts_ref, plidx_ref, sub_ref, feats_hbm, wt_ref, out_ref,
     starts (T, G) packed-row window starts (scalar-prefetched, SMEM);
     plidx (TM, K) window-relative PACKED row (-1 = miss/out-of-window);
     sub (TM, K) sub-slot in [0, pack); feats (Np, pack*Cin) HBM packed table;
-    wt (K, pack*Cin, Cout) pack-tiled weights; out (TM, Cout);
+    wt (G, per*pack*Cin, Cout) group-stacked pack-tiled weights (per =
+    offsets per group); out (TM, Cout);
     win_scratch (G, Wp, pack*Cin); acc (TM, Cout) f32; sems (G,) DMA.
     groups: tuple of tuples — offset ids per window group.
+
+    Per group ALL offsets' one-hot rows are stacked into one
+    (per*TM, Wp) x (Wp, 128) MXU matmul, and the weight stage is one
+    (TM, per*128) x (per*128, Cout) matmul — 27 small matmuls starve the
+    MXU (measured 44.7 ms vs 29.3 XLA at stage 1 before this batching).
     """
     t = pl.program_id(0)
     tm, k = plidx_ref.shape
     cout = out_ref.shape[-1]
+    lanes = pack * cin_pad
     # starts are host-snapped to the sublane tile; multiple_of lets Mosaic
     # prove slice alignment (bf16 tables otherwise fail to lower)
     snap = 8 if win_scratch.dtype == jnp.float32 else 16
@@ -66,7 +73,7 @@ def _kernel(starts_ref, plidx_ref, sub_ref, feats_hbm, wt_ref, out_ref,
 
     acc_ref[:] = jnp.zeros((tm, cout), jnp.float32)
     lane_group = jax.lax.broadcasted_iota(
-        jnp.int32, (tm, pack * cin_pad), 1) // cin_pad
+        jnp.int32, (tm, lanes), 1) // cin_pad
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (tm, wp), 1)
 
     for g, offs in enumerate(groups):
@@ -77,18 +84,23 @@ def _kernel(starts_ref, plidx_ref, sub_ref, feats_hbm, wt_ref, out_ref,
         ).wait()
         window = win_scratch[g]                       # (Wp, pack*Cin)
         # one-hot rows are exact at any matmul precision (products are
-        # 1.0 * v); HIGHEST keeps v itself un-truncated for f32 tables.
-        prec = (jax.lax.Precision.HIGHEST
+        # 1.0 * v); HIGH (bf16x3) keeps ~21 mantissa bits of v for f32
+        # tables at half the cost of HIGHEST.
+        prec = (jax.lax.Precision.HIGH
                 if window.dtype == jnp.float32 else None)
-        for j in offs:
-            onehot = (plidx_ref[:, j][:, None] == row_iota).astype(
-                window.dtype)                         # (TM, Wp)
-            rows = jnp.dot(onehot, window, precision=prec,
-                           preferred_element_type=jnp.float32)
+        oh = jnp.concatenate(
+            [(plidx_ref[:, j][:, None] == row_iota) for j in offs],
+            axis=0).astype(window.dtype)              # (per*TM, Wp)
+        r = jnp.dot(oh, window, precision=prec,
+                    preferred_element_type=jnp.float32)  # (per*TM, lanes)
+        parts = []
+        for gi, j in enumerate(offs):
             sel = (sub_ref[:, j][:, None] == lane_group)
-            rows = jnp.where(sel, rows, 0.0).astype(window.dtype)
-            acc_ref[:] += jnp.dot(rows, wt_ref[j],
-                                  preferred_element_type=jnp.float32)
+            parts.append(jnp.where(sel, r[gi * tm:(gi + 1) * tm], 0.0)
+                         .astype(window.dtype))
+        rl = jnp.concatenate(parts, axis=1)           # (TM, per*lanes)
+        acc_ref[:] += jnp.dot(rl, wt_ref[g],
+                              preferred_element_type=jnp.float32)
     out_ref[:] = acc_ref[:].astype(out_ref.dtype)
 
 
@@ -158,19 +170,23 @@ def gather_matmul_onehot(features: jnp.ndarray,
     feats = jnp.pad(feats, ((0, np_rows - n), (0, 0)))
     packed = feats.reshape(np_rows // pack, pack * cin_pad)
 
+    groups = _default_groups(k) if group_by_z else \
+        tuple((j,) for j in range(k))
+    per = len(groups[0])
+
     w_pad = weights.astype(dtype)
     if cin_pad != cin:
         w_pad = jnp.pad(w_pad, ((0, 0), (0, cin_pad - cin), (0, 0)))
-    # tile weights over the pack axis: (K, pack*Cin_pad, Cout)
+    # tile weights over the pack axis and stack each group's offsets along
+    # the contraction axis: (G, per*pack*Cin_pad, Cout)
     wt = jnp.tile(w_pad, (1, pack, 1))
+    wt = jnp.stack(
+        [jnp.concatenate([wt[j] for j in offs], axis=0) for offs in groups])
 
     pad_m = (-m) % tm
     idx = jnp.pad(gather_idx, ((0, pad_m), (0, 0)), constant_values=n)
     mp = idx.shape[0]
     n_tiles = mp // tm
-
-    groups = _default_groups(k) if group_by_z else \
-        tuple((j,) for j in range(k))
 
     # per (tile, group): packed window start = min valid packed row,
     # snapped to the sublane tile
@@ -208,7 +224,8 @@ def gather_matmul_onehot(features: jnp.ndarray,
             pl.BlockSpec((tm, k), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),           # packed table, HBM
-            pl.BlockSpec((k, pack * cin_pad, cout), lambda i, s: (0, 0, 0),
+            pl.BlockSpec((len(groups), per * pack * cin_pad, cout),
+                         lambda i, s: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tm, cout), lambda i, s: (i, 0),

@@ -77,7 +77,6 @@ def _offsets(kernel: Tuple[int, int, int]) -> jnp.ndarray:
 # space exceeds int32.
 LOOKUP_METHOD = os.environ.get("SRFDET_LOOKUP", "dense")
 _DENSE_LOOKUP_MAX_CELLS = 96_000_000
-RULEBOOK_WK = 16                 # pallas key window: wk * 128 keys
 RULEBOOK_CORRECTION_TILES = 16
 
 
@@ -112,7 +111,7 @@ def _pallas_rulebook_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
                       offs + num_cells).reshape(-1)
     gq = jnp.where(queries < num_cells, queries + offs[:, :, None],
                    b * shift).reshape(b * q, k)
-    idx = rulebook_lookup(gkeys, gq, b * shift, wk=RULEBOOK_WK,
+    idx = rulebook_lookup(gkeys, gq, b * shift,
                           correction_tiles=RULEBOOK_CORRECTION_TILES)
     return idx.reshape(b, q, k)
 
@@ -452,14 +451,22 @@ def sparse_conv3d(st: SparseTensor,
 # elsewhere (the kernel only lowers via Mosaic).
 GATHER_METHOD = os.environ.get("SRFDET_GATHER", "auto")
 ONEHOT_TM = 512
-ONEHOT_WINDOW_ROWS = 2048        # window size in TABLE rows
+# window must cover (tile span + dz-group key-delta spread); measured on
+# real flagship rulebooks: 512 rows leaves 57 OOW tiles, 768+ leaves ZERO
+# (tools/check_oow.py) — 1024 is a comfortable exact default.
+ONEHOT_WINDOW_ROWS = 1024        # window size in TABLE rows
 ONEHOT_CORRECTION_TILES = 16     # tile-granular correction budget
 # the kernel wins where the row-gather wall bites: many small rows.  Deep
 # stages (few voxels, wide channels) gather fewer, wider rows and XLA is
 # already fast there, while the one-hot matmul cost scales with window
 # TABLE rows (constant per pack) — skip the kernel when it cannot pay.
 ONEHOT_MIN_GATHER_ROWS = 1_000_000
-ONEHOT_MAX_CIN = 64
+# measured per-stage on real rulebooks (tools/bench_stages.py, v5e):
+# stage0 (120k x 16ch): xla 42 ms vs onehot 19.7; stage1 (60k x 32ch):
+# xla 29.3 vs onehot 44.7 (per-offset small matmuls starve the MXU at
+# wp=512) — keep the kernel on the small-channel stages until the grouped
+# big-matmul variant lands.
+ONEHOT_MAX_CIN = 16
 
 
 def _use_onehot() -> bool:

@@ -37,7 +37,7 @@ def test_matches_searchsorted(k, group):
     ref = _oracle(keys, queries, cells)
     got = np.asarray(rulebook_lookup(
         jnp.asarray(keys), jnp.asarray(queries), cells,
-        tm=256, wk=8, group_by_z=group, correction_tiles=8,
+        tm=256, group_by_z=group, correction_tiles=8,
         interpret=True))
     np.testing.assert_array_equal(got, ref)
 
@@ -57,13 +57,13 @@ def test_scattered_queries_corrected():
     ref = _oracle(keys, queries, cells)
     got = np.asarray(rulebook_lookup(
         jnp.asarray(keys), jnp.asarray(queries), cells,
-        tm=128, wk=8, correction_tiles=64, interpret=True))
+        tm=128, correction_tiles=64, interpret=True))
     np.testing.assert_array_equal(got, ref)
 
 
 def test_all_invalid():
     keys = jnp.asarray(np.arange(256, dtype=np.int32))
     queries = jnp.full((128, 3), 500, jnp.int32)
-    got = np.asarray(rulebook_lookup(keys, queries, 500, tm=128, wk=8,
+    got = np.asarray(rulebook_lookup(keys, queries, 500, tm=128,
                                      interpret=True))
     np.testing.assert_array_equal(got, 256)
