@@ -83,16 +83,26 @@ def _kernel(starts_ref, plidx_ref, sub_ref, feats_hbm, wt_ref, out_ref,
             sems.at[g],
         ).wait()
         window = win_scratch[g]                       # (Wp, pack*Cin)
-        # one-hot rows are exact at any matmul precision (products are
-        # 1.0 * v); HIGH (bf16x3) keeps ~21 mantissa bits of v for f32
-        # tables at half the cost of HIGHEST.
-        prec = (jax.lax.Precision.HIGH
-                if window.dtype == jnp.float32 else None)
-        oh = jnp.concatenate(
+        oh_b = jnp.concatenate(
             [(plidx_ref[:, j][:, None] == row_iota) for j in offs],
-            axis=0).astype(window.dtype)              # (per*TM, Wp)
-        r = jnp.dot(oh, window, precision=prec,
-                    preferred_element_type=jnp.float32)  # (per*TM, lanes)
+            axis=0)                                   # (per*TM, Wp) bool
+        if window.dtype == jnp.float32:
+            # manual bf16x3: the one-hot side is exact in bf16, and the
+            # window splits into three bf16 terms reconstructing f32 to
+            # ~0.5 ulp.  3 single-pass matmuls beat Precision.HIGHEST's 6
+            # (Mosaic does not lower the 3-pass Precision.HIGH).
+            oh = oh_b.astype(jnp.bfloat16)
+            hi = window.astype(jnp.bfloat16)
+            r1 = window - hi.astype(jnp.float32)
+            mid = r1.astype(jnp.bfloat16)
+            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+            r = (jnp.dot(oh, hi, preferred_element_type=jnp.float32) +
+                 jnp.dot(oh, mid, preferred_element_type=jnp.float32) +
+                 jnp.dot(oh, lo, preferred_element_type=jnp.float32))
+        else:
+            oh = oh_b.astype(window.dtype)
+            r = jnp.dot(oh, window,
+                        preferred_element_type=jnp.float32)
         parts = []
         for gi, j in enumerate(offs):
             sel = (sub_ref[:, j][:, None] == lane_group)

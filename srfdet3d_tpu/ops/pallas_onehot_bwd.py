@@ -1,0 +1,267 @@
+"""Backward pass of the packed one-hot windowed gather (training hot path).
+
+The forward (ops/pallas_onehot.py) is out[m] = sum_j feats[idx[m, j]] @ W_j;
+its backward needs
+  dfeats[r]  += sum_{m, j: idx[m, j] == r} (g[m] @ W_j^T)      (scatter-add)
+  dW_j       += sum_m feats[idx[m, j]]^T g[m]                  (re-gather)
+Both hit the same XLA walls as the forward gather (PERF.md: scatter-adds
+dominate the 1478 ms flagship train step).  This kernel reuses the window
+structure: per (tile, dz-group) the scatter-add becomes a TRANSPOSED
+one-hot matmul into a window accumulator that is read-modify-written to
+HBM (grid steps execute sequentially on the core, and every DMA is awaited
+inside the step, so overlapping windows of consecutive tiles are safe),
+and dW accumulates in VMEM scratch across all tiles via the same stacked
+one-hot gather as the forward.
+
+Rows out of window (zero on real rulebooks — tools/check_oow.py) are
+repaired by the same tile-granular XLA pass as the forward.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _bwd_kernel(starts_ref, plidx_ref, sub_ref, g_ref, feats_hbm, wt_ref,
+                dfeats_in_hbm, dfeats_hbm, dw_ref, win, dwin, sems, wsem,
+                *, groups, pack, cin_pad, wp):
+    """One grid step = one output tile.
+
+    starts (T, G); plidx/sub (TM, K); g (TM, Cout) upstream grad;
+    feats (Np, pack*Cin) packed table (for dW); wt (G, per*lanes, Cout);
+    dfeats_hbm (Np, pack*Cin) OUTPUT accumulator (aliased zeros input);
+    dw out (G, per*lanes, Cout) f32 (accumulated across grid steps);
+    win/dwin (Wp, lanes) scratch; sems (2,), wsem DMA semaphores.
+    """
+    t = pl.program_id(0)
+    tm, k = plidx_ref.shape
+    lanes = pack * cin_pad
+    snap = 8 if win.dtype == jnp.float32 else 16
+
+    @pl.when(t == 0)
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    lane_group = jax.lax.broadcasted_iota(
+        jnp.int32, (tm, lanes), 1) // cin_pad
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (tm, wp), 1)
+    g = g_ref[:]                                       # (TM, Cout)
+
+    for gi, offs in enumerate(groups):
+        start = pl.multiple_of(starts_ref[t, gi], snap)
+        # features window (for dW) and current dfeats window (for RMW)
+        pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(start, wp), :], win, sems.at[0]).start()
+        pltpu.make_async_copy(
+            dfeats_hbm.at[pl.ds(start, wp), :], dwin, sems.at[1]).start()
+
+        oh = jnp.concatenate(
+            [(plidx_ref[:, j][:, None] == row_iota) for j in offs],
+            axis=0).astype(win.dtype)                  # (per*TM, Wp)
+
+        # dWin: Y = g @ wt_g^T -> (TM, per*lanes); mask sub-slot; stack
+        y = jax.lax.dot_general(
+            g, wt_ref[gi], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (TM, per*lanes)
+        parts = []
+        for pj, j in enumerate(offs):
+            sel = (sub_ref[:, j][:, None] == lane_group)
+            parts.append(jnp.where(
+                sel, y[:, pj * lanes:(pj + 1) * lanes], 0.0))
+        ystack = jnp.concatenate(parts, axis=0).astype(win.dtype)
+        dwin_add = jax.lax.dot_general(
+            oh, ystack, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (Wp, lanes)
+
+        pltpu.make_async_copy(
+            dfeats_hbm.at[pl.ds(start, wp), :], dwin, sems.at[1]).wait()
+        dwin[:] = dwin[:] + dwin_add.astype(dwin.dtype)
+        wb = pltpu.make_async_copy(
+            dwin, dfeats_hbm.at[pl.ds(start, wp), :], wsem)
+        wb.start()
+
+        # dW: gathered rows = oh @ features-window; per-offset blocks give
+        # dW_g[j] += rows_j^T @ g
+        pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(start, wp), :], win, sems.at[0]).wait()
+        rows = jnp.dot(oh, win[:], precision=jax.lax.Precision.HIGHEST
+                       if win.dtype == jnp.float32 else None,
+                       preferred_element_type=jnp.float32)  # (per*TM, lanes)
+        rparts = []
+        for pj, j in enumerate(offs):
+            sel = (sub_ref[:, j][:, None] == lane_group)
+            rparts.append(jnp.where(sel, rows[pj * tm:(pj + 1) * tm], 0.0))
+        rl = jnp.concatenate(rparts, axis=1).astype(win.dtype)
+        dw_ref[gi] += jax.lax.dot_general(
+            rl, g.astype(win.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (per*lanes, Cout)
+
+        # the write-back must land before the next step reads an
+        # overlapping window
+        wb.wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tm", "wp", "interpret", "correction_tiles",
+                              "group_by_z"))
+def gather_matmul_onehot_bwd(features: jnp.ndarray,
+                             gather_idx: jnp.ndarray,
+                             weights: jnp.ndarray,
+                             grad_out: jnp.ndarray,
+                             tm: int = 512,
+                             wp: int = 128,
+                             interpret: bool = False,
+                             correction_tiles: int = 16,
+                             group_by_z: bool = True):
+    """Backward of the windowed one-hot gather+matmul.
+
+    Args:
+      features: (N, Cin); gather_idx (M, K) in [0, N] (N = miss);
+      weights (K, Cin, Cout); grad_out (M, Cout).
+    Returns: (dfeatures (N, Cin) f32, dweights (K, Cin, Cout) f32).
+    """
+    n, cin = features.shape
+    m, k = gather_idx.shape
+    cout = weights.shape[2]
+    dtype = features.dtype
+
+    cin_pad = 1
+    while cin_pad < cin or LANE % cin_pad:
+        cin_pad *= 2
+    cin_pad = min(cin_pad, LANE)
+    pack = LANE // cin_pad
+    lanes = pack * cin_pad
+    snap = 8 if dtype == jnp.float32 else 16
+
+    groups = tuple(tuple(range(g * (k // 3), (g + 1) * (k // 3)))
+                   for g in range(3)) if (k % 3 == 0 and group_by_z) else \
+        tuple((j,) for j in range(k))
+    per = len(groups[0])
+
+    feats = features
+    if cin_pad != cin:
+        feats = jnp.pad(feats, ((0, 0), (0, cin_pad - cin)))
+    n1 = n + 1
+    np_rows = (-(-n1 // (pack * snap))) * (pack * snap) + wp * pack
+    feats = jnp.pad(feats, ((0, np_rows - n), (0, 0)))
+    packed = feats.reshape(np_rows // pack, lanes)
+
+    w_pad = weights.astype(dtype)
+    if cin_pad != cin:
+        w_pad = jnp.pad(w_pad, ((0, 0), (0, cin_pad - cin), (0, 0)))
+    wt = jnp.tile(w_pad, (1, pack, 1))
+    wt = jnp.stack(
+        [jnp.concatenate([wt[j] for j in offs], axis=0) for offs in groups])
+
+    pad_m = (-m) % tm
+    idx = jnp.pad(gather_idx, ((0, pad_m), (0, 0)), constant_values=n)
+    g_pad = jnp.pad(grad_out.astype(dtype), ((0, pad_m), (0, 0)))
+    mp = idx.shape[0]
+    n_tiles = mp // tm
+
+    pidx = idx // pack
+    sub = (idx % pack).astype(jnp.int32)
+    tiles = pidx.reshape(n_tiles, tm, k)
+    max_start = max(np_rows // pack - wp, 0)
+    starts = []
+    rel_parts = []
+    for offs in groups:
+        sel = tiles[:, :, list(offs)]
+        s = jnp.min(jnp.where(sel < (n // pack) + 1, sel, n // pack),
+                    axis=(1, 2))
+        s = jnp.minimum((s // snap) * snap, max_start)
+        starts.append(s)
+        rel_parts.append(sel - s[:, None, None])
+    starts = jnp.stack(starts, axis=1).astype(jnp.int32)
+    rel = jnp.concatenate(rel_parts, axis=2)
+    order = [j for gr in groups for j in gr]
+    perm = jnp.zeros((k,), jnp.int32).at[jnp.array(order)].set(
+        jnp.arange(k, dtype=jnp.int32))
+    rel = jnp.take(rel, perm, axis=2)
+    miss = idx.reshape(n_tiles, tm, k) >= n
+    in_win = (rel >= 0) & (rel < wp) & ~miss
+    plidx = jnp.where(in_win, rel, -1).astype(jnp.int32)
+
+    zeros_packed = jnp.zeros_like(packed)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tm, k), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, k), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, cout), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),           # packed table
+            pl.BlockSpec((len(groups), per * lanes, cout),
+                         lambda i, s: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),           # dfeats accumulator
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),           # dfeats (aliased)
+            pl.BlockSpec((len(groups), per * lanes, cout),
+                         lambda i, s: (0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((wp, lanes), dtype),
+            pltpu.VMEM((wp, lanes), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    kernel = functools.partial(_bwd_kernel, groups=groups, pack=pack,
+                               cin_pad=cin_pad, wp=wp)
+    dpacked, dw_g = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((np_rows // pack, lanes),
+                                        jnp.float32),
+                   jax.ShapeDtypeStruct((len(groups), per * lanes, cout),
+                                        jnp.float32)),
+        grid_spec=grid_spec,
+        input_output_aliases={6: 0},
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(starts, plidx.reshape(mp, k), sub.reshape(mp, k), g_pad, packed, wt,
+      jnp.zeros((np_rows // pack, lanes), jnp.float32))
+
+    dfeats = dpacked.reshape(np_rows, cin_pad)[:n, :cin]
+    # ungroup + un-tile dW: (G, per, pack, cin_pad, cout) summed over pack
+    dw_g = dw_g.reshape(len(groups), per, pack, cin_pad, cout)
+    dw_g = jnp.sum(dw_g, axis=2)[:, :, :cin, :]
+    dw = jnp.zeros((k, cin, cout), jnp.float32)
+    flat_order = [j for gr in groups for j in gr]
+    dw = dw.at[jnp.array(flat_order)].set(
+        dw_g.reshape(k, cin, cout))
+
+    # tile-granular correction for out-of-window entries
+    oow = ~in_win & ~miss
+    cap_t = min(correction_tiles, n_tiles)
+    counts = jnp.sum(oow, axis=(1, 2))
+    _, selt = jax.lax.top_k(counts, cap_t)
+    sel_idx = idx.reshape(n_tiles, tm, k)[selt]
+    sel_oow = oow[selt]
+    sel_g = g_pad.reshape(n_tiles, tm, cout)[selt]        # (cap, tm, Cout)
+    eff_idx = jnp.where(sel_oow, sel_idx, n)
+    # dfeats corrections: scatter-add g @ W^T per flagged entry
+    gw = jnp.einsum("abd,kcd->abkc", sel_g.astype(jnp.float32),
+                    weights.astype(jnp.float32))          # (cap,tm,K,Cin)
+    dfeats = jnp.concatenate(
+        [dfeats, jnp.zeros((1, cin), jnp.float32)], axis=0)
+    dfeats = dfeats.at[eff_idx.reshape(-1)].add(
+        gw.reshape(-1, cin), mode="drop")[:n]
+    # dW corrections: gathered rows of flagged entries x g
+    feats0 = jnp.concatenate(
+        [features.astype(jnp.float32), jnp.zeros((1, cin))], axis=0)
+    rows = feats0[eff_idx]                                # (cap,tm,K,Cin)
+    dw = dw + jnp.einsum("abkc,abd->kcd", rows,
+                         sel_g.astype(jnp.float32))
+    return dfeats.astype(jnp.float32), dw

@@ -460,13 +460,14 @@ ONEHOT_CORRECTION_TILES = 16     # tile-granular correction budget
 # stages (few voxels, wide channels) gather fewer, wider rows and XLA is
 # already fast there, while the one-hot matmul cost scales with window
 # TABLE rows (constant per pack) — skip the kernel when it cannot pay.
-ONEHOT_MIN_GATHER_ROWS = 1_000_000
-# measured per-stage on real rulebooks (tools/bench_stages.py, v5e):
-# stage0 (120k x 16ch): xla 42 ms vs onehot 19.7; stage1 (60k x 32ch):
-# xla 29.3 vs onehot 44.7 (per-offset small matmuls starve the MXU at
-# wp=512) — keep the kernel on the small-channel stages until the grouped
-# big-matmul variant lands.
-ONEHOT_MAX_CIN = 16
+ONEHOT_MIN_GATHER_ROWS = 400_000
+# measured per-stage on real rulebooks (tools/bench_convs.py, v5e), after
+# the grouped-matmul + bf16x3 + tm-budget kernel revisions: forward
+# stage0 4.0 vs 9.8 ms XLA, stages 1-3 at parity or better; BACKWARD
+# (transposed kernel vs XLA scatter-add): stage0 8.6 vs 61.8, stage1 2.0
+# vs 35.3 — so the kernel path is on for every stage (the custom VJP only
+# applies when the forward takes it).
+ONEHOT_MAX_CIN = 128
 
 
 def _use_onehot() -> bool:
@@ -492,8 +493,12 @@ def _onehot_conv(flat_feats: jnp.ndarray, flat_idx: jnp.ndarray,
         cin_pad *= 2
     pack = 128 // min(cin_pad, 128)
     wp = max(ONEHOT_WINDOW_ROWS // pack, 16)
+    # cap the stacked one-hot ((9*tm, wp) bf16) near 2.5 MB of VMEM —
+    # spills measured 5x slowdowns at wider channels
+    tm_budget = 2_500_000 // (9 * wp * 2)
+    tm = min(ONEHOT_TM, max(128, (tm_budget // 128) * 128))
     return gather_matmul_onehot(
-        flat_feats, flat_idx, weights, tm=ONEHOT_TM, wp=wp,
+        flat_feats, flat_idx, weights, tm=tm, wp=wp,
         correction_tiles=ONEHOT_CORRECTION_TILES)
 
 
@@ -502,11 +507,29 @@ def _onehot_conv_fwd(flat_feats, flat_idx, weights):
         flat_feats, flat_idx, weights)
 
 
+ONEHOT_BWD = os.environ.get("SRFDET_GATHER_BWD", "onehot")
+
+
 def _onehot_conv_bwd(res, g):
     """Backward identical to the XLA path's autodiff: re-gather for dW,
-    scatter-add for dfeats (the forward kernel is gather+matmul exactly)."""
+    scatter-add for dfeats (the forward kernel is gather+matmul exactly).
+
+    With SRFDET_GATHER_BWD=onehot the windowed transposed-one-hot kernel
+    (ops/pallas_onehot_bwd.py) replaces both XLA ops."""
     flat_feats, flat_idx, weights = res
     n, cin = flat_feats.shape
+    if ONEHOT_BWD == "onehot":
+        from .pallas_onehot_bwd import gather_matmul_onehot_bwd
+        cin_pad = 1
+        while cin_pad < cin or 128 % cin_pad:
+            cin_pad *= 2
+        pack = 128 // min(cin_pad, 128)
+        wp = max(ONEHOT_WINDOW_ROWS // pack, 16)
+        dfe, dw = gather_matmul_onehot_bwd(
+            flat_feats, flat_idx, weights, g, tm=ONEHOT_TM, wp=wp,
+            correction_tiles=ONEHOT_CORRECTION_TILES)
+        return (dfe.astype(flat_feats.dtype), None,
+                dw.astype(weights.dtype))
     m, k = flat_idx.shape
     feats0 = jnp.concatenate(
         [flat_feats, jnp.zeros((1, cin), flat_feats.dtype)], axis=0)

@@ -77,22 +77,48 @@ def main():
                     cin_pad *= 2
                 pack = 128 // min(cin_pad, 128)
                 wp = max(wrows // pack, 16)
+                tmb = 2_500_000 // (9 * wp * 2)
+                tm = min(512, max(128, (tmb // 128) * 128))
                 try:
                     t = time_fn(lambda: gather_matmul_onehot(
-                        feats, flat_idx, w, tm=512, wp=wp,
+                        feats, flat_idx, w, tm=tm, wp=wp,
                         correction_tiles=8))
-                    print(f"stage{si} {ch}ch {name} onehot w={wrows}: "
-                          f"{t - rb:.1f} ms", flush=True)
+                    print(f"stage{si} {ch}ch {name} onehot w={wrows} "
+                          f"tm={tm}: {t - rb:.1f} ms", flush=True)
                 except Exception as e:
                     print(f"stage{si} {ch}ch {name} onehot w={wrows} "
                           f"FAILED {str(e)[:150]}", flush=True)
             if dt == jnp.float32:
                 ref = np.asarray(xla_conv(feats[None], gidx, w))[0]
                 got = np.asarray(gather_matmul_onehot(
-                    feats, flat_idx, w, tm=512,
+                    feats, flat_idx, w, tm=tm,
                     wp=max(1024 // pack, 16), correction_tiles=8))
                 print(f"stage{si} f32 max err "
                       f"{np.abs(ref - got).max():.2e}", flush=True)
+                # backward: XLA autodiff vs pallas bwd kernel
+                from srfdet3d_tpu.ops.pallas_onehot_bwd import (
+                    gather_matmul_onehot_bwd)
+                g = jnp.asarray(rng.normal(size=(v, ch)).astype(np.float32))
+                bwd_ref = jax.jit(jax.grad(
+                    lambda fe, we: jnp.sum(xla_conv(fe[None], gidx, we)[0]
+                                           * g), argnums=(0, 1)))
+                t = time_fn(lambda: bwd_ref(feats, w)[0])
+                print(f"stage{si} bwd xla: {t - rb:.1f} ms", flush=True)
+                try:
+                    t = time_fn(lambda: gather_matmul_onehot_bwd(
+                        feats, flat_idx, w, g, tm=tm,
+                        wp=max(1024 // pack, 16), correction_tiles=8)[0])
+                    d_ref = bwd_ref(feats, w)
+                    d_k = gather_matmul_onehot_bwd(
+                        feats, flat_idx, w, g, tm=tm,
+                        wp=max(1024 // pack, 16), correction_tiles=8)
+                    e0 = float(jnp.max(jnp.abs(d_ref[0] - d_k[0])))
+                    e1 = float(jnp.max(jnp.abs(d_ref[1] - d_k[1])))
+                    print(f"stage{si} bwd onehot: {t - rb:.1f} ms "
+                          f"(dfe err {e0:.2e}, dw err {e1:.2e})", flush=True)
+                except Exception as e:
+                    print(f"stage{si} bwd onehot FAILED {str(e)[:200]}",
+                          flush=True)
 
 
 if __name__ == "__main__":

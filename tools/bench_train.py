@@ -1,0 +1,69 @@
+"""Flagship train-step benchmark (forward + OTA loss + backward + AdamW).
+
+Compares the gather-backward strategies (SRFDET_GATHER_BWD) on one chip.
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from __graft_entry__ import _synthetic_batch  # noqa: E402 (cache enabled)
+import srfdet3d_tpu.ops.sparse_conv as sc  # noqa: E402
+from srfdet3d_tpu.configs import srfdet_voxel_nusc_L  # noqa: E402
+from srfdet3d_tpu.models.detector import SRFDet  # noqa: E402
+from srfdet3d_tpu.train.trainer import make_train_step, TrainState  # noqa
+
+
+def main():
+    print("device:", jax.devices()[0], flush=True)
+    cfg = srfdet_voxel_nusc_L()
+    batch = _synthetic_batch(cfg, batch_size=1, with_gt=True)
+    model = SRFDet(cfg)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=True))(
+        jax.random.PRNGKey(0), batch)
+    tx = optax.adamw(1e-4)
+
+    for fwd, bwd in (("xla", "xla"), ("onehot", "onehot")):
+        sc.GATHER_METHOD = fwd
+        sc.ONEHOT_BWD = bwd
+
+        step = make_train_step(model, tx, cfg)
+        params = variables["params"]
+        holder = {"state": TrainState(
+            params=params,
+            opt_state=tx.init(params),
+            batch_stats=variables.get("batch_stats", {}),
+            step=jnp.zeros((), jnp.int32))}
+
+        def run(holder=holder, _k=(fwd, bwd)):
+            # state is donated — thread it like a real training loop
+            s2, metrics = step(holder["state"], batch, jax.random.PRNGKey(1))
+            holder["state"] = s2
+            return float(metrics["loss"])
+
+        t0 = time.perf_counter()
+        run()
+        print(f"{fwd}/{bwd}: compile+run {time.perf_counter() - t0:.0f}s",
+              flush=True)
+        for _ in range(2):
+            run()
+        ts = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            run()
+            ts.append(time.perf_counter() - t0)
+        p50 = float(np.percentile(ts, 50)) * 1000
+        print(f"{fwd}/{bwd}: train step p50 {p50:.0f} ms "
+              f"({1000.0 / p50:.2f} steps/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
