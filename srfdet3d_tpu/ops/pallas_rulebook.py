@@ -8,11 +8,13 @@ one-hot gather kernel (ops/pallas_onehot.py): per kernel offset, query keys
 are sorted keys plus a constant delta, so the matches of a tile of
 consecutive outputs live in a contiguous window of the sorted key array.
 
-The key array is laid out (R, 2048) — 2048 int32 lanes per row — and each
-(tile, offset-group) window is TWO rows (4096 keys: one row of snap
-granularity plus one of coverage).  Positions come from lane-wide equality
-compares (sum of eq * lane index); v1's (wk, 128) layout issued 16x more,
-smaller VPU ops and measured slower than the dense table.
+The key array is laid out (R, 8, 256) — super-rows of 2048 int32 keys —
+and each (tile, offset-group) window is TWO CONSECUTIVE SUPER-ROWS fetched
+by the Pallas pipeline itself via scalar-prefetched index maps (manual
+window DMAs hit Mosaic's slice-alignment proofs; pipelined blocks have
+super-row granularity, satisfy the (8, 128)-divisibility rule, and
+double-buffer for free).  Positions come from lane-wide equality compares
+(sum of eq * lane index).
 
 A query with no in-window match is a TRUE miss when its value lies within
 the window's [first, last] key range (keys sorted); otherwise it is
@@ -33,49 +35,45 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-KW = 2048          # keys per HBM row (lanes)
-WROWS = 2          # rows per window
+_SUB = 8           # sublanes per super-row
+_LN = 256          # lanes per super-row
+KW = _SUB * _LN    # keys per super-row (2048)
 
 
-def _kernel(starts_ref, q_ref, keys_hbm, idx_ref, oow_ref, win, sems,
-            *, groups, n_valid):
-    """starts (T, G) window starts in KW-key rows (SMEM); q (TM, K) int32
-    queries (< 0 = invalid); keys (R, KW) int32; idx out (TM, K)
-    (n_valid = miss); oow out (TM, K) int32; win (G, WROWS, KW) scratch."""
+def _kernel(starts_ref, q_ref, *rest, groups, n_valid):
+    """starts (T, G) window starts in super-rows (SMEM); q (TM, K) int32
+    queries (< 0 = invalid); rest = 2*G key blocks (1, 8, 256) +
+    idx/oow outputs (TM, K)."""
     t = pl.program_id(0)
     tm, k = q_ref.shape
+    g_n = len(groups)
+    wins = rest[:2 * g_n]
+    idx_ref, oow_ref = rest[2 * g_n], rest[2 * g_n + 1]
 
-    for g in range(len(groups)):
-        pltpu.make_async_copy(
-            keys_hbm.at[pl.ds(starts_ref[t, g], WROWS), :],
-            win.at[g],
-            sems.at[g],
-        ).start()
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tm, KW), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tm, _LN), 1)
 
     for g, offs in enumerate(groups):
-        pltpu.make_async_copy(
-            keys_hbm.at[pl.ds(starts_ref[t, g], WROWS), :],
-            win.at[g],
-            sems.at[g],
-        ).wait()
+        w0 = wins[2 * g]
+        w1 = wins[2 * g + 1]
         base = starts_ref[t, g] * KW
-        w_first = win[g, 0, 0]
-        w_last = win[g, WROWS - 1, KW - 1]
+        w_first = w0[0, 0, 0]
+        w_last = w1[0, _SUB - 1, _LN - 1]
         for j in offs:
             q = q_ref[:, j][:, None]                   # (TM, 1)
             valid = q >= 0
             pos = jnp.zeros((tm, 1), jnp.int32)
             hit = jnp.zeros((tm, 1), jnp.bool_)
-            for r in range(WROWS):
-                eq = (q == win[g, r, :][None, :])      # (TM, KW)
-                pos = pos + jnp.sum(
-                    jnp.where(eq, lane + r * KW, 0),
-                    axis=1, keepdims=True)
-                hit = hit | jnp.any(eq, axis=1, keepdims=True)
+            for half, w in ((0, w0), (1, w1)):
+                for r in range(_SUB):
+                    row = w[0, r, :][None, :]          # (1, 256)
+                    eq = (q == row) & valid
+                    off = half * KW + r * _LN
+                    pos = pos + jnp.sum(
+                        jnp.where(eq, lane + off, 0),
+                        axis=1, keepdims=True)
+                    hit = hit | jnp.any(eq, axis=1, keepdims=True)
             idx_ref[:, j] = jnp.where(
-                hit & valid, base + pos, n_valid)[:, 0]
+                hit, base + pos, n_valid)[:, 0]
             oow = valid & ~hit & ((q < w_first) | (q > w_last))
             oow_ref[:, j] = oow[:, 0].astype(jnp.int32)
 
@@ -108,6 +106,7 @@ def rulebook_lookup(keys: jnp.ndarray,
                        for g in range(3))
     else:
         groups = tuple((j,) for j in range(k))
+    g_n = len(groups)
 
     pad_m = (-m) % tm
     q = jnp.where(queries < sentinel, queries, -1).astype(jnp.int32)
@@ -116,10 +115,10 @@ def rulebook_lookup(keys: jnp.ndarray,
     n_tiles = mp // tm
 
     imax = jnp.iinfo(jnp.int32).max
-    rows = -(-n // KW) + WROWS               # window overrun slack
+    rows = -(-n // KW) + 2                   # window overrun slack
     keys_pad = jnp.pad(keys.astype(jnp.int32), (0, rows * KW - n),
                        constant_values=imax)
-    keys2d = keys_pad.reshape(rows, KW)
+    keys3d = keys_pad.reshape(rows, _SUB, _LN)
 
     # coarse window starts: searchsorted of each (tile, group)'s min query
     tiles = q.reshape(n_tiles, tm, k)
@@ -128,9 +127,20 @@ def rulebook_lookup(keys: jnp.ndarray,
         sel = tiles[:, :, list(offs)]
         qmin = jnp.min(jnp.where(sel >= 0, sel, imax), axis=(1, 2))
         p = jnp.searchsorted(keys_pad[:n], qmin, method="sort")
-        p = jnp.minimum(p // KW, max(rows - WROWS, 0))
+        p = jnp.minimum(p // KW, max(rows - 2, 0))
         starts.append(p.astype(jnp.int32))
-    starts = jnp.stack(starts, axis=1)       # (T, G) in KW-key rows
+    starts = jnp.stack(starts, axis=1)       # (T, G) in super-rows
+
+    win_specs = []
+    for g in range(g_n):
+        win_specs.append(pl.BlockSpec(
+            (1, _SUB, _LN), functools.partial(
+                lambda i, s, _g: (s[i, _g], 0, 0), _g=g),
+            memory_space=pltpu.VMEM))
+        win_specs.append(pl.BlockSpec(
+            (1, _SUB, _LN), functools.partial(
+                lambda i, s, _g: (s[i, _g] + 1, 0, 0), _g=g),
+            memory_space=pltpu.VMEM))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -138,18 +148,13 @@ def rulebook_lookup(keys: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((tm, k), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        ] + win_specs,
         out_specs=(
             pl.BlockSpec((tm, k), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tm, k), lambda i, s: (i, 0),
                          memory_space=pltpu.VMEM),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((len(groups), WROWS, KW), jnp.int32),
-            pltpu.SemaphoreType.DMA((len(groups),)),
-        ],
     )
     kernel = functools.partial(_kernel, groups=groups, n_valid=n)
     idx, oow = pl.pallas_call(
@@ -158,7 +163,7 @@ def rulebook_lookup(keys: jnp.ndarray,
                    jax.ShapeDtypeStruct((mp, k), jnp.int32)),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(starts, q, keys2d)
+    )(starts, q, *([keys3d] * (2 * g_n)))
 
     # tile-granular correction: redo flagged tiles with a real searchsorted
     cap_t = min(correction_tiles, n_tiles)

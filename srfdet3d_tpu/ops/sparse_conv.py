@@ -208,6 +208,22 @@ def batched_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
     return jnp.where(local < v, local + offs, b * v)
 
 
+def _slice3_gather(table: jnp.ndarray, total: int, miss: int,
+                   starts: jnp.ndarray) -> jnp.ndarray:
+    """Gather 3 CONSECUTIVE table cells per start: (L,) -> (L, 3).
+
+    One x-row of a 3x3x3 stencil reads 3 consecutive cells, so 27 single
+    gathers fold into 9 slice gathers (measured 28 vs 38 ms at nuScenes
+    stage 0 — the dense-table lookup is the rulebook's entire cost, the
+    table build is ~free).  A leading miss cell keeps boundary windows
+    aligned: a valid row's start is >= -1 (cell of its first element)."""
+    table1 = jnp.concatenate(
+        [jnp.full((1,), miss, table.dtype), table])
+    s = jnp.clip(starts + 1, 0, total - 1)
+    return jax.vmap(
+        lambda x: jax.lax.dynamic_slice(table1, (x,), (3,)))(s)
+
+
 def subm_gather_indices_batched(coords: jnp.ndarray, mask: jnp.ndarray,
                                 shape, kernel: int = 3,
                                 key_table=None) -> jnp.ndarray:
@@ -240,6 +256,21 @@ def subm_gather_indices_batched(coords: jnp.ndarray, mask: jnp.ndarray,
         idx = _per_offset_lookup(
             keys, nkeys.transpose(0, 2, 1), sentinel)         # (B, K, V)
         return idx.transpose(0, 2, 1)
+    if table is not None and kernel == 3 and sentinel >= 3:
+        # 9 slice gathers of 3 consecutive cells instead of 27 singles
+        total = b * sentinel
+        offs_b = (jnp.arange(b, dtype=jnp.int32) * sentinel)[:, None]
+        key0 = (coords[..., 0] * h + coords[..., 1]) * w + coords[..., 2]
+        gkey = jnp.where(mask, key0 + offs_b, 0)
+        rows = []
+        for dz in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                starts = gkey + dz * h * w + dy * w - 1
+                rows.append(_slice3_gather(
+                    table, total, b * v, starts.reshape(-1)))
+        out = jnp.stack(rows, axis=1).reshape(b, v, k)
+        valid = (nkeys < sentinel)
+        return jnp.where(valid, out, b * v)
     if table is not None:
         idx = lookup_in_table(keys, table, nkeys.reshape(b, v * k),
                               sentinel)
@@ -355,7 +386,8 @@ def generate_output_sites(st: SparseTensor,
     skey = jnp.sort(keys)
     head = jnp.concatenate(
         [jnp.ones((1,), bool), skey[1:] != skey[:-1]]) & (skey < sentinel)
-    slot = jnp.cumsum(head) - 1
+    from .prefix import prefix_count
+    slot = prefix_count(head)
     slot = jnp.where(head & (slot < out_capacity), slot, out_capacity)
     out_keys = jnp.full((out_capacity + 1,), sentinel, skey.dtype).at[
         slot].set(skey, mode="drop")[:out_capacity]
@@ -402,6 +434,23 @@ def strided_gather_indices_batched(coords: jnp.ndarray, mask: jnp.ndarray,
         idx = _per_offset_lookup(
             keys, ikeys.transpose(0, 2, 1), sentinel)         # (B, K, M)
         return idx.transpose(0, 2, 1)
+    if table is not None and tuple(kernel) == (3, 3, 3) and sentinel >= 3:
+        # kx = 0..2 reads 3 consecutive cells -> 9 slice gathers
+        total = b * sentinel
+        offs_b = (jnp.arange(b, dtype=jnp.int32) * sentinel)[:, None]
+        base = out_coords * strides - pads                    # (B, M, 3)
+        rows = []
+        for kz in range(3):
+            for ky in range(3):
+                iz = base[..., 0] + kz
+                iy = base[..., 1] + ky
+                ix = base[..., 2]
+                start = (iz * h + iy) * w + ix + offs_b
+                rows.append(_slice3_gather(
+                    table, total, b * v, start.reshape(-1)))
+        out = jnp.stack(rows, axis=1).reshape(b, m, k)
+        valid = (ikeys < sentinel)
+        return jnp.where(valid, out, b * v)
     if table is not None:
         idx = lookup_in_table(keys, table, ikeys.reshape(b, m * k),
                               sentinel)
@@ -525,8 +574,11 @@ def _onehot_conv_bwd(res, g):
             cin_pad *= 2
         pack = 128 // min(cin_pad, 128)
         wp = max(ONEHOT_WINDOW_ROWS // pack, 16)
+        # backward one-hot is f32 (4 B) — budget the tile accordingly
+        tm_budget = 2_500_000 // (9 * wp * 4)
+        tm = min(ONEHOT_TM, max(64, (tm_budget // 64) * 64))
         dfe, dw = gather_matmul_onehot_bwd(
-            flat_feats, flat_idx, weights, g, tm=ONEHOT_TM, wp=wp,
+            flat_feats, flat_idx, weights, g, tm=tm, wp=wp,
             correction_tiles=ONEHOT_CORRECTION_TILES)
         return (dfe.astype(flat_feats.dtype), None,
                 dw.astype(weights.dtype))

@@ -108,7 +108,8 @@ def voxelize_points(points: jnp.ndarray,
     svalid = skey != sentinel
     head = jnp.concatenate(
         [jnp.ones((1,), bool), skey[1:] != skey[:-1]]) & svalid
-    slot_sorted = jnp.cumsum(head) - 1                   # (P,) voxel rank
+    from .prefix import prefix_count
+    slot_sorted = prefix_count(head)                     # (P,) voxel rank
     slot_sorted = jnp.where(
         svalid & (slot_sorted < v_cap), slot_sorted, v_cap).astype(jnp.int32)
 

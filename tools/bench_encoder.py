@@ -1,7 +1,8 @@
-"""Point-branch benchmark: voxelize -> VFE -> sparse encoder -> SECOND+FPN.
+"""Full-forward sweep: gather method x rulebook method on the flagship.
 
-Sweeps gather method x rulebook method on the flagship config and reports
-p50 latency + max BEV-output deviation vs the XLA/dense baseline.
+Times the complete forward for each combination and, for deviation
+localization, captures per-submodule intermediates and reports the max
+deviation at the middle-encoder boundary vs the final logits.
 """
 
 import os
@@ -15,10 +16,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-from __graft_entry__ import entry, _synthetic_batch  # noqa: E402
+from __graft_entry__ import entry  # noqa: E402  (compile cache on)
 import srfdet3d_tpu.ops.sparse_conv as sc  # noqa: E402
-from srfdet3d_tpu.models.detector import SRFDet  # noqa: E402
-from srfdet3d_tpu.configs import srfdet_voxel_nusc_L  # noqa: E402
 
 
 def time_fn(fn, iters=10):
@@ -37,43 +36,61 @@ def time_fn(fn, iters=10):
     return float(np.percentile(ts, 50)) * 1000
 
 
+def max_diff(tree_a, tree_b):
+    leaves_a = jax.tree.leaves(tree_a)
+    leaves_b = jax.tree.leaves(tree_b)
+    return max(float(jnp.max(jnp.abs(a.astype(jnp.float32) -
+                                     b.astype(jnp.float32))))
+               for a, b in zip(leaves_a, leaves_b))
+
+
 def main():
     print("device:", jax.devices()[0], flush=True)
-    cfg = srfdet_voxel_nusc_L()
-    batch = _synthetic_batch(cfg, batch_size=1)
-    model = SRFDet(cfg)
-    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
-        jax.random.PRNGKey(0), batch)
-    pts, msk = batch["points"], batch["points_mask"]
+    forward, (variables, batch) = entry()
 
-    def run(gather, lookup):
+    from srfdet3d_tpu.models.detector import SRFDet
+    from srfdet3d_tpu.configs import srfdet_voxel_nusc_L
+    model = SRFDet(srfdet_voxel_nusc_L())
+
+    def mid_filter(mdl, _):
+        return mdl.name == "pts_middle_encoder"
+
+    results = {}
+    for gather, lookup in (("xla", "dense"), ("onehot", "dense"),
+                           ("onehot", "pallas"), ("xla", "pallas")):
         sc.GATHER_METHOD = gather
         sc.LOOKUP_METHOD = lookup
 
-        def f(v, p, m):
-            return model.apply(v, p, m, False,
-                               method=SRFDet.extract_point_features)
+        def f(v, b, _g=gather, _l=lookup):   # distinct ids per variant
+            return model.apply(v, b, train=False)
 
-        jf = jax.jit(f)
-        t0 = time.perf_counter()
-        out = jf(variables, pts, msk)
-        jnp.sum(out[0]).block_until_ready()
-        compile_s = time.perf_counter() - t0
-        t = time_fn(lambda: jf(variables, pts, msk))
-        return out, t, compile_s
+        def f_cap(v, b, _g=gather, _l=lookup):
+            return model.apply(v, b, train=False,
+                               capture_intermediates=mid_filter)
 
-    base, t_base, c0 = run("xla", "dense")
-    print(f"xla/dense: p50 {t_base:.1f} ms (compile {c0:.0f}s)", flush=True)
-    for gather, lookup in (("onehot", "dense"), ("onehot", "pallas"),
-                           ("xla", "pallas")):
         try:
-            out, t, cs = run(gather, lookup)
-            d = max(float(jnp.max(jnp.abs(o - b)))
-                    for o, b in zip(out, base))
-            print(f"{gather}/{lookup}: p50 {t:.1f} ms (compile {cs:.0f}s) "
-                  f"max BEV diff {d:.3e}", flush=True)
+            jf = jax.jit(f)
+            t0 = time.perf_counter()
+            out = jf(variables, batch)
+            jnp.sum(out[0]).block_until_ready()
+            cs = time.perf_counter() - t0
+            t = time_fn(lambda: jf(variables, batch))
+            (_, mids) = jax.jit(f_cap)(variables, batch)
+            results[(gather, lookup)] = (out, mids["intermediates"], t)
+            print(f"{gather}/{lookup}: p50 {t:.1f} ms (compile {cs:.0f}s)",
+                  flush=True)
         except Exception as e:
             print(f"{gather}/{lookup} FAILED: {str(e)[:400]}", flush=True)
+
+    if ("xla", "dense") in results:
+        base_out, base_mid, _ = results[("xla", "dense")]
+        for key, (out, mid, _) in results.items():
+            if key == ("xla", "dense"):
+                continue
+            d_mid = max_diff(mid, base_mid)
+            d_log = float(jnp.max(jnp.abs(out[0] - base_out[0])))
+            print(f"{key}: middle-encoder max diff {d_mid:.3e}, "
+                  f"logits max diff {d_log:.3e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -39,8 +39,17 @@ def main():
     print("device:", jax.devices()[0], flush=True)
     forward, (variables, batch) = entry()
 
+    # distinct function objects: jax.jit caches traces on the function id,
+    # so jitting the same `forward` twice would NOT retrace after the
+    # GATHER_METHOD flip
+    def forward_xla(v, b):
+        return forward(v, b)
+
+    def forward_oh(v, b):
+        return forward(v, b)
+
     sc.GATHER_METHOD = "xla"
-    f_xla = jax.jit(forward)
+    f_xla = jax.jit(forward_xla)
     t0 = time.perf_counter()
     out_xla = f_xla(variables, batch)
     jnp.sum(out_xla[0]).block_until_ready()
@@ -49,7 +58,7 @@ def main():
     print(f"xla p50 {t_xla:.1f} ms", flush=True)
 
     sc.GATHER_METHOD = "onehot"
-    f_oh = jax.jit(forward)
+    f_oh = jax.jit(forward_oh)
     t0 = time.perf_counter()
     out_oh = f_oh(variables, batch)
     jnp.sum(out_oh[0]).block_until_ready()

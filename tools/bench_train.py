@@ -36,11 +36,12 @@ def main():
         sc.ONEHOT_BWD = bwd
 
         step = make_train_step(model, tx, cfg)
-        params = variables["params"]
+        # the train step donates its state: give each combo fresh buffers
+        params = jax.tree.map(jnp.copy, variables["params"])
         holder = {"state": TrainState(
             params=params,
             opt_state=tx.init(params),
-            batch_stats=variables.get("batch_stats", {}),
+            batch_stats=jax.tree.map(jnp.copy, variables.get("batch_stats", {})),
             step=jnp.zeros((), jnp.int32))}
 
         def run(holder=holder, _k=(fwd, bwd)):
