@@ -304,7 +304,7 @@ def multiclass_nms_3d(boxes: jnp.ndarray,
                       score_thr: float,
                       max_num: int,
                       iou_thr: float,
-                      pre_nms_k: int = 300):
+                      pre_nms_k: int | None = None):
     """Static-shape analogue of mmdet3d `box3d_multiclass_nms`.
 
     Args:
@@ -312,16 +312,18 @@ def multiclass_nms_3d(boxes: jnp.ndarray,
       boxes_bev: (N, 5) [cx, cy, w, l, yaw] for suppression.
       scores: (N, C) per-class sigmoid scores (no background column).
       score_thr / max_num / iou_thr: test_cfg values.
-      pre_nms_k: per-class top-k before suppression.  Exact as long as
-        fewer than pre_nms_k boxes per class survive score_thr and NMS
-        (max_num is 300 TOTAL, so the approximation never bites in
-        practice); bounds the O(k^2) rotated-IoU cost.
+      pre_nms_k: optional per-class top-k before suppression.  None (the
+        default, exact parity with the reference: every box above
+        score_thr enters NMS) suppresses over all N boxes — the clipped
+        IoU + fixed-point suppression make the full (C, N, N) pass ~1 ms
+        at flagship scale, so the truncation is only useful for very
+        large N.
 
     Returns: (out_boxes (max_num, D), out_scores (max_num,),
               out_labels (max_num,), out_valid (max_num,))
     """
     n, c = scores.shape
-    k = min(pre_nms_k, n)
+    k = n if pre_nms_k is None else min(pre_nms_k, n)
     cls_scores_full = scores.T                         # (C, N)
     top_s, top_i = jax.lax.top_k(cls_scores_full, k)   # (C, k)
     cls_valid = top_s > score_thr
