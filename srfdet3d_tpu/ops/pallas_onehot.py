@@ -2,8 +2,8 @@
 
 Third-generation TPU kernel for the sparse-conv gather wall (PERF.md):
 the XLA row-gather runs at ~30 GB/s effective; Mosaic's `tpu.dynamic_gather`
-cannot lower the VMEM shuffles the earlier kernels needed
-(ops/pallas_gather.py, ops/pallas_window_gather.py).  This kernel removes
+cannot lower VMEM shuffles (the two earlier kernel generations died on
+that — see PERF.md "Pallas gather kernel" history).  This kernel removes
 dynamic gathers entirely:
 
   1. **Windows**: for one kernel offset, the input rows matched by a tile of

@@ -567,7 +567,7 @@ def _onehot_conv_bwd(res, g):
     (ops/pallas_onehot_bwd.py) replaces both XLA ops."""
     flat_feats, flat_idx, weights = res
     n, cin = flat_feats.shape
-    if ONEHOT_BWD == "onehot":
+    if ONEHOT_BWD == "onehot" and jax.default_backend() not in ("cpu",):
         from .pallas_onehot_bwd import gather_matmul_onehot_bwd
         cin_pad = 1
         while cin_pad < cin or 128 % cin_pad:
