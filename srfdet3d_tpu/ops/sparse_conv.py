@@ -76,7 +76,11 @@ def _offsets(kernel: Tuple[int, int, int]) -> jnp.ndarray:
 # cell table at all; falls back to 'dense' off-TPU or when the flat key
 # space exceeds int32.
 LOOKUP_METHOD = os.environ.get("SRFDET_LOOKUP", "dense")
-_DENSE_LOOKUP_MAX_CELLS = 96_000_000
+# table memory = 4 B/cell; 360M cells = 1.44 GB of the 16 GB HBM.  Batched
+# inference at nuScenes scale (88.8M cells/sample) needs B*cells below
+# this — the searchsorted fallback costs ~110 ms/frame extra (measured:
+# batch-2 predict fell from 3.9 to 2.7 frames/s before the cap was raised)
+_DENSE_LOOKUP_MAX_CELLS = 360_000_000
 RULEBOOK_CORRECTION_TILES = 16
 
 
