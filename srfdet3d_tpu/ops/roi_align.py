@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -75,7 +76,13 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray],
     sy = ry1[:, None, None] + bin_h[:, None, None] * grid[None]
 
     def bilinear(y, x):
-        """y (R, oh, sr), x (R, ow, sr) -> (R, oh, sr, ow, sr, C)."""
+        """y (R, oh, sr), x (R, ow, sr) -> (R, oh, sr, ow, sr, C).
+
+        The two x-corners (x0, x0+1) are ADJACENT rows of the flattened
+        table, so each (y, x) pair needs TWO slice-gathers of 2 rows
+        instead of four single-row gathers — the RoI path is row-count
+        bound (PERF.md).  Right-edge clamps fold the x1 weight into x0
+        (identical to gathering the clamped pixel twice)."""
         hh = h_l[:, None, None]
         wwl = w_l[:, None, None]
         oob_y = (y < -1.0) | (y > hh)
@@ -87,27 +94,39 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray],
         ly = y - y0
         lx = x - x0
         y1c = jnp.minimum(y0 + 1, hh - 1.0)
-        x1c = jnp.minimum(x0 + 1, wwl - 1.0)
+        x_edge = x0 >= wwl - 1.0                     # (R, ow, sr)
 
-        def flat(yy, xx, oy, ox):
-            # (R, oh, sr, ow, sr) flat table index
+        def flat(yy, oy):
+            # start index of the (x0, x0+1) pair: (R, oh, sr, ow, sr)
             idx = (off[:, None, None, None, None] +
                    yy[:, :, :, None, None] * wwl[..., None, None] +
-                   xx[:, None, None, :, :])
-            oob = oy[:, :, :, None, None] | ox[:, None, None, :, :]
-            return jnp.where(oob, pad_idx, idx.astype(jnp.int32))
+                   x0[:, None, None, :, :])
+            oob = oy[:, :, :, None, None] | oob_x[:, None, None, :, :]
+            # pad_idx - 1: the pair (pad-1, pad) lands inside the table;
+            # both lanes get zero weight for fully-oob samples
+            return jnp.where(oob, pad_idx - 1, idx.astype(jnp.int32))
 
-        g00 = table[flat(y0, x0, oob_y, oob_x)]
-        g01 = table[flat(y0, x1c, oob_y, oob_x)]
-        g10 = table[flat(y1c, x0, oob_y, oob_x)]
-        g11 = table[flat(y1c, x1c, oob_y, oob_x)]
+        def pair_gather(starts):
+            shp = starts.shape
+            g = jax.vmap(lambda i: jax.lax.dynamic_slice(
+                table, (i, 0), (2, c)))(starts.reshape(-1))
+            return g.reshape(shp + (2, c))
+
+        g0 = pair_gather(flat(y0, oob_y))            # (..., 2, C)
+        g1 = pair_gather(flat(y1c, oob_y))
         wy0, wy1 = (1 - ly), ly
-        wx0, wx1 = (1 - lx), lx
-        val = (g00 * (wy0[:, :, :, None, None] * wx0[:, None, None, :, :])[..., None]
-               + g01 * (wy0[:, :, :, None, None] * wx1[:, None, None, :, :])[..., None]
-               + g10 * (wy1[:, :, :, None, None] * wx0[:, None, None, :, :])[..., None]
-               + g11 * (wy1[:, :, :, None, None] * wx1[:, None, None, :, :])[..., None])
+        # fold the clamped x1 weight into x0 (exact: g01 == g00 there)
+        wx0 = jnp.where(x_edge, 1.0, 1 - lx)
+        wx1 = jnp.where(x_edge, 0.0, lx)
         oob = oob_y[:, :, :, None, None] | oob_x[:, None, None, :, :]
+        wx0 = jnp.where(oob_x, 0.0, wx0)[:, None, None, :, :]
+        wx1 = jnp.where(oob_x, 0.0, wx1)[:, None, None, :, :]
+        wy0b = wy0[:, :, :, None, None]
+        wy1b = wy1[:, :, :, None, None]
+        val = (g0[..., 0, :] * (wy0b * wx0)[..., None]
+               + g0[..., 1, :] * (wy0b * wx1)[..., None]
+               + g1[..., 0, :] * (wy1b * wx0)[..., None]
+               + g1[..., 1, :] * (wy1b * wx1)[..., None])
         return jnp.where(oob[..., None], 0.0, val)
 
     vals = bilinear(sy, sx)                     # (R, oh, sr, ow, sr, C)

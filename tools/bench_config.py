@@ -1,0 +1,81 @@
+"""Predict-path benchmark for any registered config.
+
+    python tools/bench_config.py srfdet_voxel_kitti_L [batch] [bfloat16]
+
+Builds the model from the named config factory, runs the full predict
+(forward + decode + NMS) on a synthetic batch and prints p50 latency.
+"""
+
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from __graft_entry__ import _synthetic_batch  # noqa: E402
+from srfdet3d_tpu import configs  # noqa: E402
+from srfdet3d_tpu.models.detector import SRFDet  # noqa: E402
+
+
+def main():
+    name = sys.argv[1] if len(sys.argv) > 1 else "srfdet_voxel_nusc_L"
+    bs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
+    cfg = getattr(configs, name)()
+    if dtype != "float32":
+        cfg = dataclasses.replace(cfg, compute_dtype=dtype)
+    print(f"config {name} bs={bs} {dtype}; device {jax.devices()[0]}",
+          flush=True)
+
+    rng = np.random.default_rng(0)
+    batch = _synthetic_batch(cfg, batch_size=bs)
+    if cfg.use_img:
+        h, w = cfg.img.img_shape
+        n_cam = cfg.img.num_cams
+        batch["images"] = jnp.asarray(
+            rng.normal(size=(bs, n_cam, h, w, 3)).astype(np.float32))
+        l2i = np.broadcast_to(np.eye(4, dtype=np.float32),
+                              (bs, n_cam, 4, 4)).copy()
+        l2i[..., 0, 0] = 800.0
+        l2i[..., 1, 1] = 800.0
+        l2i[..., 0, 2] = w / 2
+        l2i[..., 1, 2] = h / 2
+        batch["lidar2img"] = jnp.asarray(l2i)
+
+    model = SRFDet(cfg)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+    fn = jax.jit(lambda v, b: model.apply(v, b, method=SRFDet.predict))
+
+    def run():
+        out = fn(variables, batch)
+        return float(jnp.sum(out["scores"]))
+
+    t0 = time.perf_counter()
+    run()
+    print(f"compile+run {time.perf_counter() - t0:.0f}s", flush=True)
+    for _ in range(3):
+        run()
+    ts = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        run()
+        ts.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(ts, 50)) * 1000
+    print(f"{name} bs={bs} {dtype}: predict p50 {p50:.1f} ms "
+          f"({bs * 1000 / p50:.2f} frames/s/chip)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
