@@ -186,7 +186,22 @@ def rotated_intersection_pairs(b1: jnp.ndarray,
     circ = circ + _clipped_edge_circulation(
         hw2, hl2, hw1, hl1, tx_ba, ty_ba, cos_ab, -sin_ab,
         gx2, gy2, c2, s2, -shrink)
-    return jnp.maximum(0.5 * circ, 0.0)
+    inter = jnp.maximum(0.5 * circ, 0.0)
+    # SAT gate (ADVICE r1): when two boxes are within ~shrink of merely
+    # touching, the A-pass drops the shared-boundary edge while the B-pass
+    # keeps it, leaving an open arc whose circulation is a spurious
+    # min-box-scale area.  Rectangles admit an exact 4-axis separating-
+    # axis test; zero the result when the minimum penetration depth is
+    # <= shrink (true intersection there is O(shrink), the documented
+    # error scale).
+    abs_c, abs_s = jnp.abs(cos_ab), jnp.abs(sin_ab)
+    pen_bx = hw2 + hw1 * abs_c + hl1 * abs_s - jnp.abs(tx_ab)
+    pen_by = hl2 + hw1 * abs_s + hl1 * abs_c - jnp.abs(ty_ab)
+    pen_ax = hw1 + hw2 * abs_c + hl2 * abs_s - jnp.abs(tx_ba)
+    pen_ay = hl1 + hw2 * abs_s + hl2 * abs_c - jnp.abs(ty_ba)
+    min_pen = jnp.minimum(jnp.minimum(pen_bx, pen_by),
+                          jnp.minimum(pen_ax, pen_ay))
+    return jnp.where(min_pen > shrink, inter, 0.0)
 
 
 def rotated_intersection_bev(boxes1: jnp.ndarray,

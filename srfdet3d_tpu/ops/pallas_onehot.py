@@ -263,21 +263,40 @@ def gather_matmul_onehot(features: jnp.ndarray,
     # directly (plain XLA row gather + one matmul + one contiguous-row
     # scatter-add).  No cumsum, no full-size scatter — the per-entry
     # compaction machinery cost more than the kernel itself.
+    # If MORE than `correction_tiles` tiles carry OOW entries (data-
+    # dependent: scene density / capacity / window settings), the top-k
+    # repair would silently drop contributions — so lax.cond into an
+    # exact full-range correction in that case (compiled always, executed
+    # only on overflow; real flagship rulebooks have zero OOW tiles).
     oow = ~in_win & ~miss                                    # (T, TM, K)
     cap_t = min(correction_tiles, n_tiles)
     counts = jnp.sum(oow, axis=(1, 2))                       # (T,)
-    _, sel = jax.lax.top_k(counts, cap_t)                    # (cap_t,)
-    sel_idx = idx.reshape(n_tiles, tm, k)[sel]               # (cap_t, tm, K)
-    sel_oow = oow[sel]
+    topv, sel = jax.lax.top_k(counts, cap_t)                 # (cap_t,)
+    covered = jnp.sum(topv)
+    total_oow = jnp.sum(counts)
     feats0 = jnp.concatenate(
         [features, jnp.zeros((1, cin), dtype)], axis=0)
-    g = feats0[jnp.where(sel_oow, sel_idx, n)]               # (cap_t,tm,K,Ci)
-    part = jnp.dot(g.reshape(cap_t * tm, k * cin),
-                   weights.astype(dtype).reshape(k * cin, cout),
-                   preferred_element_type=jnp.float32).astype(out.dtype)
-    rows = (sel[:, None] * tm +
-            jnp.arange(tm, dtype=jnp.int32)[None, :]).reshape(-1)
-    out = out.at[rows].add(part, mode="drop")
+    w2d = weights.astype(dtype).reshape(k * cin, cout)
+
+    def _tile_correction(out):
+        sel_idx = idx.reshape(n_tiles, tm, k)[sel]           # (cap_t, tm, K)
+        sel_oow = oow[sel]
+        g = feats0[jnp.where(sel_oow, sel_idx, n)]           # (cap_t,tm,K,Ci)
+        part = jnp.dot(g.reshape(cap_t * tm, k * cin), w2d,
+                       preferred_element_type=jnp.float32).astype(out.dtype)
+        rows = (sel[:, None] * tm +
+                jnp.arange(tm, dtype=jnp.int32)[None, :]).reshape(-1)
+        return out.at[rows].add(part, mode="drop")
+
+    def _full_correction(out):
+        g = feats0[jnp.where(oow, idx.reshape(n_tiles, tm, k), n)
+                   .reshape(mp, k)]                          # (Mp, K, Cin)
+        part = jnp.dot(g.reshape(mp, k * cin), w2d,
+                       preferred_element_type=jnp.float32).astype(out.dtype)
+        return out + part
+
+    out = jax.lax.cond(covered == total_oow,
+                       _tile_correction, _full_correction, out)
     return out[:m]
 
 

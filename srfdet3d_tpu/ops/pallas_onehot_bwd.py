@@ -242,26 +242,47 @@ def gather_matmul_onehot_bwd(features: jnp.ndarray,
     dw = dw.at[jnp.array(flat_order)].set(
         dw_g.reshape(k, cin, cout))
 
-    # tile-granular correction for out-of-window entries
+    # tile-granular correction for out-of-window entries.  Like the
+    # forward, top-k tile repair silently drops contributions when more
+    # than `correction_tiles` tiles carry OOW entries — lax.cond into an
+    # exact full-range correction on overflow (executed only then).
     oow = ~in_win & ~miss
     cap_t = min(correction_tiles, n_tiles)
     counts = jnp.sum(oow, axis=(1, 2))
-    _, selt = jax.lax.top_k(counts, cap_t)
-    sel_idx = idx.reshape(n_tiles, tm, k)[selt]
-    sel_oow = oow[selt]
-    sel_g = g_pad.reshape(n_tiles, tm, cout)[selt]        # (cap, tm, Cout)
-    eff_idx = jnp.where(sel_oow, sel_idx, n)
-    # dfeats corrections: scatter-add g @ W^T per flagged entry
-    gw = jnp.einsum("abd,kcd->abkc", sel_g.astype(jnp.float32),
-                    weights.astype(jnp.float32))          # (cap,tm,K,Cin)
-    dfeats = jnp.concatenate(
-        [dfeats, jnp.zeros((1, cin), jnp.float32)], axis=0)
-    dfeats = dfeats.at[eff_idx.reshape(-1)].add(
-        gw.reshape(-1, cin), mode="drop")[:n]
-    # dW corrections: gathered rows of flagged entries x g
+    topv, selt = jax.lax.top_k(counts, cap_t)
+    covered = jnp.sum(topv)
+    total_oow = jnp.sum(counts)
     feats0 = jnp.concatenate(
         [features.astype(jnp.float32), jnp.zeros((1, cin))], axis=0)
-    rows = feats0[eff_idx]                                # (cap,tm,K,Cin)
-    dw = dw + jnp.einsum("abkc,abd->kcd", rows,
-                         sel_g.astype(jnp.float32))
-    return dfeats.astype(jnp.float32), dw
+    dfeats = jnp.concatenate(
+        [dfeats, jnp.zeros((1, cin), jnp.float32)], axis=0)
+
+    def _corr(dfeats, dw, eff_idx, g_sel):
+        # dfeats: scatter-add g @ W^T per flagged entry (miss -> row n,
+        # trimmed by the caller); dW: gathered flagged rows x g
+        gw = jnp.einsum("abd,kcd->abkc", g_sel.astype(jnp.float32),
+                        weights.astype(jnp.float32))      # (.,tm,K,Cin)
+        dfeats = dfeats.at[eff_idx.reshape(-1)].add(
+            gw.reshape(-1, cin), mode="drop")
+        rows = feats0[eff_idx]                            # (.,tm,K,Cin)
+        dw = dw + jnp.einsum("abkc,abd->kcd", rows,
+                             g_sel.astype(jnp.float32))
+        return dfeats, dw
+
+    def _tile_correction(args):
+        dfeats, dw = args
+        sel_idx = idx.reshape(n_tiles, tm, k)[selt]
+        eff_idx = jnp.where(oow[selt], sel_idx, n)
+        g_sel = g_pad.reshape(n_tiles, tm, cout)[selt]    # (cap, tm, Cout)
+        return _corr(dfeats, dw, eff_idx, g_sel)
+
+    def _full_correction(args):
+        dfeats, dw = args
+        eff_idx = jnp.where(oow, idx.reshape(n_tiles, tm, k), n)
+        g_all = g_pad.reshape(n_tiles, tm, cout)
+        return _corr(dfeats, dw, eff_idx, g_all)
+
+    dfeats, dw = jax.lax.cond(covered == total_oow,
+                              _tile_correction, _full_correction,
+                              (dfeats, dw))
+    return dfeats[:n].astype(jnp.float32), dw

@@ -165,17 +165,33 @@ def rulebook_lookup(keys: jnp.ndarray,
         interpret=interpret,
     )(starts, q, *([keys3d] * (2 * g_n)))
 
-    # tile-granular correction: redo flagged tiles with a real searchsorted
+    # tile-granular correction: redo flagged tiles with a real searchsorted.
+    # If more than `correction_tiles` tiles carry OOW queries, the top-k
+    # repair would leave false misses — lax.cond into a full searchsorted
+    # over every query on overflow (executed only then).
     cap_t = min(correction_tiles, n_tiles)
     counts = jnp.sum(oow.reshape(n_tiles, tm, k), axis=(1, 2))
-    _, sel = jax.lax.top_k(counts, cap_t)
-    sel_q = tiles[sel].reshape(-1)                       # (cap_t*tm*K,)
-    p = jnp.minimum(jnp.searchsorted(keys_pad[:n],
-                                     jnp.where(sel_q >= 0, sel_q, 0),
-                                     method="sort"), n - 1)
-    found = (keys_pad[p] == sel_q) & (sel_q >= 0)
-    fixed = jnp.where(found, p, n).astype(jnp.int32).reshape(cap_t, tm, k)
-    rows_ix = (sel[:, None] * tm +
-               jnp.arange(tm, dtype=jnp.int32)[None, :]).reshape(-1)
-    idx = idx.at[rows_ix].set(fixed.reshape(cap_t * tm, k), mode="drop")
+    topv, sel = jax.lax.top_k(counts, cap_t)
+    covered = jnp.sum(topv)
+    total_oow = jnp.sum(counts)
+
+    def _lookup(queries):
+        p = jnp.minimum(jnp.searchsorted(keys_pad[:n],
+                                         jnp.where(queries >= 0, queries, 0),
+                                         method="sort"), n - 1)
+        found = (keys_pad[p] == queries) & (queries >= 0)
+        return jnp.where(found, p, n).astype(jnp.int32)
+
+    def _tile_correction(idx):
+        fixed = _lookup(tiles[sel].reshape(-1)).reshape(cap_t, tm, k)
+        rows_ix = (sel[:, None] * tm +
+                   jnp.arange(tm, dtype=jnp.int32)[None, :]).reshape(-1)
+        return idx.at[rows_ix].set(fixed.reshape(cap_t * tm, k),
+                                   mode="drop")
+
+    def _full_correction(idx):
+        return _lookup(q.reshape(-1)).reshape(mp, k)
+
+    idx = jax.lax.cond(covered == total_oow,
+                       _tile_correction, _full_correction, idx)
     return idx[:m]

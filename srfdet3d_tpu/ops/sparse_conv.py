@@ -147,8 +147,14 @@ def make_key_table(coords: jnp.ndarray, mask: jnp.ndarray, shape):
     d, h, w = shape
     num_cells = d * h * w
     keys = jax.vmap(lambda c, m: _key(c, shape, m))(coords, mask)
-    if LOOKUP_METHOD != "dense" or _use_pallas_lookup(
-            keys.shape[0], num_cells):
+    if LOOKUP_METHOD == "pallas":
+        # the in-kernel key search needs no table — but when it is
+        # unavailable (off-TPU / flat key space exceeds int32) fall back
+        # to the dense table, NOT to the slow searchsorted path
+        if _use_pallas_lookup(keys.shape[0], num_cells):
+            return keys, None
+        return _build_dense_table(keys, num_cells)
+    if LOOKUP_METHOD != "dense":
         return keys, None
     return _build_dense_table(keys, num_cells)
 
@@ -201,7 +207,9 @@ def batched_lookup(keys: jnp.ndarray, queries: jnp.ndarray,
             return lookup_in_table(keys, table, queries, num_cells)
 
     def per_sample(k, q):
-        method = "sort" if LOOKUP_METHOD in ("dense", "sort") else "scan"
+        # 'scan' only when explicitly requested — every fallback (dense
+        # table too big, pallas unavailable) takes the 4.5x-faster 'sort'
+        method = "scan" if LOOKUP_METHOD == "scan" else "sort"
         idx = jnp.minimum(
             jnp.searchsorted(k, q, method=method), v - 1)
         found = (k[idx] == q) & (q < num_cells)
@@ -247,21 +255,27 @@ def subm_gather_indices_batched(coords: jnp.ndarray, mask: jnp.ndarray,
 
     keys, table = key_table if key_table is not None else \
         (jax.vmap(lambda c, m: _key(c, shape, m))(coords, mask), None)
-    ncoords = coords[:, :, None, :] + offs[None, None, :, :]  # (B, V, K, 3)
-    in_rng = ((ncoords >= 0).all(-1) &
-              (ncoords[..., 0] < d) & (ncoords[..., 1] < h) &
-              (ncoords[..., 2] < w))
-    nkeys = (ncoords[..., 0] * h + ncoords[..., 1]) * w + ncoords[..., 2]
-    nkeys = jnp.where(in_rng & mask[:, :, None], nkeys, sentinel)
+
+    def neighbor_keys():
+        ncoords = coords[:, :, None, :] + offs[None, None, :, :]  # (B,V,K,3)
+        in_rng = ((ncoords >= 0).all(-1) &
+                  (ncoords[..., 0] < d) & (ncoords[..., 1] < h) &
+                  (ncoords[..., 2] < w))
+        nk = (ncoords[..., 0] * h + ncoords[..., 1]) * w + ncoords[..., 2]
+        return jnp.where(in_rng & mask[:, :, None], nk, sentinel)
 
     if _use_pallas_lookup(b, sentinel):
-        return _pallas_rulebook_lookup(keys, nkeys, sentinel)
+        return _pallas_rulebook_lookup(keys, neighbor_keys(), sentinel)
     if LOOKUP_METHOD == "offset_sort" and table is None:
         idx = _per_offset_lookup(
-            keys, nkeys.transpose(0, 2, 1), sentinel)         # (B, K, V)
+            keys, neighbor_keys().transpose(0, 2, 1), sentinel)  # (B, K, V)
         return idx.transpose(0, 2, 1)
     if table is not None and kernel == 3 and sentinel >= 3:
-        # 9 slice gathers of 3 consecutive cells instead of 27 singles
+        # 9 slice gathers of 3 consecutive cells instead of 27 singles.
+        # Validity from three per-dim (V, 3) masks broadcast to (V, 27)
+        # instead of the (B, V, 27, 3) neighbor-coord tensors (the
+        # 27-offset key computation was ~40 MB of int traffic per stage-0
+        # rulebook — PERF.md round-2 note 2).
         total = b * sentinel
         offs_b = (jnp.arange(b, dtype=jnp.int32) * sentinel)[:, None]
         key0 = (coords[..., 0] * h + coords[..., 1]) * w + coords[..., 2]
@@ -273,8 +287,17 @@ def subm_gather_indices_batched(coords: jnp.ndarray, mask: jnp.ndarray,
                 rows.append(_slice3_gather(
                     table, total, b * v, starts.reshape(-1)))
         out = jnp.stack(rows, axis=1).reshape(b, v, k)
-        valid = (nkeys < sentinel)
+        delta = jnp.arange(-1, 2, dtype=coords.dtype)
+        dims = (d, h, w)
+        vzyx = [(coords[..., dim:dim + 1] + delta >= 0) &
+                (coords[..., dim:dim + 1] + delta < dims[dim])
+                for dim in range(3)]                          # 3 x (B, V, 3)
+        valid = (vzyx[0][:, :, :, None, None] &
+                 vzyx[1][:, :, None, :, None] &
+                 vzyx[2][:, :, None, None, :]).reshape(b, v, k)
+        valid &= mask[:, :, None]
         return jnp.where(valid, out, b * v)
+    nkeys = neighbor_keys()
     if table is not None:
         idx = lookup_in_table(keys, table, nkeys.reshape(b, v * k),
                               sentinel)
@@ -423,23 +446,26 @@ def strided_gather_indices_batched(coords: jnp.ndarray, mask: jnp.ndarray,
     k = offs.shape[0]
     strides = jnp.array(stride)
     pads = jnp.array(padding)
-    # input coord read by output o at kernel offset k: i = o*s - p + k
-    icoords = out_coords[:, :, None, :] * strides - pads + \
-        offs[None, None, :, :]                                # (B, M, K, 3)
-    in_rng = ((icoords >= 0).all(-1) &
-              (icoords[..., 0] < d) & (icoords[..., 1] < h) &
-              (icoords[..., 2] < w))
-    ikeys = (icoords[..., 0] * h + icoords[..., 1]) * w + icoords[..., 2]
-    ikeys = jnp.where(in_rng & out_mask[:, :, None], ikeys, sentinel)
+
+    def input_keys():
+        # input coord read by output o at kernel offset k: i = o*s - p + k
+        icoords = out_coords[:, :, None, :] * strides - pads + \
+            offs[None, None, :, :]                            # (B, M, K, 3)
+        in_rng = ((icoords >= 0).all(-1) &
+                  (icoords[..., 0] < d) & (icoords[..., 1] < h) &
+                  (icoords[..., 2] < w))
+        ik = (icoords[..., 0] * h + icoords[..., 1]) * w + icoords[..., 2]
+        return jnp.where(in_rng & out_mask[:, :, None], ik, sentinel)
 
     if _use_pallas_lookup(b, sentinel):
-        return _pallas_rulebook_lookup(keys, ikeys, sentinel)
+        return _pallas_rulebook_lookup(keys, input_keys(), sentinel)
     if LOOKUP_METHOD == "offset_sort" and table is None:
         idx = _per_offset_lookup(
-            keys, ikeys.transpose(0, 2, 1), sentinel)         # (B, K, M)
+            keys, input_keys().transpose(0, 2, 1), sentinel)  # (B, K, M)
         return idx.transpose(0, 2, 1)
     if table is not None and tuple(kernel) == (3, 3, 3) and sentinel >= 3:
-        # kx = 0..2 reads 3 consecutive cells -> 9 slice gathers
+        # kx = 0..2 reads 3 consecutive cells -> 9 slice gathers; validity
+        # from three per-dim (M, 3) masks (see subm path note)
         total = b * sentinel
         offs_b = (jnp.arange(b, dtype=jnp.int32) * sentinel)[:, None]
         base = out_coords * strides - pads                    # (B, M, 3)
@@ -453,8 +479,17 @@ def strided_gather_indices_batched(coords: jnp.ndarray, mask: jnp.ndarray,
                 rows.append(_slice3_gather(
                     table, total, b * v, start.reshape(-1)))
         out = jnp.stack(rows, axis=1).reshape(b, m, k)
-        valid = (ikeys < sentinel)
+        delta = jnp.arange(3, dtype=base.dtype)
+        dims = (d, h, w)
+        vzyx = [(base[..., dim:dim + 1] + delta >= 0) &
+                (base[..., dim:dim + 1] + delta < dims[dim])
+                for dim in range(3)]                          # 3 x (B, M, 3)
+        valid = (vzyx[0][:, :, :, None, None] &
+                 vzyx[1][:, :, None, :, None] &
+                 vzyx[2][:, :, None, None, :]).reshape(b, m, k)
+        valid &= out_mask[:, :, None]
         return jnp.where(valid, out, b * v)
+    ikeys = input_keys()
     if table is not None:
         idx = lookup_in_table(keys, table, ikeys.reshape(b, m * k),
                               sentinel)

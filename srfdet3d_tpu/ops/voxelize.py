@@ -48,9 +48,16 @@ class VoxelizationSpec:
 
     @property
     def sparse_shape(self) -> Tuple[int, int, int]:
-        """(D, H, W) = (nz, ny, nx), matching the reference coord order."""
+        """(D, H, W) = (nz + 1, ny, nx), matching the reference coord order.
+
+        The +1 z slot follows mmdet3d convention (reference
+        srfdet_voxel_nusc_L.py:12 sparse_shape [41, 1472, 1472] for a
+        40-cell z grid): voxel z coords stay in [0, nz-1], the extra top
+        plane is always empty, and the encoder's z chain 41->21->11->5->2
+        yields the (C*D)=256-channel BEV the SECOND backbone consumes
+        (in_channels=256, cfg :57)."""
         nx, ny, nz = self.grid_size
-        return (nz, ny, nx)
+        return (nz + 1, ny, nx)
 
 
 @struct.dataclass

@@ -116,21 +116,237 @@ def convert_second_backbone(state: Dict, torch_prefix: str,
             mod += 1
 
 
-def convert_reference_state_dict(state: Dict, cfg) -> Dict:
-    """Best-effort conversion of a reference checkpoint's point branch.
+def _set(tree: Dict, path, value) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
 
-    Returns {"params": {...}, "batch_stats": {...}} subtrees for
-    pts_backbone (+ pts_neck laterals/fpn convs when present).  Decoder
-    conversion requires the per-checkpoint head naming and is assembled
-    with the piecewise helpers above.
+
+def convert_sparse_encoder(state: Dict, cfg, params: Dict, stats: Dict,
+                           layout: str = "KIO") -> None:
+    """pts_middle_encoder -> our SparseEncoder module names.
+
+    Reference SparseEncoderCustom (sparse_encoder_custom.py:74-215) builds:
+      conv_input            SparseSequential(conv .0, BN .1, ReLU)
+      encoder_layers.encoder_layer{i+1}.{j}   per stage i, block j:
+        - conv_module:   SparseSequential(conv .0, BN .1) everywhere
+          (downsample when i != 0 and j == 0)
+        - basicblock:    SparseBasicBlock (conv1/bn1/conv2/bn2) except the
+          last block of non-final stages = downsample SparseSequential
+      conv_out              SparseSequential(conv .0, BN .1, ReLU)
+
+    Ours (models/sparse_encoder.py): conv_input, subm{i}_{j} / down{i} /
+    bb{i}_{j}_conv{1,2}, conv_out — each {kernel, MaskedBatchNorm_0}.
+    mmcv.ops sparse convs store weights (kz, ky, kx, in, out) = 'KIO'.
+    """
+    tp = "pts_middle_encoder"
+
+    def spconv_pair(torch_mod: str, our_name: str) -> None:
+        _set(params, (tp, our_name, "kernel"),
+             spconv_w(state[f"{torch_mod}.0.weight"], layout=layout))
+        s, st = bn(state, f"{torch_mod}.1")
+        _set(params, (tp, our_name, "MaskedBatchNorm_0"), s)
+        _set(stats, (tp, our_name, "MaskedBatchNorm_0"), st)
+
+    spconv_pair(f"{tp}.conv_input", "conv_input")
+    mc = cfg.middle
+    n_stages = len(mc.encoder_channels)
+    ds = 0
+    for i, blocks in enumerate(mc.encoder_channels):
+        for j in range(len(blocks)):
+            tmod = f"{tp}.encoder_layers.encoder_layer{i + 1}.{j}"
+            if mc.block_type == "conv_module":
+                if i != 0 and j == 0:
+                    spconv_pair(tmod, f"down{i}")
+                    ds += 1
+                else:
+                    spconv_pair(tmod, f"subm{i}_{j}")
+            else:  # basicblock
+                if j == len(blocks) - 1 and i != n_stages - 1:
+                    spconv_pair(tmod, f"down{i}")
+                    ds += 1
+                else:
+                    for ci in (1, 2):
+                        _set(params, (tp, f"bb{i}_{j}_conv{ci}", "kernel"),
+                             spconv_w(state[f"{tmod}.conv{ci}.weight"],
+                                      layout=layout))
+                        s, st = bn(state, f"{tmod}.bn{ci}")
+                        _set(params, (tp, f"bb{i}_{j}_conv{ci}",
+                                      "MaskedBatchNorm_0"), s)
+                        _set(stats, (tp, f"bb{i}_{j}_conv{ci}",
+                                     "MaskedBatchNorm_0"), st)
+    spconv_pair(f"{tp}.conv_out", "conv_out")
+
+
+def convert_fpn(state: Dict, torch_prefix: str, our_prefix: str,
+                num_ins: int, num_outs: int, params: Dict, stats: Dict,
+                with_bn: bool = True) -> None:
+    """mmdet FPN -> our FPN naming.
+
+    torch: lateral_convs.{i}.conv/.bn, fpn_convs.{i}.conv/.bn with the
+    extra 'on_output' convs APPENDED to fpn_convs (indices num_ins..).
+    ours: lateral_{i}, fpn_{i}, extra_{i} ConvBNReLU modules.
+    """
+    def one(tmod: str, our_name: str) -> None:
+        p = {"Conv_0": {"kernel": conv2d_w(state[f"{tmod}.conv.weight"])}}
+        if f"{tmod}.conv.bias" in state:
+            p["Conv_0"]["bias"] = np.asarray(state[f"{tmod}.conv.bias"])
+        if with_bn:
+            s, st = bn(state, f"{tmod}.bn")
+            p["BatchNorm_0"] = s
+            _set(stats, (our_prefix, our_name, "BatchNorm_0"), st)
+        _set(params, (our_prefix, our_name), p)
+
+    for i in range(num_ins):
+        one(f"{torch_prefix}.lateral_convs.{i}", f"lateral_{i}")
+        one(f"{torch_prefix}.fpn_convs.{i}", f"fpn_{i}")
+    for e in range(num_outs - num_ins):
+        one(f"{torch_prefix}.fpn_convs.{num_ins + e}", f"extra_{e}")
+
+
+def convert_single_head(state: Dict, t: int, modality: str = "lidar",
+                        num_attn_heads: int = 8) -> Tuple[Dict, Dict]:
+    """One head_series iteration -> our SingleSRFDetHead param subtree.
+
+    Reference SingleSRFDetHeadLiDAR (srfdet_head.py:1348-1434): module
+    attrs are suffixed by modality (`self_attn_lidar`, `norm1_lidar`, ...).
+    Our flax call order (models/head.py SingleSRFDetHead.__call__) numbers
+    the anonymous modules: LayerNorm_0/1/2 = norm1/2/3, LayerNorm_3..4 =
+    cls LNs, LayerNorm_5..7 = reg LNs, Dense_0/1 = linear1/linear2.
+    """
+    mm = f"bbox_head.head_series_{modality}.{t}" if modality else \
+        f"bbox_head.head_series.{t}"
+    sfx = f"_{modality}" if modality else ""
+    p: Dict = {}
+
+    p["self_attn"] = mha_w(state[f"{mm}.self_attn{sfx}.in_proj_weight"],
+                           state[f"{mm}.self_attn{sfx}.in_proj_bias"],
+                           state[f"{mm}.self_attn{sfx}.out_proj.weight"],
+                           state[f"{mm}.self_attn{sfx}.out_proj.bias"],
+                           num_heads=num_attn_heads)
+    ii = f"{mm}.inst_interact{sfx}"
+    p["inst_interact"] = {
+        "Dense_0": {"kernel": linear_w(state[f"{ii}.dynamic_layer.weight"]),
+                    "bias": np.asarray(state[f"{ii}.dynamic_layer.bias"])},
+        "Dense_1": {"kernel": linear_w(state[f"{ii}.out_layer.weight"]),
+                    "bias": np.asarray(state[f"{ii}.out_layer.bias"])},
+    }
+    for k, norm in (("LayerNorm_0", "norm1"), ("LayerNorm_1", "norm2"),
+                    ("LayerNorm_2", "norm3")):
+        p["inst_interact"][k] = {
+            "scale": np.asarray(state[f"{ii}.{norm}.weight"]),
+            "bias": np.asarray(state[f"{ii}.{norm}.bias"])}
+    p["Dense_0"] = {"kernel": linear_w(state[f"{mm}.linear1{sfx}.weight"]),
+                    "bias": np.asarray(state[f"{mm}.linear1{sfx}.bias"])}
+    p["Dense_1"] = {"kernel": linear_w(state[f"{mm}.linear2{sfx}.weight"]),
+                    "bias": np.asarray(state[f"{mm}.linear2{sfx}.bias"])}
+    for i, norm in enumerate(("norm1", "norm2", "norm3")):
+        p[f"LayerNorm_{i}"] = {
+            "scale": np.asarray(state[f"{mm}.{norm}{sfx}.weight"]),
+            "bias": np.asarray(state[f"{mm}.{norm}{sfx}.bias"])}
+    # cls/reg towers: ModuleList [Linear, LN, ReLU]* -> Linear at 3k,
+    # LN at 3k+1; our LN numbering continues 3.. after the three above
+    ln = 3
+    for k in range(2):
+        p[f"cls_{k}"] = {"kernel": linear_w(
+            state[f"{mm}.cls_module{sfx}.{3 * k}.weight"])}
+        p[f"LayerNorm_{ln}"] = {
+            "scale": np.asarray(state[f"{mm}.cls_module{sfx}.{3 * k + 1}.weight"]),
+            "bias": np.asarray(state[f"{mm}.cls_module{sfx}.{3 * k + 1}.bias"])}
+        ln += 1
+    for k in range(3):
+        p[f"reg_{k}"] = {"kernel": linear_w(
+            state[f"{mm}.reg_module{sfx}.{3 * k}.weight"])}
+        p[f"LayerNorm_{ln}"] = {
+            "scale": np.asarray(state[f"{mm}.reg_module{sfx}.{3 * k + 1}.weight"]),
+            "bias": np.asarray(state[f"{mm}.reg_module{sfx}.{3 * k + 1}.bias"])}
+        ln += 1
+    p["class_logits"] = {
+        "kernel": linear_w(state[f"{mm}.class_logits{sfx}.weight"]),
+        "bias": np.asarray(state[f"{mm}.class_logits{sfx}.bias"])}
+    p["bboxes_delta"] = {
+        "kernel": linear_w(state[f"{mm}.bboxes_delta{sfx}.weight"]),
+        "bias": np.asarray(state[f"{mm}.bboxes_delta{sfx}.bias"])}
+    return p, {}
+
+
+def convert_head(state: Dict, cfg, params: Dict, stats: Dict) -> None:
+    """bbox_head (SRFDetHead) -> our decoder tree.
+
+    DPG staircase (srfdet_head.py:265-296): dpg_dw_convs_lidar.{lvl}
+    (depthwise ConvModule .conv/.bn), dpg_fc1_lidar, dpg_fc2_lidar,
+    init_proposal_boxes/feats embeddings.  head_series_lidar.{t} stacks
+    along axis 0 for our scanned `head_series/single_head`.
+    """
+    hc = cfg.head
+    hp: Dict = {}
+    hs: Dict = {}
+    if f"bbox_head.init_proposal_boxes.weight" in state:
+        hp["init_proposal_boxes"] = np.asarray(
+            state["bbox_head.init_proposal_boxes.weight"])
+        hp["init_proposal_feats"] = np.asarray(
+            state["bbox_head.init_proposal_feats.weight"])
+    if hc.with_dpg:
+        for lvl in range(hc.lidar_feat_lvls - 1):
+            tmod = f"bbox_head.dpg_dw_convs_lidar.{lvl}"
+            hp[f"dpg_dw_lidar_{lvl}"] = {
+                "Conv_0": {"kernel": conv2d_w(state[f"{tmod}.conv.weight"])}}
+            s, st = bn(state, f"{tmod}.bn")
+            hp[f"dpg_dw_lidar_{lvl}"]["BatchNorm_0"] = s
+            hs[f"dpg_dw_lidar_{lvl}"] = {"BatchNorm_0": st}
+        for fc in ("dpg_fc1_lidar", "dpg_fc2_lidar"):
+            hp[fc] = {
+                "kernel": linear_w(state[f"bbox_head.{fc}.weight"]),
+                "bias": np.asarray(state[f"bbox_head.{fc}.bias"])}
+    # scanned head series: stack each leaf across iterations
+    per_t = [convert_single_head(state, t, "lidar", hc.num_attn_heads)[0]
+             for t in range(hc.num_heads)]
+
+    def stack_tree(trees):
+        out = {}
+        for k in trees[0]:
+            if isinstance(trees[0][k], dict):
+                out[k] = stack_tree([t[k] for t in trees])
+            else:
+                out[k] = stack_layers([t[k] for t in trees])
+        return out
+
+    hp["head_series"] = {"single_head": stack_tree(per_t)}
+    params["bbox_head"] = hp
+    if hs:
+        stats["bbox_head"] = hs
+
+
+def convert_reference_state_dict(state: Dict, cfg,
+                                 spconv_layout: str = "KIO") -> Dict:
+    """Full conversion of a reference checkpoint to our variable tree.
+
+    Covers the LiDAR flagship tree (srfdet_voxel_nusc_L / kitti / waymo):
+    pts_middle_encoder (both block layouts), pts_backbone (SECOND),
+    pts_neck (FPN), bbox_head (DPG + embeddings + scanned head series).
+    HardSimpleVFE has no parameters.  `spconv_layout`: mmcv.ops sparse
+    convs store (kz, ky, kx, in, out) = 'KIO' (the reference's import);
+    pass 'OKI' for spconv-2.x native exports.
+
+    Returns {"params": ..., "batch_stats": ...} ready for load_partial /
+    direct apply (missing modalities are simply absent from the tree).
     """
     params: Dict = {}
     batch_stats: Dict = {}
-    bb_p: Dict = {}
-    bb_s: Dict = {}
+    if any(k.startswith("pts_middle_encoder.") for k in state):
+        convert_sparse_encoder(state, cfg, params, batch_stats,
+                               layout=spconv_layout)
     if any(k.startswith("pts_backbone.") for k in state):
+        bb_p: Dict = {}
+        bb_s: Dict = {}
         convert_second_backbone(state, "pts_backbone",
                                 cfg.backbone.layer_nums, bb_p, bb_s)
         params["pts_backbone"] = bb_p
         batch_stats["pts_backbone"] = bb_s
+    if any(k.startswith("pts_neck.") for k in state):
+        convert_fpn(state, "pts_neck", "pts_neck", len(cfg.backbone.out_channels),
+                    cfg.neck_num_outs, params, batch_stats)
+    if any(k.startswith("bbox_head.") for k in state):
+        convert_head(state, cfg, params, batch_stats)
     return {"params": params, "batch_stats": batch_stats}

@@ -256,3 +256,25 @@ def test_nms_fixed_point_matches_sequential_greedy():
     ious = np.asarray(rotated_iou_bev(jnp.array(boxes), jnp.array(boxes)))
     oracle = _greedy_nms_oracle(ious, scores, valid, 0.3)
     np.testing.assert_array_equal(keep, oracle.astype(bool))
+
+
+def test_touching_boxes_zero_intersection():
+    """ADVICE r1: boxes exactly touching (or within ~shrink of touching)
+    must report zero intersection, not a spurious open-arc area."""
+    from srfdet3d_tpu.geometry.iou import rotated_intersection_pairs
+    # axis-aligned 2x2 box touching a 6x2 box along x
+    a = jnp.array([0.0, 0.0, 2.0, 2.0, 0.0])
+    b = jnp.array([4.0, 0.0, 6.0, 2.0, 0.0])
+    inter = float(rotated_intersection_pairs(a, b))
+    assert inter == 0.0, inter
+    # near-touching (gap 1e-5 < shrink)
+    b2 = b.at[0].set(4.0 - 1e-5)
+    assert float(rotated_intersection_pairs(a, b2)) == 0.0
+    # rotated touching pair: 45-degree square whose corner touches a box
+    c = jnp.array([0.0, 0.0, 2.0, 2.0, float(np.pi / 4)])
+    d = jnp.array([float(np.sqrt(2)) + 1.0, 0.0, 2.0, 2.0, 0.0])
+    assert float(rotated_intersection_pairs(c, d)) == 0.0
+    # sanity: genuinely overlapping boxes still report the true area
+    e = jnp.array([1.0, 0.0, 2.0, 2.0, 0.0])
+    got = float(rotated_intersection_pairs(a, e))
+    np.testing.assert_allclose(got, 2.0, rtol=1e-3)

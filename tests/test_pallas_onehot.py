@@ -132,3 +132,21 @@ def test_onehot_vjp_backward_matches_xla_autodiff():
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_overflow_falls_back_to_full_correction():
+    """More OOW tiles than `correction_tiles`: the top-k tile repair
+    cannot cover them all, so the kernel must lax.cond into the exact
+    full-range correction (ADVICE r1 medium finding)."""
+    rng = np.random.default_rng(3)
+    n, m, k, cin, cout = 1024, 1024, 9, 16, 32
+    feats = jnp.asarray(rng.normal(size=(n, cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, cin, cout)).astype(np.float32))
+    # fully random indices with a tiny window => every tile carries OOW
+    # entries; cap the repair at ONE tile (4 tiles at tm=256)
+    idx = jnp.asarray(rng.integers(0, n + 1, size=(m, k)).astype(np.int32))
+    ref = _xla_ref(feats, idx, w)
+    out = gather_matmul_onehot(feats, idx, w, tm=256, wp=16,
+                               correction_tiles=1, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-4)

@@ -47,3 +47,22 @@ def test_bwd_random_all_corrected():
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_bwd_overflow_falls_back_to_full_correction():
+    """More OOW tiles than `correction_tiles` (ADVICE r1 medium): must
+    lax.cond into the exact full-range gradient correction."""
+    rng = np.random.default_rng(7)
+    n, m, k, cin, cout = 512, 512, 9, 32, 16
+    feats = jnp.asarray(rng.normal(size=(n, cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, cin, cout)).astype(np.float32))
+    idx = jnp.asarray(rng.integers(0, n + 1, size=(m, k)).astype(np.int32))
+    g = jnp.asarray(rng.normal(size=(m, cout)).astype(np.float32))
+    dfe_ref, dw_ref = _ref_grads(feats, idx, w, g)
+    dfe, dw = gather_matmul_onehot_bwd(feats, idx, w, g, tm=128, wp=16,
+                                       correction_tiles=1,
+                                       interpret=True)
+    np.testing.assert_allclose(np.asarray(dfe), np.asarray(dfe_ref),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                               rtol=1e-3, atol=1e-3)

@@ -67,3 +67,22 @@ def test_all_invalid():
     got = np.asarray(rulebook_lookup(keys, queries, 500, tm=128,
                                      interpret=True))
     np.testing.assert_array_equal(got, 256)
+
+
+def test_overflow_falls_back_to_full_searchsorted():
+    """More OOW tiles than `correction_tiles` (ADVICE r1 medium): the
+    lookup must lax.cond into a full searchsorted, not leave false
+    misses in unrepaired tiles."""
+    rng = np.random.default_rng(9)
+    cells = 50_000
+    keys = _make_keys(rng, 2000, cells, 2048)
+    m, k = 1024, 9
+    queries = rng.integers(0, cells, size=(m, k)).astype(np.int32)
+    hit_rows = rng.integers(0, 2000, size=(m, k))
+    hit_mask = rng.random((m, k)) < 0.5
+    queries[hit_mask] = keys[hit_rows[hit_mask]]
+    ref = _oracle(keys, queries, cells)
+    got = np.asarray(rulebook_lookup(
+        jnp.asarray(keys), jnp.asarray(queries), cells,
+        tm=128, correction_tiles=1, interpret=True))
+    np.testing.assert_array_equal(got, ref)

@@ -1,0 +1,194 @@
+"""Full-model torch->JAX conversion round trip (VERDICT r1 item 3).
+
+Builds a synthetic state_dict with the REFERENCE's torch module naming and
+tensor layouts for the flagship srfdet_voxel_nusc_L tree (derived from
+/root/reference: srfdet.py:44-75 attr names, sparse_encoder_custom.py:74-215
+encoder layout, second_custom.py blocks, mmdet FPN conv/bn naming,
+srfdet_head.py:120-296,1348-1434 head naming), converts it with
+convert_reference_state_dict, asserts the result is STRUCTURE-IDENTICAL to
+the model's own init tree (every path + shape), loads it, and runs a
+finite forward.
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from srfdet3d_tpu.configs import srfdet_voxel_nusc_L
+from srfdet3d_tpu.models.detector import SRFDet
+from srfdet3d_tpu.utils.torch_convert import convert_reference_state_dict
+
+import __graft_entry__ as graft
+
+
+def _shrunk_flagship():
+    """Flagship architecture at test capacities (param tree unchanged)."""
+    cfg = srfdet_voxel_nusc_L()
+    return cfg.replace(
+        points_cap=1024, voxels_cap=512,
+        middle=dataclasses.replace(cfg.middle,
+                                   capacities=(256, 128, 64, 64)))
+
+
+def _synthetic_torch_state(cfg, rng):
+    """Reference-named state_dict: torch layouts, random values."""
+    st = {}
+
+    def t(key, *shape):
+        st[key] = rng.normal(size=shape).astype(np.float32) * 0.05
+
+    def bn1d(prefix, c):
+        t(f"{prefix}.weight", c)
+        t(f"{prefix}.bias", c)
+        st[f"{prefix}.running_mean"] = np.zeros(c, np.float32)
+        st[f"{prefix}.running_var"] = np.ones(c, np.float32)
+        st[f"{prefix}.num_batches_tracked"] = np.asarray(1)
+
+    # ---- pts_middle_encoder (basicblock layout; mmcv.ops sparse convs
+    # store (kz, ky, kx, in, out))
+    mc = cfg.middle
+    te = "pts_middle_encoder"
+    t(f"{te}.conv_input.0.weight", 3, 3, 3, mc.in_channels, mc.base_channels)
+    bn1d(f"{te}.conv_input.1", mc.base_channels)
+    in_ch = mc.base_channels
+    n_stages = len(mc.encoder_channels)
+    for i, blocks in enumerate(mc.encoder_channels):
+        for j, out_ch in enumerate(blocks):
+            tm = f"{te}.encoder_layers.encoder_layer{i + 1}.{j}"
+            if j == len(blocks) - 1 and i != n_stages - 1:   # downsample
+                t(f"{tm}.0.weight", 3, 3, 3, in_ch, out_ch)
+                bn1d(f"{tm}.1", out_ch)
+            else:                                            # SparseBasicBlock
+                t(f"{tm}.conv1.weight", 3, 3, 3, out_ch, out_ch)
+                bn1d(f"{tm}.bn1", out_ch)
+                t(f"{tm}.conv2.weight", 3, 3, 3, out_ch, out_ch)
+                bn1d(f"{tm}.bn2", out_ch)
+            in_ch = out_ch
+    t(f"{te}.conv_out.0.weight", 3, 1, 1, in_ch, mc.output_channels)
+    bn1d(f"{te}.conv_out.1", mc.output_channels)
+
+    # ---- pts_backbone (SECOND: blocks.{i} Sequential of Conv,BN,ReLU)
+    bb_in = mc.output_channels * 2        # (C * D) BEV channels
+    for i, (n_layers, out_c) in enumerate(
+            zip(cfg.backbone.layer_nums, cfg.backbone.out_channels)):
+        c_in = bb_in if i == 0 else cfg.backbone.out_channels[i - 1]
+        for j in range(n_layers + 1):
+            t(f"pts_backbone.blocks.{i}.{3 * j}.weight",
+              out_c, c_in if j == 0 else out_c, 3, 3)
+            bn1d(f"pts_backbone.blocks.{i}.{3 * j + 1}", out_c)
+
+    # ---- pts_neck (mmdet FPN with BN: conv no bias)
+    oc = 128
+    for i, c_in in enumerate(cfg.backbone.out_channels):
+        t(f"pts_neck.lateral_convs.{i}.conv.weight", oc, c_in, 1, 1)
+        bn1d(f"pts_neck.lateral_convs.{i}.bn", oc)
+        t(f"pts_neck.fpn_convs.{i}.conv.weight", oc, oc, 3, 3)
+        bn1d(f"pts_neck.fpn_convs.{i}.bn", oc)
+    for e in range(cfg.neck_num_outs - len(cfg.backbone.out_channels)):
+        i = len(cfg.backbone.out_channels) + e
+        t(f"pts_neck.fpn_convs.{i}.conv.weight", oc, oc, 3, 3)
+        bn1d(f"pts_neck.fpn_convs.{i}.bn", oc)
+
+    # ---- bbox_head
+    hc = cfg.head
+    c = hc.feat_channels_lidar
+    n_exp = hc.num_dpg_exp * hc.num_proposals
+    t("bbox_head.init_proposal_boxes.weight", n_exp, hc.code_size)
+    t("bbox_head.init_proposal_feats.weight", n_exp, c)
+    for lvl in range(hc.lidar_feat_lvls - 1):
+        ch = c * (lvl + 1)
+        t(f"bbox_head.dpg_dw_convs_lidar.{lvl}.conv.weight", ch, 1, 3, 3)
+        bn1d(f"bbox_head.dpg_dw_convs_lidar.{lvl}.bn", ch)
+    grid = int(round((cfg.pc_range[3] - cfg.pc_range[0]) / cfg.voxel_size[0]))
+    last = grid // (cfg.out_size_factor * 2 ** (hc.lidar_feat_lvls - 1))
+    t("bbox_head.dpg_fc1_lidar.weight", 1024, last * last)
+    t("bbox_head.dpg_fc1_lidar.bias", 1024)
+    t("bbox_head.dpg_fc2_lidar.weight", n_exp, 1024)
+    t("bbox_head.dpg_fc2_lidar.bias", n_exp)
+    for it in range(hc.num_heads):
+        m = f"bbox_head.head_series_lidar.{it}"
+        t(f"{m}.self_attn_lidar.in_proj_weight", 3 * c, c)
+        t(f"{m}.self_attn_lidar.in_proj_bias", 3 * c)
+        t(f"{m}.self_attn_lidar.out_proj.weight", c, c)
+        t(f"{m}.self_attn_lidar.out_proj.bias", c)
+        d = hc.dynamic_dim
+        t(f"{m}.inst_interact_lidar.dynamic_layer.weight", 2 * c * d, c)
+        t(f"{m}.inst_interact_lidar.dynamic_layer.bias", 2 * c * d)
+        t(f"{m}.inst_interact_lidar.out_layer.weight", c, 49 * c)
+        t(f"{m}.inst_interact_lidar.out_layer.bias", c)
+        for norm, dim in (("norm1", d), ("norm2", c), ("norm3", c)):
+            t(f"{m}.inst_interact_lidar.{norm}.weight", dim)
+            t(f"{m}.inst_interact_lidar.{norm}.bias", dim)
+        t(f"{m}.linear1_lidar.weight", hc.dim_feedforward, c)
+        t(f"{m}.linear1_lidar.bias", hc.dim_feedforward)
+        t(f"{m}.linear2_lidar.weight", c, hc.dim_feedforward)
+        t(f"{m}.linear2_lidar.bias", c)
+        for norm in ("norm1", "norm2", "norm3"):
+            t(f"{m}.{norm}_lidar.weight", c)
+            t(f"{m}.{norm}_lidar.bias", c)
+        for k in range(hc.num_cls_convs):
+            t(f"{m}.cls_module_lidar.{3 * k}.weight", c, c)
+            t(f"{m}.cls_module_lidar.{3 * k + 1}.weight", c)
+            t(f"{m}.cls_module_lidar.{3 * k + 1}.bias", c)
+        for k in range(hc.num_reg_convs):
+            t(f"{m}.reg_module_lidar.{3 * k}.weight", c, c)
+            t(f"{m}.reg_module_lidar.{3 * k + 1}.weight", c)
+            t(f"{m}.reg_module_lidar.{3 * k + 1}.bias", c)
+        t(f"{m}.class_logits_lidar.weight", cfg.num_classes, c)
+        t(f"{m}.class_logits_lidar.bias", cfg.num_classes)
+        t(f"{m}.bboxes_delta_lidar.weight", hc.code_size, c)
+        t(f"{m}.bboxes_delta_lidar.bias", hc.code_size)
+    st["bbox_head.code_weights"] = np.ones(hc.code_size, np.float32)
+    return st
+
+
+def _paths(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_paths(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = tuple(np.shape(v))
+    return out
+
+
+def test_torch_convert_full_model():
+    cfg = _shrunk_flagship()
+    rng = np.random.default_rng(0)
+    state = _synthetic_torch_state(cfg, rng)
+    converted = convert_reference_state_dict(state, cfg)
+
+    batch = graft._synthetic_batch(cfg, 1)
+    model = SRFDet(cfg)
+    ref_tree = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), batch, train=False))
+
+    for col in ("params", "batch_stats"):
+        want = _paths(jax.tree_util.tree_map(lambda x: x, dict(ref_tree[col])))
+        got = _paths(converted[col])
+        missing = sorted(set(want) - set(got))
+        extra = sorted(set(got) - set(want))
+        assert not missing, f"{col}: converter missed {missing[:8]}"
+        assert not extra, f"{col}: converter invented {extra[:8]}"
+        for p in want:
+            assert want[p] == got[p], f"{col} {p}: {want[p]} vs {got[p]}"
+
+    # load + forward: finite outputs
+    variables = jax.tree_util.tree_map(jnp.asarray, converted)
+    logits, boxes = model.apply(variables, batch, train=False)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    assert np.all(np.isfinite(np.asarray(boxes)))
+
+
+def test_spconv_layout_kio_numeric():
+    """KIO conversion places offset (dz,dy,dx) weights at z-major K index."""
+    from srfdet3d_tpu.utils.torch_convert import spconv_w
+    w = np.zeros((3, 3, 3, 2, 4), np.float32)      # (kz, ky, kx, in, out)
+    w[1, 2, 0, 1, 3] = 7.0
+    out = spconv_w(w, layout="KIO")
+    k = (1 * 3 + 2) * 3 + 0
+    assert out.shape == (27, 2, 4)
+    assert out[k, 1, 3] == 7.0
+    assert np.count_nonzero(out) == 1

@@ -38,6 +38,35 @@ def test_freeze_mask_lidar():
     assert any(k[0].key == "bbox_head" for k in trained)
 
 
+def test_train_step_mesh_sharded_fast():
+    """Default-suite multi-device certifier (VERDICT r1 item 6): every
+    `pytest -q` run jits the FULL train step over the 8-device mesh and
+    takes two steps on minimal shapes — finite-loss + step-count only;
+    the slow variant below asserts loss descent."""
+    import dataclasses
+    cfg = tiny_test_config(points_cap=256, voxels_cap=256, gt_cap=4)
+    cfg = cfg.replace(
+        middle=dataclasses.replace(cfg.middle,
+                                   capacities=(128, 64, 32, 32)),
+        head=dataclasses.replace(cfg.head, num_proposals=8))
+    n_dev = len(jax.devices())
+    assert n_dev == 8, f"conftest should force 8 virtual devices, got {n_dev}"
+    mesh = make_mesh(n_dev)
+    batch = graft._synthetic_batch(cfg, n_dev, with_gt=True)
+
+    model, state, tx = create_train_state(
+        cfg, jax.random.PRNGKey(0), batch, total_steps=10)
+    step_fn = make_train_step(model, tx, cfg)
+    state = replicate(state, mesh)
+    batch = shard_batch(batch, mesh)
+
+    for i in range(2):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"]))
+    assert int(state.step) == 2
+
+
 @pytest.mark.slow
 def test_train_step_loss_decreases_dp():
     cfg = tiny_test_config()
