@@ -70,6 +70,7 @@ def _accumulate(gts: List[Dict], preds: List[Dict], class_name: str,
 
     taken = set()
     tp, fp = [], []
+    tp_conf = []
     err_trans, err_scale, err_orient, err_vel, err_attr = [], [], [], [], []
     for score, si, bi in rows:
         pb = preds[si]["boxes"][bi]
@@ -87,6 +88,7 @@ def _accumulate(gts: List[Dict], preds: List[Dict], class_name: str,
             taken.add((si, best_gi))
             tp.append(1)
             fp.append(0)
+            tp_conf.append(score)
             gb = g["boxes"][best_gi]
             err_trans.append(best)
             err_scale.append(1.0 - _aligned_iou_1d(pb[3:6], gb[3:6]))
@@ -110,7 +112,7 @@ def _accumulate(gts: List[Dict], preds: List[Dict], class_name: str,
             tp.append(0)
             fp.append(1)
 
-    if not tp:
+    if not tp_conf:
         return dict(recall=np.zeros(N_RECALL_SAMPLES),
                     precision=np.zeros(N_RECALL_SAMPLES),
                     trans_err=np.ones(N_RECALL_SAMPLES),
@@ -120,6 +122,7 @@ def _accumulate(gts: List[Dict], preds: List[Dict], class_name: str,
                     attr_err=np.ones(N_RECALL_SAMPLES),
                     max_recall_ind=0)
 
+    conf = [r[0] for r in rows]
     tp = np.cumsum(tp).astype(float)
     fp = np.cumsum(fp).astype(float)
     prec = tp / (tp + fp)
@@ -127,20 +130,22 @@ def _accumulate(gts: List[Dict], preds: List[Dict], class_name: str,
 
     rec_interp = np.linspace(0, 1, N_RECALL_SAMPLES)
     precision = np.interp(rec_interp, rec, prec, right=0)
-    max_recall_ind = int(round(rec[-1] * (N_RECALL_SAMPLES - 1)))
+    # devkit algo.py: confidence curve over the recall axis; the last
+    # nonzero-confidence index bounds the achieved-recall averaging window
+    conf_interp = np.interp(rec_interp, rec, conf, right=0)
+    nz = np.nonzero(conf_interp)[0]
+    max_recall_ind = int(nz[-1]) if len(nz) else 0
 
     def cummean_interp(errs):
+        # devkit utils.cummean (nan-aware running mean over TP events)
+        # interpolated AGAINST CONFIDENCE, not recall (algo.py accumulate)
         errs = np.asarray(errs, float)
-        ok = ~np.isnan(errs)
-        if not ok.any():
+        if np.all(np.isnan(errs)):
             return np.ones(N_RECALL_SAMPLES)
-        # cumulative mean over TPs, indexed by achieved recall
-        vals = errs[ok]
-        cm = np.cumsum(vals) / (np.arange(len(vals)) + 1)
-        tp_rec = np.linspace(0, rec[-1], len(vals)) if len(vals) > 1 \
-            else np.array([rec[-1]])
-        return np.interp(rec_interp, tp_rec, cm, right=cm[-1] if len(cm)
-                         else 1.0)
+        cm = np.nancumsum(np.nan_to_num(errs, nan=0.0)) / \
+            np.maximum(np.cumsum(~np.isnan(errs)), 1)
+        tc = np.asarray(tp_conf, float)
+        return np.interp(conf_interp[::-1], tc[::-1], cm[::-1])[::-1]
 
     return dict(recall=rec_interp, precision=precision,
                 trans_err=cummean_interp(err_trans),
