@@ -45,7 +45,8 @@ def show_bev_result(points: Optional[np.ndarray],
                     pc_range: Sequence[float] = (
                         -55.2, -55.2, -5.0, 55.2, 55.2, 3.0),
                     pixels_per_meter: float = 8.0,
-                    pred_labels: Optional[np.ndarray] = None) -> np.ndarray:
+                    pred_labels: Optional[np.ndarray] = None,
+                    gt_labels: Optional[np.ndarray] = None) -> np.ndarray:
     """Render a BEV raster: points in gray, GT orange, predictions green
     (per-class colors when labels given).  Returns the BGR image."""
     import cv2
@@ -77,7 +78,7 @@ def show_bev_result(points: Optional[np.ndarray],
             cv2.line(img, tuple(ctr), tuple(front), c, 2)
 
     if gt_boxes is not None and len(gt_boxes):
-        draw(gt_boxes, GT_COLOR)
+        draw(gt_boxes, GT_COLOR, gt_labels)
     if pred_boxes is not None and len(pred_boxes):
         draw(pred_boxes, PRED_COLOR, pred_labels)
 
@@ -86,19 +87,11 @@ def show_bev_result(points: Optional[np.ndarray],
     return img
 
 
-def show_multi_modality_result(img: np.ndarray,
-                               boxes: np.ndarray,
-                               lidar2img: np.ndarray,
-                               out_path: str,
-                               color=(80, 200, 80)) -> np.ndarray:
-    """Project 3D boxes onto a camera image and draw the 12 edges
-    (reference show_result.py:242-441)."""
+def _draw_projected(img, boxes, lidar2img, color, labels=None,
+                    thickness=2) -> None:
     import cv2
-
-    img = np.ascontiguousarray(img.astype(np.uint8))
-    if len(boxes) == 0:
-        cv2.imwrite(out_path, img)
-        return img
+    if boxes is None or len(boxes) == 0:
+        return
     corners = _corners_3d(boxes)                    # (N, 8, 3)
     hom = np.concatenate([corners, np.ones_like(corners[..., :1])], -1)
     cam = hom @ lidar2img.T                         # (N, 8, 4)
@@ -113,11 +106,50 @@ def show_multi_modality_result(img: np.ndarray,
         pts = uv[n].astype(np.int32)
         if (pts[:, 0] < -2 * w).any() or (pts[:, 0] > 3 * w).any():
             continue
+        c = PALETTE[int(labels[n]) % len(PALETTE)] if labels is not None \
+            else color
         for a, b in edges:
-            cv2.line(img, tuple(pts[a]), tuple(pts[b]), color, 2)
+            cv2.line(img, tuple(pts[a]), tuple(pts[b]), c, thickness)
+
+
+def show_multi_modality_result(img: np.ndarray,
+                               boxes: np.ndarray,
+                               lidar2img: np.ndarray,
+                               out_path: str,
+                               color=(80, 200, 80),
+                               gt_boxes: Optional[np.ndarray] = None,
+                               labels: Optional[np.ndarray] = None
+                               ) -> np.ndarray:
+    """Project 3D boxes onto a camera image and draw the 12 edges
+    (reference show_result.py:242-441).  GT boxes (when given) draw in the
+    fixed GT color; predictions take per-class palette colors when
+    `labels` is given, else `color`."""
+    import cv2
+
+    img = np.ascontiguousarray(img.astype(np.uint8))
+    _draw_projected(img, gt_boxes, lidar2img, GT_COLOR)
+    _draw_projected(img, boxes, lidar2img, color, labels)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     cv2.imwrite(out_path, img)
     return img
+
+
+def show_result(points: Optional[np.ndarray],
+                gt_boxes: Optional[np.ndarray],
+                pred_boxes: Optional[np.ndarray],
+                out_dir: str,
+                filename: str) -> None:
+    """Headless equivalent of the reference's trimesh 3D viewer
+    (show_result.py:80-240): writes the scene as mesh files any 3D viewer
+    opens — `{filename}_points.obj`, `{filename}_gt.ply`,
+    `{filename}_pred.ply`."""
+    os.makedirs(out_dir, exist_ok=True)
+    if points is not None and len(points):
+        write_obj(points, os.path.join(out_dir, f"{filename}_points.obj"))
+    if gt_boxes is not None and len(gt_boxes):
+        write_ply(gt_boxes, os.path.join(out_dir, f"{filename}_gt.ply"))
+    if pred_boxes is not None and len(pred_boxes):
+        write_ply(pred_boxes, os.path.join(out_dir, f"{filename}_pred.ply"))
 
 
 def write_obj(points: np.ndarray, out_path: str) -> None:
