@@ -106,6 +106,10 @@ class HeadConfig:
     dynamic_dim: int = 32
     lidar_strides: Tuple[int, ...] = (8, 16, 32, 64)
     img_strides: Tuple[int, ...] = (4, 8, 16, 32)
+    # >0: compacted visible-pair image RoI gather (models/head.py
+    # pooled_img_roi) — exact up to per-camera capacity; 0 = gather every
+    # (camera, proposal) pair like the reference
+    img_roi_cap: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -10,6 +10,8 @@ srfdet_voxel_nusc_L.py:38).
 
 from __future__ import annotations
 
+import dataclasses
+
 from ..assign.ota import OTAConfig
 from ..config import (BackboneConfig, HeadConfig, ImgBranchConfig,
                       MiddleConfig, OptimConfig, SRFDetConfig, TestConfig,
@@ -35,10 +37,16 @@ def srfdet_voxel_nusc_L() -> SRFDetConfig:
 
 def srfdet_voxel_nusc_LC() -> SRFDetConfig:
     """configs/nus/srfdet_voxel_nusc_LC.py — flagship LiDAR+camera."""
-    return srfdet_voxel_nusc_L().replace(
+    base = srfdet_voxel_nusc_L()
+    # img_roi_cap: TPU-native compaction of the 6-camera RoI gather — a
+    # proposal projects into 1-2 cameras; 512 slots/camera keep the sum
+    # exact on real scenes (900 proposals spread over 6 cams) while
+    # cutting the RoI gather rows ~3.5x (models/head.py pooled_img_roi)
+    return base.replace(
         name="srfdet_voxel_nusc_LC",
         use_img=True,
         img=ImgBranchConfig(backbone="vovnet-99", num_cams=6),
+        head=dataclasses.replace(base.head, img_roi_cap=512),
         optim=OptimConfig(freeze_lidar=True))
 
 

@@ -200,6 +200,7 @@ class SRFDet(nn.Module):
             dynamic_dim=h.dynamic_dim,
             lidar_strides=tuple(h.lidar_strides),
             img_strides=tuple(h.img_strides),
+            img_roi_cap=h.img_roi_cap,
             dtype=self.dtype,
             name="bbox_head")(
             point_feats, img_feats, lidar2img, train=train)

@@ -135,6 +135,72 @@ def img_rois_from_boxes(boxes_abs: jnp.ndarray,
     return jnp.concatenate([mn, mx], axis=-1)
 
 
+def pooled_img_roi(img_feats, cam_rois, strides, res: int,
+                   cap: int = 0) -> jnp.ndarray:
+    """Camera-summed multi-level RoI pooling (reference
+    img_feats_sampling_bboxes_roi, srfdet_head.py:1963-2103: RoIAlign per
+    camera then sum over cameras).
+
+    img_feats: list of (B, n_cam, H_l, W_l, C); cam_rois (B, n_cam, n_p, 4)
+    image-pixel [x1, y1, x2, y2].  Returns (B, n_p, res, res, C).
+
+    cap == 0: gather every (camera, proposal) pair like the reference.
+    cap > 0: TPU-native compaction — a proposal's box projects into 1-2 of
+    the 6 surround cameras, and a pair whose RoI misses the image samples
+    only out-of-bounds positions, contributing exactly zero to the sum.
+    Such pairs are skipped by compacting the intersecting pairs of each
+    (sample, camera) into a `cap`-slot buffer (prefix-sum slots), pooling
+    only those, and scatter-adding back per proposal.  Exact whenever each
+    camera has <= cap intersecting pairs; overflow pairs are dropped
+    (capacity discipline like every other static buffer here).
+    """
+    b, n_cam, n_p, _ = cam_rois.shape
+    c = img_feats[0].shape[-1]
+    flat_feats = tuple(f.reshape((b * n_cam,) + f.shape[2:])
+                       for f in img_feats)
+    if not cap:
+        flat_rois = cam_rois.reshape(b * n_cam, n_p, 4)
+        per_cam = jax.vmap(
+            lambda feats, r: multilevel_roi_align(
+                feats, r, strides, out_size=res))(flat_feats, flat_rois)
+        return jnp.sum(per_cam.reshape((b, n_cam, n_p, res, res, c)),
+                       axis=1)
+
+    h_img = img_feats[0].shape[2] * strides[0]
+    w_img = img_feats[0].shape[3] * strides[0]
+    # margin covers the coarsest level's half-pixel sample reach (-0.5 *
+    # stride); beyond it every bilinear sample is out of bounds -> zero
+    margin = float(2 * max(strides))
+    x1, y1 = cam_rois[..., 0], cam_rois[..., 1]
+    x2, y2 = cam_rois[..., 2], cam_rois[..., 3]
+    vis = ((x2 >= -margin) & (x1 <= w_img + margin) &
+           (y2 >= -margin) & (y1 <= h_img + margin))
+    bc = b * n_cam
+    vis_f = vis.reshape(bc, n_p)
+    slot = jnp.cumsum(vis_f.astype(jnp.int32), axis=1) - 1     # (BC, n_p)
+    slot = jnp.where(vis_f & (slot < cap), slot, cap)
+    rows = jnp.arange(bc, dtype=jnp.int32)[:, None]
+    # off-image placeholder RoI: all samples OOB -> exact zero rows
+    rois_c = jnp.full((bc, cap + 1, 4), -1e6, cam_rois.dtype)
+    rois_c = rois_c.at[rows, slot].set(
+        cam_rois.reshape(bc, n_p, 4), mode="drop")[:, :cap]
+    src = jnp.full((bc, cap + 1), n_p, jnp.int32)
+    src = src.at[rows, slot].set(
+        jnp.broadcast_to(jnp.arange(n_p, dtype=jnp.int32), (bc, n_p)),
+        mode="drop")[:, :cap]                                  # (BC, cap)
+
+    per_cam = jax.vmap(
+        lambda feats, r: multilevel_roi_align(
+            feats, r, strides, out_size=res))(flat_feats, rois_c)
+    # scatter-add pooled slots back to their proposals
+    b_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n_cam)[:, None]
+    flat_prop = jnp.where(src < n_p, b_idx * n_p + src, b * n_p)
+    out = jnp.zeros((b * n_p + 1, res * res * c), per_cam.dtype)
+    out = out.at[flat_prop.reshape(-1)].add(
+        per_cam.reshape(bc * cap, res * res * c), mode="drop")
+    return out[:b * n_p].reshape(b, n_p, res, res, c)
+
+
 class SingleSRFDetHead(nn.Module):
     """One refinement iteration (LiDAR / image / fusion).
 
@@ -159,6 +225,8 @@ class SingleSRFDetHead(nn.Module):
     lidar_strides: Sequence[int] = (8, 16, 32, 64)
     img_strides: Sequence[int] = (4, 8, 16, 32)
     prior_prob: float = 0.01
+    # >0: compacted visible-pair image RoI gather (see pooled_img_roi)
+    img_roi_cap: int = 0
     dtype: Any = jnp.float32
 
     @property
@@ -199,17 +267,9 @@ class SingleSRFDetHead(nn.Module):
                     feats, r, self.lidar_strides, out_size=res))(
                 tuple(point_feats), rois)                # (B, n_p, 7, 7, C)
         if self.use_img:
-            n_cam = img_feats[0].shape[1]
             cam_rois = img_rois_from_boxes(boxes_abs, lidar2img)
-            flat_rois = cam_rois.reshape(bs * n_cam, n_p, 4)
-            flat_feats = tuple(
-                f.reshape((bs * n_cam,) + f.shape[2:]) for f in img_feats)
-            per_cam = jax.vmap(
-                lambda feats, r: multilevel_roi_align(
-                    feats, r, self.img_strides, out_size=res))(
-                flat_feats, flat_rois)               # (B*cam, n_p, 7, 7, C)
-            img_roi = jnp.sum(
-                per_cam.reshape((bs, n_cam, n_p, res, res, -1)), axis=1)
+            img_roi = pooled_img_roi(img_feats, cam_rois, self.img_strides,
+                                     res, cap=self.img_roi_cap)
 
         if self.use_fusion:
             fused = jnp.concatenate([img_roi, pts_roi], axis=-1)
@@ -325,6 +385,7 @@ class SRFDetHead(nn.Module):
     dynamic_dim: int = 32
     lidar_strides: Sequence[int] = (8, 16, 32, 64)
     img_strides: Sequence[int] = (4, 8, 16, 32)
+    img_roi_cap: int = 0
     dtype: Any = jnp.float32
 
     def _dpg_weights(self, feats: Sequence[jnp.ndarray], tag: str,
@@ -461,6 +522,7 @@ class SRFDetHead(nn.Module):
             use_img=self.use_img and img_feats is not None,
             lidar_strides=tuple(self.lidar_strides),
             img_strides=tuple(self.img_strides),
+            img_roi_cap=self.img_roi_cap,
             prior_prob=self.prior_prob,
             dtype=self.dtype)
 

@@ -100,3 +100,30 @@ def test_focal_cost_shape_and_sign():
     hi = focal_loss_cost(jnp.array([[5.0, -5, -5, -5]]), jnp.array([0]))
     lo = focal_loss_cost(jnp.array([[-5.0, -5, -5, -5]]), jnp.array([0]))
     assert float(hi[0, 0]) < float(lo[0, 0])
+
+
+def test_pooled_img_roi_compaction_exact():
+    """cap-compacted camera-sum RoI pooling == the all-pairs reference
+    path whenever intersecting pairs fit the capacity (off-image pairs
+    contribute exactly zero)."""
+    from srfdet3d_tpu.models.head import pooled_img_roi
+    rng = np.random.default_rng(0)
+    b, n_cam, n_p, c = 2, 3, 16, 8
+    strides = (4, 8)
+    h0, w0 = 16, 24                       # level-0 map; image 64 x 96
+    feats = [jnp.asarray(rng.normal(
+        size=(b, n_cam, h0 // (s // 4), w0 // (s // 4), c)
+    ).astype(np.float32)) for s in strides]
+    # mix of on-image, partially-visible, and far off-image RoIs
+    rois = np.zeros((b, n_cam, n_p, 4), np.float32)
+    x1 = rng.uniform(-200, 120, (b, n_cam, n_p))
+    y1 = rng.uniform(-150, 80, (b, n_cam, n_p))
+    rois[..., 0] = x1
+    rois[..., 1] = y1
+    rois[..., 2] = x1 + rng.uniform(5, 60, (b, n_cam, n_p))
+    rois[..., 3] = y1 + rng.uniform(5, 40, (b, n_cam, n_p))
+    rois_j = jnp.asarray(rois)
+    ref = pooled_img_roi(feats, rois_j, strides, res=5, cap=0)
+    got = pooled_img_roi(feats, rois_j, strides, res=5, cap=n_p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

@@ -105,9 +105,13 @@ def main():
     for s, v in zip(shapes, vlist):
         coords_all.append(make_stage(rng, s, v))
 
+    # 'pallas' lookup is opt-in and not shipped; its kernel compile takes
+    # tens of minutes through the remote compiler — bench only on demand
+    lookups = ("dense", "pallas") if os.environ.get("BENCH_PALLAS_RB") \
+        else ("dense",)
     for si, (shape, v, ch) in enumerate(zip(shapes, vlist, chans)):
         c, m = coords_all[si]
-        for lookup in ("dense", "pallas"):
+        for lookup in lookups:
             sc.LOOKUP_METHOD = lookup
 
             def rb_fn(c=c, m=m, shape=shape):
