@@ -93,13 +93,26 @@ def split_bench():
     v = spec.max_voxels
     c, m = make_stage(rng, shape, v)
     from srfdet3d_tpu.ops.sparse_conv import (
-        _key, _build_dense_table, _offsets)
+        _key, _offsets, subm_gather_indices_batched)
     keys = jax.vmap(lambda cc, mm: _key(cc, shape, mm))(c, m)
 
-    build = jax.jit(lambda k: _build_dense_table(k, cells)[1])
+    # flat (1D) cell table for the historical variants below; the shipped
+    # path now uses the haloed 2D table (sparse_conv._build_dense_table)
+    def build_flat(k):
+        gk = jnp.where(k[0] < cells, k[0], cells)
+        t_ = jnp.full((cells + 1,), v, jnp.int32)
+        return t_.at[gk].set(jnp.arange(v, dtype=jnp.int32), mode="drop")
+
+    build = jax.jit(build_flat)
     t = time_fn(lambda: build(keys))
     print(f"stage0 table build: {t - rb:.1f} ms", flush=True)
     table = build(keys)
+
+    jreal = jax.jit(lambda cc, mm: subm_gather_indices_batched(
+        cc, mm, shape, 3))
+    t = time_fn(lambda: jreal(c, m))
+    print(f"stage0 SHIPPED subm rulebook (2D 3x3 slices): {t - rb:.1f} ms",
+          flush=True)
 
     offs = np.asarray(_offsets((3, 3, 3))) - 1          # (27, 3)
     coords = c[0]
