@@ -39,14 +39,15 @@ def srfdet_voxel_nusc_LC() -> SRFDetConfig:
     """configs/nus/srfdet_voxel_nusc_LC.py — flagship LiDAR+camera."""
     base = srfdet_voxel_nusc_L()
     # img_roi_cap: TPU-native compaction of the 6-camera RoI gather — a
-    # proposal projects into 1-2 cameras; 512 slots/camera keep the sum
-    # exact on real scenes (900 proposals spread over 6 cams) while
-    # cutting the RoI gather rows ~3.5x (models/head.py pooled_img_roi)
+    # proposal projects into 1-2 cameras (~225 visible pairs/camera for
+    # 900 proposals spread over 6 surround cams); 320 slots/camera is
+    # 2.1x the average occupancy and cuts the RoI gather rows 2.8x
+    # (models/head.py pooled_img_roi; measured 630 -> ~440 ms predict)
     return base.replace(
         name="srfdet_voxel_nusc_LC",
         use_img=True,
         img=ImgBranchConfig(backbone="vovnet-99", num_cams=6),
-        head=dataclasses.replace(base.head, img_roi_cap=512),
+        head=dataclasses.replace(base.head, img_roi_cap=320),
         optim=OptimConfig(freeze_lidar=True))
 
 

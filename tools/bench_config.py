@@ -68,12 +68,23 @@ def main():
         n_cam = cfg.img.num_cams
         batch["images"] = jnp.asarray(
             rng.normal(size=(bs, n_cam, h, w, 3)).astype(np.float32))
-        l2i = np.broadcast_to(np.eye(4, dtype=np.float32),
-                              (bs, n_cam, 4, 4)).copy()
-        l2i[..., 0, 0] = 800.0
-        l2i[..., 1, 1] = 800.0
-        l2i[..., 0, 2] = w / 2
-        l2i[..., 1, 2] = h / 2
+        # surround rig: cameras yawed 360/n_cam apart (a box projects into
+        # 1-2 of them, like the real nuScenes rig) — an identity rig makes
+        # every proposal visible in every camera and misstates the
+        # visible-pair compaction (head.img_roi_cap)
+        l2i = np.zeros((bs, n_cam, 4, 4), np.float32)
+        intr = np.eye(4, dtype=np.float32)
+        intr[0, 0] = intr[1, 1] = 800.0
+        intr[0, 2] = w / 2
+        intr[1, 2] = h / 2
+        for k in range(n_cam):
+            yaw = 2 * np.pi * k / n_cam
+            fwd = np.array([np.cos(yaw), np.sin(yaw), 0.0])
+            right = np.array([-np.sin(yaw), np.cos(yaw), 0.0])
+            down = np.array([0.0, 0.0, -1.0])
+            l2c = np.eye(4, dtype=np.float32)
+            l2c[:3, :3] = np.stack([right, down, fwd])
+            l2i[:, k] = intr @ l2c
         batch["lidar2img"] = jnp.asarray(l2i)
 
     model = SRFDet(cfg)
