@@ -30,6 +30,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 TARGET_FPS = 5.0
 WARMUP = 3
 ITERS = 20
+STREAM_ITERS = 50
 
 
 def main():
@@ -66,12 +67,12 @@ def main():
     run_sync()
     outs = []
     t0 = time.perf_counter()
-    for _ in range(ITERS):
+    for _ in range(STREAM_ITERS):
         outs.append(fn(variables, batch))
     s = float(jnp.sum(jnp.stack([jnp.sum(o["scores"]) for o in outs])))
     stream_s = time.perf_counter() - t0
     assert np.isfinite(s)
-    fps = ITERS / stream_s
+    fps = STREAM_ITERS / stream_s
     print(json.dumps({
         "metric": "nusc_L_frames_per_sec_per_chip",
         "value": round(fps, 3),

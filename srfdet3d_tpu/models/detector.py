@@ -26,7 +26,8 @@ from flax import linen as nn
 from flax import struct
 
 from ..config import SRFDetConfig
-from ..ops.voxelize import VoxelizedPoints, voxelize_points
+from ..ops.voxelize import (VoxelizedPoints, voxelize_points,
+                            voxelize_points_batched)
 from .fpn import FPN
 from .grid_mask import grid_mask
 from .head import SRFDetHead, decode_boxes
@@ -80,8 +81,9 @@ class SRFDet(nn.Module):
         v_cap = spec.max_voxels
         b, p, d = points.shape
 
-        vox = jax.vmap(lambda pt, m: voxelize_points(pt, m, spec))(
-            points, points_mask)
+        # flat-batched: jax.vmap(voxelize_points) measured 81.5 ms vs
+        # 18.8 ms at flagship shapes (vmapped sort/scatter lowering)
+        vox = voxelize_points_batched(points, points_mask, spec)
         flat = _flatten_voxelization(vox, v_cap)
         flat_points = points.reshape(b * p, d)
 

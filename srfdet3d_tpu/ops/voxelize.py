@@ -24,6 +24,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -146,6 +147,104 @@ def voxelize_points(points: jnp.ndarray,
     # un-sort the per-point slot ids (scatter beats a second argsort)
     point_voxel_idx = jnp.zeros((p,), jnp.int32).at[order].set(
         slot_sorted.astype(jnp.int32))
+    point_mask = point_voxel_idx < v_cap
+
+    return VoxelizedPoints(
+        point_voxel_idx=point_voxel_idx,
+        point_mask=point_mask,
+        voxel_coords=voxel_coords,
+        voxel_mask=voxel_mask,
+        num_points=num_points,
+    )
+
+
+def voxelize_points_batched(points: jnp.ndarray,
+                            point_valid: jnp.ndarray,
+                            spec: VoxelizationSpec) -> VoxelizedPoints:
+    """Flat-batched voxelization: (B, P, C) -> batched VoxelizedPoints.
+
+    `jax.vmap(voxelize_points)` measured 81.5 ms vs 18.8 single-sample at
+    flagship shapes (vmapped sort/scatter lowering, PERF.md) — so the
+    batch folds into the KEY instead: sample b's keys shift by
+    b*(cells+1), one global sort keeps samples as contiguous key-ordered
+    blocks (each sample's keys, sentinel included, sort below the next
+    sample's range), and every scatter hits a flat (B*(V+1),) buffer.
+    Requires B*(cells+1) < 2^31 (B <= ~22 at Waymo grid scale); larger
+    batches fall back to the vmapped path.
+    """
+    b, p = point_valid.shape
+    v_cap = spec.max_voxels
+    nx, ny, nz = spec.grid_size
+    cells = nx * ny * nz
+    shift = cells + 1
+    if b * shift >= (1 << 31):
+        return jax.vmap(lambda pt, m: voxelize_points(pt, m, spec))(
+            points, point_valid)
+
+    flat_pts = points.reshape(b * p, -1)
+    coords, in_range = compute_voxel_coords(flat_pts, spec)
+    valid = point_valid.reshape(-1) & in_range
+
+    key = (coords[:, 0] * ny + coords[:, 1]) * nx + coords[:, 2]
+    b_of = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
+    key = jnp.where(valid, key, cells) + b_of * shift     # (B*P,)
+
+    order_src = jnp.arange(b * p, dtype=jnp.int32)
+    skey, order = jax.lax.sort((key, order_src), num_keys=1)
+    # sorted samples form contiguous blocks [b*P, (b+1)*P), so the sample
+    # id is positional — no `// shift` (int32 division by a non-power-of-2
+    # costs tens of ms at this width on the VPU)
+    sb = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
+    svalid = (skey - sb * shift) != cells
+    head = jnp.concatenate(
+        [jnp.ones((1,), bool), skey[1:] != skey[:-1]]) & svalid
+    from .prefix import prefix_count
+    grank = prefix_count(head)                            # global voxel rank
+    # per-sample base: rank just before the sample's block (blocks are
+    # [b*P, (b+1)*P) because shifted keys sort samples in order)
+    starts = jnp.arange(b, dtype=jnp.int32) * p
+    # heads strictly before the block start: prefix_count is inclusive-1,
+    # so count(0..start-1) = grank[start-1] + 1
+    base = jnp.where(starts > 0, grank[jnp.maximum(starts - 1, 0)] + 1, 0)
+    slot_sorted = grank - base[sb]
+    slot_sorted = jnp.where(
+        svalid & (slot_sorted < v_cap), slot_sorted, v_cap).astype(jnp.int32)
+    gslot = jnp.where(slot_sorted < v_cap,
+                      slot_sorted + sb * (v_cap + 1), b * (v_cap + 1) - 1)
+    # (invalid rows target their sample's trash slot v_cap; the final
+    # gslot for fully-invalid rows uses the last sample's trash slot)
+
+    pos_in_sample = (jnp.arange(b * p, dtype=jnp.int32) - sb * p)
+    first_pos = jnp.zeros((b * (v_cap + 1),), jnp.int32).at[gslot].max(
+        jnp.where(head, pos_in_sample, 0), mode="drop")
+    rank_sorted = pos_in_sample - first_pos[gslot]
+
+    if spec.max_num_points > 0:
+        keep_sorted = rank_sorted < spec.max_num_points
+    else:
+        keep_sorted = jnp.ones((b * p,), bool)
+    slot_sorted = jnp.where(keep_sorted & (slot_sorted < v_cap),
+                            slot_sorted, v_cap)
+    gslot = jnp.where(slot_sorted < v_cap,
+                      slot_sorted + sb * (v_cap + 1), b * (v_cap + 1) - 1)
+    ghead = jnp.where(head & (slot_sorted < v_cap), gslot,
+                      b * (v_cap + 1) - 1)
+
+    coords_sorted = coords[order]
+    voxel_coords = jnp.zeros((b * (v_cap + 1), 3), jnp.int32).at[
+        ghead].set(coords_sorted, mode="drop")
+    voxel_mask = jnp.zeros((b * (v_cap + 1),), bool).at[
+        ghead].set(True, mode="drop")
+    num_points = jnp.zeros((b * (v_cap + 1),), jnp.int32).at[
+        gslot].add(1, mode="drop")
+    # strip each sample's trash slot; undo any write that landed in the
+    # shared last trash slot
+    voxel_coords = voxel_coords.reshape(b, v_cap + 1, 3)[:, :v_cap]
+    voxel_mask = voxel_mask.reshape(b, v_cap + 1)[:, :v_cap]
+    num_points = num_points.reshape(b, v_cap + 1)[:, :v_cap]
+
+    point_voxel_idx = jnp.zeros((b * p,), jnp.int32).at[order].set(
+        slot_sorted.astype(jnp.int32)).reshape(b, p)
     point_mask = point_voxel_idx < v_cap
 
     return VoxelizedPoints(

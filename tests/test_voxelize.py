@@ -131,3 +131,51 @@ def test_dynamic_vfe_shapes_and_train():
     assert out.shape == (64, 128)
     assert "batch_stats" in updates
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_batched_matches_vmapped():
+    """Flat-batched voxelization == per-sample voxelization on every
+    field, including capacity overflow and max_num_points capping."""
+    from srfdet3d_tpu.ops.voxelize import voxelize_points_batched
+    rng = np.random.RandomState(11)
+    spec = VoxelizationSpec(voxel_size=(0.4, 0.4, 0.5),
+                            point_cloud_range=(-4, -4, -2, 4, 4, 2),
+                            max_num_points=3, max_voxels=32)
+    b, p = 3, 256
+    pts = rng.uniform(-5, 5, (b, p, 5)).astype(np.float32)
+    valid = rng.rand(b, p) < 0.8
+    got = voxelize_points_batched(jnp.asarray(pts), jnp.asarray(valid),
+                                  spec)
+    for i in range(b):
+        ref = voxelize_points(jnp.asarray(pts[i]), jnp.asarray(valid[i]),
+                              spec)
+        np.testing.assert_array_equal(np.asarray(got.voxel_coords[i]),
+                                      np.asarray(ref.voxel_coords))
+        np.testing.assert_array_equal(np.asarray(got.voxel_mask[i]),
+                                      np.asarray(ref.voxel_mask))
+        np.testing.assert_array_equal(np.asarray(got.num_points[i]),
+                                      np.asarray(ref.num_points))
+        np.testing.assert_array_equal(np.asarray(got.point_voxel_idx[i]),
+                                      np.asarray(ref.point_voxel_idx))
+        np.testing.assert_array_equal(np.asarray(got.point_mask[i]),
+                                      np.asarray(ref.point_mask))
+
+
+def test_batched_dynamic_voxelize_matches():
+    from srfdet3d_tpu.ops.voxelize import voxelize_points_batched
+    rng = np.random.RandomState(12)
+    spec = VoxelizationSpec(voxel_size=(0.4, 0.4, 0.5),
+                            point_cloud_range=(-4, -4, -2, 4, 4, 2),
+                            max_num_points=-1, max_voxels=64)
+    b, p = 2, 200
+    pts = rng.uniform(-4.5, 4.5, (b, p, 4)).astype(np.float32)
+    valid = np.ones((b, p), bool)
+    got = voxelize_points_batched(jnp.asarray(pts), jnp.asarray(valid),
+                                  spec)
+    for i in range(b):
+        ref = voxelize_points(jnp.asarray(pts[i]), jnp.asarray(valid[i]),
+                              spec)
+        np.testing.assert_array_equal(np.asarray(got.point_voxel_idx[i]),
+                                      np.asarray(ref.point_voxel_idx))
+        np.testing.assert_array_equal(np.asarray(got.voxel_coords[i]),
+                                      np.asarray(ref.voxel_coords))
