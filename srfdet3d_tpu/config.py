@@ -56,6 +56,9 @@ class MiddleConfig:
     block_type: str = "basicblock"
     # static voxel capacities after each downsample stage + conv_out
     capacities: Tuple[int, ...] = (60000, 30000, 15000, 15000)
+    # rulebook backend: 'bitmap' (z-bitmap columns, default) or 'table'
+    # (dense 3D cell tables); see models/sparse_encoder.py
+    rulebook: str = "bitmap"
 
 
 @dataclasses.dataclass(frozen=True)

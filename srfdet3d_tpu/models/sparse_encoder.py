@@ -15,18 +15,34 @@ Batch handling is FLAT, not vmapped: rulebook lookups, feature gathers and
 the dense scatter fold the batch index into the cell/row key so every
 scatter/gather is a single unbatched op — vmapped scatters compile ~8x
 slower on the remote TPU compiler and the flat form runs identically
-(see ops/sparse_conv.py batched_lookup).  Only the per-sample output-site
-sort is vmapped (batched sorts lower natively).
+(see ops/sparse_conv.py batched_lookup).
+
+Two interchangeable rulebook backends produce the (B, M, K) gather indices
+(identical offset order, so parameters transfer between them):
+
+  - 'bitmap' (default): z-bitmap columns (ops/bitmap_rulebook.py) — plan
+    (y, x) tables + per-column 64-bit z masks; no per-layer sorts, no 3D
+    cell tables.  Requires the z depth chain to fit 64/32 bits (every
+    shipped grid does); falls back to 'table' otherwise.
+  - 'table': dense 3D cell tables + candidate-sort output sites
+    (ops/sparse_conv.py), the general path (any kernel shape, any depth).
+
+The two backends emit sites in different row ORDERS (plan-major vs
+z-major); the dense BEV output is identical (tests/test_sparse_encoder.py).
 """
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..ops.bitmap_rulebook import (
+    build_columns, convout_rulebook_bitmap, convout_sites_bitmap,
+    sort_plan_major, strided_rulebook_bitmap, strided_sites_bitmap,
+    subm_rulebook_bitmap)
 from ..ops.sparse_conv import (
     SparseTensor, subm_gather_indices_batched,
     strided_gather_indices_batched, gathered_conv_apply_batched,
@@ -60,6 +76,104 @@ class _GatheredConvBN(nn.Module):
         return jnp.where(mask[..., None], out, 0.0)
 
 
+def _pad3(p):
+    return (p, p, p) if isinstance(p, int) else tuple(p)
+
+
+class _TableRulebooks:
+    """Dense-3D-cell-table backend (ops/sparse_conv.py)."""
+
+    def __init__(self, coords, mask, shape):
+        self.coords, self.mask, self.shape = coords, mask, shape
+        # one cell table per stage, shared by the subm rulebook and the
+        # following strided conv's input lookup (the stage-0 table alone
+        # is a 355 MB write at nuScenes scale)
+        self.key_table = make_key_table(coords, mask, shape)
+
+    def subm(self):
+        return subm_gather_indices_batched(
+            self.coords, self.mask, self.shape, 3, key_table=self.key_table)
+
+    def _strided(self, kernel, stride, pad, capacity):
+        oshape = conv_out_shape(self.shape, kernel, stride, pad)
+        oc, om = jax.vmap(
+            lambda c, m: generate_output_sites(
+                SparseTensor(jnp.zeros((c.shape[0], 1)), c, m, self.shape),
+                kernel, stride, pad, capacity))(self.coords, self.mask)
+        gidx = strided_gather_indices_batched(
+            self.coords, self.mask, self.shape, oc, om, kernel, stride,
+            pad, key_table=self.key_table)
+        self.coords, self.mask, self.shape = oc, om, oshape
+        self.key_table = make_key_table(oc, om, oshape)
+        return gidx
+
+    def downsample(self, pad, capacity):
+        return self._strided((3, 3, 3), (2, 2, 2), _pad3(pad), capacity)
+
+    def convout(self, capacity):
+        return self._strided((3, 1, 1), (2, 1, 1), (0, 0, 0), capacity)
+
+    def dense(self, feats):
+        return sparse_to_dense_batched(feats, self.coords, self.mask,
+                                       self.shape)
+
+
+class _BitmapRulebooks:
+    """z-bitmap column backend (ops/bitmap_rulebook.py)."""
+
+    def __init__(self, coords, mask, shape):
+        self.cs, self.vcol, self.vz = build_columns(coords, mask, shape)
+        self.mask = mask
+
+    def subm(self):
+        return subm_rulebook_bitmap(self.cs, self.vcol, self.vz, self.mask)
+
+    def downsample(self, pad, capacity):
+        pad = _pad3(pad)
+        cs_o, vcol_o, vz_o, vm_o = strided_sites_bitmap(self.cs, pad,
+                                                        capacity)
+        gidx = strided_rulebook_bitmap(self.cs, cs_o, vcol_o, vz_o, vm_o,
+                                       pad)
+        self.cs, self.vcol, self.vz, self.mask = cs_o, vcol_o, vz_o, vm_o
+        return gidx
+
+    def convout(self, capacity):
+        cs_o, vcol_o, vz_o, vm_o = convout_sites_bitmap(self.cs, capacity)
+        gidx = convout_rulebook_bitmap(self.cs, vcol_o, vz_o, vm_o)
+        self.cs, self.vcol, self.vz, self.mask = cs_o, vcol_o, vz_o, vm_o
+        return gidx
+
+    def dense(self, feats):
+        b, p, _ = self.cs.ccoords.shape
+        m = self.vcol.shape[1]
+        ccflat = jnp.concatenate(
+            [self.cs.ccoords.reshape(b * p, 2),
+             jnp.zeros((1, 2), jnp.int32)], axis=0)
+        yx = ccflat[self.vcol.reshape(-1)].reshape(b, m, 2)
+        coords = jnp.concatenate([self.vz[..., None], yx], axis=-1)
+        return sparse_to_dense_batched(feats, coords, self.mask,
+                                       self.cs.shape)
+
+
+def _bitmap_supported(shape, down_pads: List, block_type: str) -> bool:
+    """The bitmap backend needs the z-depth chain to fit its bit words:
+    input depth <= 64, every downsample output depth in (0, 32], and a
+    valid conv_out depth.  True for every shipped grid (41->21->11->5->2);
+    tiny/degenerate test grids fall back to the table backend."""
+    d = shape[0]
+    if d > 64:
+        return False
+    for pad in down_pads:
+        pz = _pad3(pad)[0]
+        if d + pz > 64:       # decimate_bits shifts left by pz pre-tap
+            return False
+        d = (d + 2 * pz - 3) // 2 + 1
+        if d <= 0 or d > 32:
+            return False
+    d = (d - 3) // 2 + 1
+    return d >= 1
+
+
 class SparseEncoder(nn.Module):
     in_channels: int
     sparse_shape: Tuple[int, int, int]          # (D, H, W)
@@ -72,10 +186,21 @@ class SparseEncoder(nn.Module):
     block_type: str = "conv_module"
     # voxel capacity after each of the 3 downsamples + conv_out
     capacities: Sequence[int] = (60000, 30000, 15000, 15000)
+    rulebook: str = "bitmap"                    # bitmap | table
     dtype: Any = jnp.float32
 
-    def _pad3(self, p):
-        return (p, p, p) if isinstance(p, int) else tuple(p)
+    def _down_pads(self) -> List:
+        pads = []
+        if self.block_type == "conv_module":
+            for i, blocks in enumerate(self.encoder_channels):
+                if i != 0:
+                    pads.append(self.encoder_paddings[i][0])
+        else:
+            n = len(self.encoder_channels)
+            for i, blocks in enumerate(self.encoder_channels):
+                if i != n - 1:
+                    pads.append(self.encoder_paddings[i][len(blocks) - 1])
+        return pads
 
     @nn.compact
     def __call__(self, voxel_feats: jnp.ndarray, voxel_coords: jnp.ndarray,
@@ -84,31 +209,24 @@ class SparseEncoder(nn.Module):
         feats = voxel_feats.astype(self.dtype)
         coords, mask = voxel_coords, voxel_mask
         shape = tuple(self.sparse_shape)
-        # one cell table per stage, shared by the subm rulebook and the
-        # following strided conv's input lookup (the stage-0 table alone is
-        # a 355 MB write at nuScenes scale)
-        key_table = make_key_table(coords, mask, shape)
 
-        def subm_idx():
-            return subm_gather_indices_batched(coords, mask, shape, 3,
-                                               key_table=key_table)
+        use_bitmap = (self.rulebook == "bitmap" and
+                      _bitmap_supported(shape, self._down_pads(),
+                                        self.block_type))
+        if use_bitmap:
+            feats, coords, mask = sort_plan_major(feats, coords, mask,
+                                                  shape)
+            rb = _BitmapRulebooks(coords, mask, shape)
+        else:
+            rb = _TableRulebooks(coords, mask, shape)
 
         def downsample(out_ch, padding, capacity, name):
-            nonlocal feats, coords, mask, shape, key_table
-            kernel, stride = (3, 3, 3), (2, 2, 2)
-            pad = self._pad3(padding)
-            oshape = conv_out_shape(shape, kernel, stride, pad)
-            oc, om = jax.vmap(
-                lambda c, m: generate_output_sites(
-                    SparseTensor(jnp.zeros((c.shape[0], 1)), c, m, shape),
-                    kernel, stride, pad, capacity))(coords, mask)
-            gidx = strided_gather_indices_batched(
-                coords, mask, shape, oc, om, kernel, stride, pad,
-                key_table=key_table)
+            nonlocal feats, mask
+            gidx = rb.downsample(padding, capacity)
+            mask = rb.mask
             feats = _GatheredConvBN(out_ch, 27, dtype=self.dtype,
-                                    name=name)(feats, gidx, om, train=train)
-            coords, mask, shape = oc, om, oshape
-            key_table = make_key_table(coords, mask, shape)
+                                    name=name)(feats, gidx, mask,
+                                               train=train)
 
         def basic_block(gidx, ch, name):
             nonlocal feats
@@ -123,7 +241,7 @@ class SparseEncoder(nn.Module):
             feats = jnp.where(mask[..., None], f, 0.0)
 
         # conv_input: SubMConv3d(in -> base) + BN + ReLU
-        gidx = subm_idx()
+        gidx = rb.subm()
         feats = _GatheredConvBN(self.base_channels, 27, dtype=self.dtype,
                                 name="conv_input")(
             feats, gidx, mask, train=train)
@@ -137,7 +255,7 @@ class SparseEncoder(nn.Module):
                         downsample(out_ch, pad, self.capacities[ds_count],
                                    f"down{i}")
                         ds_count += 1
-                        gidx = subm_idx()
+                        gidx = rb.subm()
                     else:
                         feats = _GatheredConvBN(
                             out_ch, 27, dtype=self.dtype,
@@ -152,27 +270,20 @@ class SparseEncoder(nn.Module):
                         downsample(out_ch, pad, self.capacities[ds_count],
                                    f"down{i}")
                         ds_count += 1
-                        gidx = subm_idx()
+                        gidx = rb.subm()
                     else:
                         basic_block(gidx, out_ch, f"bb{i}_{j}")
         else:
             raise ValueError(self.block_type)
 
         # conv_out: SparseConv3d k(3,1,1) s(2,1,1) p0 + BN + ReLU
-        kernel, stride, pad = (3, 1, 1), (2, 1, 1), (0, 0, 0)
-        oshape = conv_out_shape(shape, kernel, stride, pad)
-        oc, om = jax.vmap(
-            lambda c, m: generate_output_sites(
-                SparseTensor(jnp.zeros((c.shape[0], 1)), c, m, shape),
-                kernel, stride, pad, self.capacities[-1]))(coords, mask)
-        gidx_out = strided_gather_indices_batched(
-            coords, mask, shape, oc, om, kernel, stride, pad,
-            key_table=key_table)
+        gidx_out = rb.convout(self.capacities[-1])
+        mask = rb.mask
         feats = _GatheredConvBN(self.output_channels, 3, dtype=self.dtype,
                                 name="conv_out")(
-            feats, gidx_out, om, train=train)
+            feats, gidx_out, mask, train=train)
 
-        dense = sparse_to_dense_batched(feats, oc, om, oshape)
+        dense = rb.dense(feats)
         b, d_, h_, w_, c_ = dense.shape
         # (B, H, W, D*C): z-major channel grouping (layout differs from the
         # reference's (C*D) only by a fixed permutation; trained from scratch)

@@ -26,3 +26,19 @@ def prefix_count(flags: jnp.ndarray) -> jnp.ndarray:
     base = jnp.cumsum(row_tot) - row_tot              # tiny cross-row scan
     pos = within + base[:, None] - 1.0
     return pos.reshape(-1)[:l].astype(jnp.int32)
+
+
+def prefix_sum(vals: jnp.ndarray) -> jnp.ndarray:
+    """(L,) int32 -> (L,) int32 inclusive prefix sum on the MXU.
+
+    Exact while the total stays below 2^24 (f32 integer range); callers
+    here sum per-column voxel counts, bounded by the voxel capacity
+    (<= a few hundred thousand)."""
+    l = vals.shape[0]
+    pad = (-l) % _CHUNK
+    f = jnp.pad(vals.astype(jnp.float32), (0, pad)).reshape(-1, _CHUNK)
+    tri = jnp.triu(jnp.ones((_CHUNK, _CHUNK), jnp.float32))
+    within = jnp.dot(f, tri, preferred_element_type=jnp.float32)
+    row_tot = within[:, -1]
+    base = jnp.cumsum(row_tot) - row_tot
+    return (within + base[:, None]).reshape(-1)[:l].astype(jnp.int32)
