@@ -134,6 +134,65 @@ def decimate_bits(lo: jnp.ndarray, hi: jnp.ndarray, pz: int, zout: int
     return out & _mask_below(jnp.int32(zout))
 
 
+def _select_bit(word: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Position of the (k+1)-th set bit of a uint32 (k in [0, popcount))."""
+    pos = jnp.zeros_like(k)
+    for step in (16, 8, 4, 2, 1):
+        c = _popcount(word & _mask_below(pos + step))
+        pos = jnp.where(c <= k, pos + step, pos)
+    return pos
+
+
+def _expand_sites(olo: jnp.ndarray, cm: jnp.ndarray, counts: jnp.ndarray,
+                  start_local: jnp.ndarray, out_cap: int):
+    """Column z-bitmaps -> per-site (vcol, vz, vm) rows, plan-major.
+
+    olo/cm/counts/start_local are (B, P); rows are (B, M=out_cap), local
+    row r of column c at rank k holds z = _select_bit(olo[c], k).
+
+    Built gather-side: one P-sized scatter of column HEAD flags into the
+    row axis + MXU prefix counts + rank-table gathers.  The previous
+    formulation scattered every (column, z) pair ((B, P, D) index tensors,
+    ~35 ms at stage 0); this one never materializes per-site scatters."""
+    b, p = olo.shape
+    m = out_cap
+    gb = jnp.arange(b, dtype=jnp.int32)[:, None]
+    nz = cm & (counts > 0) & (start_local < m)
+
+    # head flag at each nonempty column's first row (starts are unique
+    # among nz columns of a sample; overflowed columns excluded on BOTH
+    # sides so head rank == column rank globally)
+    head_idx = jnp.where(nz, start_local + gb * m, b * m)
+    heads = jnp.zeros((b * m + 1,), bool).at[
+        head_idx.reshape(-1)].set(True, mode="drop")[:b * m]
+    rowrank = prefix_count(heads)                     # (B*M,) inclusive-1
+    crank = prefix_count(nz.reshape(-1))              # (B*P,)
+
+    # rank -> packed column row [global slot, start_local, bits]
+    slots = gb * p + jnp.arange(p, dtype=jnp.int32)[None, :]
+    packed = jnp.stack([
+        slots, start_local,
+        jax.lax.bitcast_convert_type(olo, jnp.int32)], axis=-1)
+    trash = b * p
+    tbl = jnp.zeros((b * p + 1, 3), jnp.int32).at[
+        jnp.where(nz.reshape(-1), crank, trash)].set(
+        packed.reshape(-1, 3), mode="drop")
+    tbl = tbl.at[trash].set(
+        jnp.array([trash, m, 0], jnp.int32))          # poison the miss row
+
+    pk = tbl[jnp.clip(rowrank, 0, trash)].reshape(b, m, 3)
+    slot, st = pk[..., 0], pk[..., 1]
+    bits = jax.lax.bitcast_convert_type(pk[..., 2], jnp.uint32)
+    row_local = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None, :],
+                                 (b, m))
+    k = row_local - st
+    vm = ((rowrank.reshape(b, m) >= 0) & (slot != trash) &
+          (slot // p == gb) & (k >= 0) & (k < _popcount(bits)))
+    vz = jnp.where(vm, _select_bit(bits, jnp.maximum(k, 0)), 0)
+    vcol = jnp.where(vm, slot, b * p)
+    return vcol, vz, vm
+
+
 # ---------------------------------------------------------------- columns
 
 @struct.dataclass
@@ -434,37 +493,16 @@ def strided_sites_bitmap(cs: ColumnSet, padding: Tuple[int, int, int],
     cbase = jnp.where(cstarts > 0,
                       inc[jnp.maximum(cstarts - 1, 0)], 0)
     sb = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p_out)
-    start_local = (inc - counts.reshape(-1)) - cbase[sb]
-    start_global = (start_local + sb * out_cap).reshape(b, p_out)
+    start_local = ((inc - counts.reshape(-1)) - cbase[sb]).reshape(b, p_out)
+    start_global = start_local + jnp.arange(
+        b, dtype=jnp.int32)[:, None] * out_cap
 
-    # expansion: materialize per-site (z, column) rows
-    m = out_cap
-    zs = jnp.arange(od, dtype=jnp.int32)
-    present = (jnp.right_shift(olo[..., None],
-                               zs.astype(jnp.uint32)) & _U1) != 0
-    # rank of z within its column = popcount of bits below z
-    rank = _popcount(olo[..., None] & _mask_below(zs)[None, None, :])
-    row_local = start_local.reshape(b, p_out)[..., None] + rank
-    ok = present & cm_o[..., None] & (row_local < m)
-    grow = jnp.where(
-        ok, row_local + jnp.arange(b, dtype=jnp.int32)[:, None, None] * m,
-        b * m)
-    gflat = grow.reshape(-1)
-    gslots = (jnp.arange(b, dtype=jnp.int32)[:, None] * p_out +
-              jnp.arange(p_out, dtype=jnp.int32)[None, :])
-    vz_o = jnp.zeros((b * m + 1,), jnp.int32).at[gflat].set(
-        jnp.broadcast_to(zs, grow.shape).reshape(-1), mode="drop")
-    vcol_o = jnp.full((b * m + 1,), b * p_out, jnp.int32).at[gflat].set(
-        jnp.broadcast_to(gslots[..., None], grow.shape).reshape(-1),
-        mode="drop")
-    vm_o = jnp.zeros((b * m + 1,), bool).at[gflat].set(
-        ok.reshape(-1), mode="drop")
-
+    vcol_o, vz_o, vm_o = _expand_sites(olo, cm_o, counts, start_local,
+                                       out_cap)
     cs_out = ColumnSet(ccoords=cc_o, cmask=cm_o, cstart=start_global,
                        lo=olo, hi=jnp.zeros_like(olo),
                        shape=(od, oh, ow), row_cap=out_cap)
-    return (cs_out, vcol_o[:b * m].reshape(b, m),
-            vz_o[:b * m].reshape(b, m), vm_o[:b * m].reshape(b, m))
+    return cs_out, vcol_o, vz_o, vm_o
 
 
 def strided_rulebook_bitmap(cs_in: ColumnSet, cs_out: ColumnSet,
@@ -514,36 +552,17 @@ def convout_sites_bitmap(cs: ColumnSet, out_cap: int):
     cstarts = jnp.arange(b, dtype=jnp.int32) * p
     cbase = jnp.where(cstarts > 0, inc[jnp.maximum(cstarts - 1, 0)], 0)
     sb = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
-    start_local = (inc - counts.reshape(-1)) - cbase[sb]
-    start_global = (start_local + sb * out_cap).reshape(b, p)
-
-    m = out_cap
-    zs = jnp.arange(od, dtype=jnp.int32)
-    present = (jnp.right_shift(olo[..., None],
-                               zs.astype(jnp.uint32)) & _U1) != 0
-    rank = _popcount(olo[..., None] & _mask_below(zs)[None, None, :])
-    row_local = start_local.reshape(b, p)[..., None] + rank
-    ok = present & cs.cmask[..., None] & (row_local < m)
-    grow = jnp.where(
-        ok, row_local + jnp.arange(b, dtype=jnp.int32)[:, None, None] * m,
-        b * m)
-    gflat = grow.reshape(-1)
-    gslots = (jnp.arange(b, dtype=jnp.int32)[:, None] * p +
-              jnp.arange(p, dtype=jnp.int32)[None, :])
-    vz_o = jnp.zeros((b * m + 1,), jnp.int32).at[gflat].set(
-        jnp.broadcast_to(zs, grow.shape).reshape(-1), mode="drop")
-    vcol_o = jnp.full((b * m + 1,), b * p, jnp.int32).at[gflat].set(
-        jnp.broadcast_to(gslots[..., None], grow.shape).reshape(-1),
-        mode="drop")
-    vm_o = jnp.zeros((b * m + 1,), bool).at[gflat].set(
-        ok.reshape(-1), mode="drop")
+    start_local = ((inc - counts.reshape(-1)) - cbase[sb]).reshape(b, p)
+    start_global = start_local + jnp.arange(
+        b, dtype=jnp.int32)[:, None] * out_cap
 
     cm_o = cs.cmask & (counts > 0)
+    vcol_o, vz_o, vm_o = _expand_sites(olo, cm_o, counts, start_local,
+                                       out_cap)
     cs_out = ColumnSet(ccoords=cs.ccoords, cmask=cm_o, cstart=start_global,
                        lo=olo, hi=jnp.zeros_like(olo),
                        shape=(od, h, w), row_cap=out_cap)
-    return (cs_out, vcol_o[:b * m].reshape(b, m),
-            vz_o[:b * m].reshape(b, m), vm_o[:b * m].reshape(b, m))
+    return cs_out, vcol_o, vz_o, vm_o
 
 
 def convout_rulebook_bitmap(cs_in: ColumnSet, vcol_out: jnp.ndarray,
