@@ -23,6 +23,39 @@ import jax
 import jax.numpy as jnp
 
 
+@jax.custom_vjp
+def _pair_gather_rows(table: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
+    """Gather (start, start+1) row pairs: table (S, C), starts (N,) int32
+    in [0, S-2] -> (N, 2, C).
+
+    The 2-row slice gather halves the gathered row count vs 4 single-row
+    corner gathers (the RoI path is row-count bound, PERF.md).  Its
+    AUTODIFF transpose, however, is a scatter of overlapping 2-row windows
+    which XLA serializes catastrophically (measured 5.9 s/step in the
+    flagship train backward) — so the backward is spelled explicitly as a
+    flat single-row scatter-add, the same lowering the plain-gather VJP
+    gets (~tens of ms at these sizes)."""
+    c = table.shape[1]
+    return jax.vmap(
+        lambda i: jax.lax.dynamic_slice(table, (i, 0), (2, c)))(starts)
+
+
+def _pair_gather_rows_fwd(table, starts):
+    return _pair_gather_rows(table, starts), (starts, table.shape[0])
+
+
+def _pair_gather_rows_bwd(res, dg):
+    starts, s_rows = res
+    c = dg.shape[-1]
+    idx = jnp.concatenate([starts, starts + 1])
+    upd = jnp.concatenate([dg[:, 0, :], dg[:, 1, :]])
+    dt = jnp.zeros((s_rows, c), dg.dtype).at[idx].add(upd, mode="drop")
+    return dt, None
+
+
+_pair_gather_rows.defvjp(_pair_gather_rows_fwd, _pair_gather_rows_bwd)
+
+
 def multilevel_roi_align(feats: Sequence[jnp.ndarray],
                          rois: jnp.ndarray,
                          strides: Sequence[int],
@@ -108,8 +141,7 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray],
 
         def pair_gather(starts):
             shp = starts.shape
-            g = jax.vmap(lambda i: jax.lax.dynamic_slice(
-                table, (i, 0), (2, c)))(starts.reshape(-1))
+            g = _pair_gather_rows(table, starts.reshape(-1))
             return g.reshape(shp + (2, c))
 
         g0 = pair_gather(flat(y0, oob_y))            # (..., 2, C)

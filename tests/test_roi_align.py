@@ -127,3 +127,57 @@ def test_pooled_img_roi_compaction_exact():
     got = pooled_img_roi(feats, rois_j, strides, res=5, cap=n_p)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_pair_gather_rows_grad_matches_autodiff():
+    """The custom-VJP backward (flat row scatter-add) must equal the
+    autodiff transpose of the slice gather it replaces."""
+    from srfdet3d_tpu.ops.roi_align import _pair_gather_rows
+    rng = np.random.default_rng(3)
+    s, c, n = 37, 6, 50
+    table = jnp.asarray(rng.normal(size=(s, c)).astype(np.float32))
+    starts = jnp.asarray(rng.integers(0, s - 1, size=(n,), dtype=np.int32))
+    w = jnp.asarray(rng.normal(size=(n, 2, c)).astype(np.float32))
+
+    def plain(t):
+        g = jax.vmap(lambda i: jax.lax.dynamic_slice(t, (i, 0), (2, c)))(
+            starts)
+        return jnp.sum(g * w)
+
+    def custom(t):
+        return jnp.sum(_pair_gather_rows(t, starts) * w)
+
+    np.testing.assert_allclose(float(custom(table)), float(plain(table)),
+                               rtol=1e-6)
+    g_plain = jax.grad(plain)(table)
+    g_custom = jax.grad(custom)(table)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_plain),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pair_gather_rows_grad_under_vmap():
+    """vmapped (per-sample) use — the shape RoIAlign actually runs in."""
+    from srfdet3d_tpu.ops.roi_align import _pair_gather_rows
+    rng = np.random.default_rng(4)
+    b, s, c, n = 3, 21, 4, 17
+    tables = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32))
+    starts = jnp.asarray(rng.integers(0, s - 1, size=(b, n),
+                                      dtype=np.int32))
+    w = jnp.asarray(rng.normal(size=(b, n, 2, c)).astype(np.float32))
+
+    def plain(ts):
+        g = jax.vmap(lambda t, st: jax.vmap(
+            lambda i: jax.lax.dynamic_slice(t, (i, 0), (2, c)))(st))(
+            ts, starts)
+        return jnp.sum(g * w)
+
+    def custom(ts):
+        g = jax.vmap(_pair_gather_rows)(ts, starts)
+        return jnp.sum(g * w)
+
+    np.testing.assert_allclose(float(custom(tables)), float(plain(tables)),
+                               rtol=1e-6)
+    g_plain = jax.grad(plain)(tables)
+    g_custom = jax.grad(custom)(tables)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_plain),
+                               rtol=1e-5, atol=1e-6)

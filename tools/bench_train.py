@@ -25,13 +25,21 @@ from srfdet3d_tpu.train.trainer import make_train_step, TrainState  # noqa
 def main():
     print("device:", jax.devices()[0], flush=True)
     cfg = srfdet_voxel_nusc_L()
+    rulebook = sys.argv[1] if len(sys.argv) > 1 else cfg.middle.rulebook
+    if rulebook != cfg.middle.rulebook:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, middle=dataclasses.replace(cfg.middle, rulebook=rulebook))
+    combos = ((("xla", "xla"), ("onehot", "onehot")) if len(sys.argv) <= 2
+              else tuple((c, c) for c in sys.argv[2].split(",")))
+    print("rulebook:", rulebook, "combos:", combos, flush=True)
     batch = _synthetic_batch(cfg, batch_size=1, with_gt=True)
     model = SRFDet(cfg)
     variables = jax.jit(lambda r, b: model.init(r, b, train=True))(
         jax.random.PRNGKey(0), batch)
     tx = optax.adamw(1e-4)
 
-    for fwd, bwd in (("xla", "xla"), ("onehot", "onehot")):
+    for fwd, bwd in combos:
         sc.GATHER_METHOD = fwd
         sc.ONEHOT_BWD = bwd
 
