@@ -203,10 +203,13 @@ def test_encoder_bitmap_matches_table_backend():
     for block_type in ("basicblock", "conv_module"):
         enc_t = _encoder(block_type, "table")
         enc_b = _encoder(block_type, "bitmap")
-        variables = enc_t.init(jax.random.PRNGKey(0), feats, coords, mask,
-                               train=False)
-        out_t = enc_t.apply(variables, feats, coords, mask, train=False)
-        out_b = enc_b.apply(variables, feats, coords, mask, train=False)
+        variables = jax.jit(lambda r, f, c, m, e=enc_t: e.init(
+            r, f, c, m, train=False))(
+            jax.random.PRNGKey(0), feats, coords, mask)
+        out_t = jax.jit(lambda v, f, c, m, e=enc_t: e.apply(
+            v, f, c, m, train=False))(variables, feats, coords, mask)
+        out_b = jax.jit(lambda v, f, c, m, e=enc_b: e.apply(
+            v, f, c, m, train=False))(variables, feats, coords, mask)
         assert out_t.shape == out_b.shape
         np.testing.assert_allclose(np.asarray(out_b), np.asarray(out_t),
                                    rtol=1e-4, atol=1e-4)
@@ -216,8 +219,9 @@ def test_encoder_bitmap_grads_match_table_backend():
     feats, coords, mask = _random_batch(seed=17)
     enc_t = _encoder("basicblock", "table")
     enc_b = _encoder("basicblock", "bitmap")
-    variables = enc_t.init(jax.random.PRNGKey(1), feats, coords, mask,
-                           train=False)
+    variables = jax.jit(lambda r, f, c, m: enc_t.init(
+        r, f, c, m, train=False))(
+        jax.random.PRNGKey(1), feats, coords, mask)
 
     def loss(params, enc):
         out = enc.apply({"params": params, **{k: v for k, v in
@@ -226,8 +230,8 @@ def test_encoder_bitmap_grads_match_table_backend():
                         feats, coords, mask, train=False)
         return jnp.sum(out ** 2)
 
-    gt = jax.grad(loss)(variables["params"], enc_t)
-    gb = jax.grad(loss)(variables["params"], enc_b)
+    gt = jax.jit(jax.grad(lambda p: loss(p, enc_t)))(variables["params"])
+    gb = jax.jit(jax.grad(lambda p: loss(p, enc_b)))(variables["params"])
     flat_t = jax.tree_util.tree_leaves(gt)
     flat_b = jax.tree_util.tree_leaves(gb)
     for a, b_ in zip(flat_t, flat_b):
@@ -254,9 +258,11 @@ def test_encoder_unsupported_depth_falls_back():
         encoder_paddings=((0, 0, 1), (0, 0, 1), (0, 0, (0, 1, 1)), (0, 0)),
         block_type="basicblock", capacities=(64, 64, 64, 64),
         rulebook="bitmap")
-    variables = enc.init(jax.random.PRNGKey(0), feats, coords, mask,
-                         train=False)
-    out = enc.apply(variables, feats, coords, mask, train=False)
+    variables = jax.jit(lambda r, f, c, m: enc.init(
+        r, f, c, m, train=False))(
+        jax.random.PRNGKey(0), feats, coords, mask)
+    out = jax.jit(lambda v, f, c, m: enc.apply(
+        v, f, c, m, train=False))(variables, feats, coords, mask)
     assert np.isfinite(np.asarray(out)).all()
 
 

@@ -33,7 +33,8 @@ def test_checkpoint_roundtrip(tmp_path):
     save_checkpoint(path, jax.device_get(state), meta={"config": cfg.name})
     assert os.path.exists(path + ".meta.json")
 
-    _, fresh = _state()[0], _state()[1]
+    # zeroed template: same treedef/shapes, provably different values
+    fresh = jax.tree_util.tree_map(jnp.zeros_like, state)
     restored = restore_checkpoint(path, fresh)
     assert int(restored.step) == 7
     a = jax.tree_util.tree_leaves(state.params)
@@ -46,10 +47,9 @@ def test_partial_load(tmp_path):
     path = str(tmp_path / "ckpt")
     save_checkpoint(path, jax.device_get(state))
 
-    _, fresh = _state()[0], _state()[1]
-    # different init -> params differ, then partial load restores pts_backbone
-    fresh = fresh.replace(params=jax.tree_util.tree_map(
-        lambda x: x + 1.0, fresh.params))
+    # shifted params: provably different, then partial load restores pts_backbone
+    fresh = state.replace(params=jax.tree_util.tree_map(
+        lambda x: x + 1.0, state.params))
     merged = load_partial(fresh.params, path, prefix="pts_backbone")
     orig = jax.tree_util.tree_leaves(state.params["pts_backbone"])
     new = jax.tree_util.tree_leaves(merged["pts_backbone"])

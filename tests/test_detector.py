@@ -38,15 +38,20 @@ def test_lidar_detector_forward_and_predict():
     rng = np.random.default_rng(0)
     batch = _batch(cfg, rng)
     model = SRFDet(cfg)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
-    logits, boxes = model.apply(variables, batch, train=False)
+    # jit init/apply: eager dispatch of the full detector graph is minutes
+    # on CPU; one jitted program compiles once and hits the persistent cache
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+    logits, boxes = jax.jit(
+        lambda v, b: model.apply(v, b, train=False))(variables, batch)
     L = cfg.head.num_heads
     assert logits.shape == (L, B, cfg.head.num_proposals, cfg.num_classes)
     assert boxes.shape == (L, B, cfg.head.num_proposals, cfg.head.code_size)
     assert np.all(np.isfinite(np.asarray(logits)))
     assert np.all(np.isfinite(np.asarray(boxes)))
 
-    out = model.apply(variables, batch, method=SRFDet.predict)
+    out = jax.jit(lambda v, b: model.apply(v, b, method=SRFDet.predict))(
+        variables, batch)
     assert out["boxes"].shape == (B, cfg.test.max_per_img, 9)
 
 
@@ -94,8 +99,10 @@ def test_fusion_detector_forward():
     rng = np.random.default_rng(2)
     batch = _batch(cfg, rng, with_img=True)
     model = SRFDet(cfg)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
-    logits, boxes = model.apply(variables, batch, train=False)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+    logits, boxes = jax.jit(
+        lambda v, b: model.apply(v, b, train=False))(variables, batch)
     assert np.all(np.isfinite(np.asarray(logits)))
     assert np.all(np.isfinite(np.asarray(boxes)))
 

@@ -33,8 +33,10 @@ def test_srfdet_head_shapes_and_grad():
     rng = np.random.default_rng(0)
     head = _head()
     feats = _point_feats(rng)
-    params = head.init(jax.random.PRNGKey(0), feats, train=False)
-    logits, boxes = head.apply(params, feats, train=False)
+    params = jax.jit(lambda r, f: head.init(r, f, train=False))(
+        jax.random.PRNGKey(0), feats)
+    logits, boxes = jax.jit(
+        lambda p, f: head.apply(p, f, train=False))(params, feats)
     assert logits.shape == (2, B, NP, NCLS)
     assert boxes.shape == (2, B, NP, 10)
     # centers are absolute within pc_range
@@ -47,7 +49,7 @@ def test_srfdet_head_shapes_and_grad():
                                  mutable=["batch_stats"])
         return jnp.sum(lg ** 2) + jnp.sum(bx[..., 3:6] ** 2)
 
-    grads = jax.grad(loss_fn)(params)
+    grads = jax.jit(jax.grad(loss_fn))(params)
     leaves = jax.tree_util.tree_leaves(grads)
     assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
     # DPG embeddings receive gradient
@@ -65,8 +67,10 @@ def test_fusion_head_shapes():
         rng.normal(size=(B, n_cam, h, w, C * 2)).astype(np.float32))
         for h, w in img_sizes]
     l2i = jnp.broadcast_to(jnp.eye(4), (B, n_cam, 4, 4)).astype(jnp.float32)
-    params = head.init(jax.random.PRNGKey(0), pts, imgs, l2i, train=False)
-    logits, boxes = head.apply(params, pts, imgs, l2i, train=False)
+    params = jax.jit(lambda r: head.init(r, pts, imgs, l2i, train=False))(
+        jax.random.PRNGKey(0))
+    logits, boxes = jax.jit(
+        lambda p: head.apply(p, pts, imgs, l2i, train=False))(params)
     assert logits.shape == (2, B, NP, NCLS)
     assert boxes.shape == (2, B, NP, 10)
 
@@ -75,8 +79,10 @@ def test_losses_finite_and_positive():
     rng = np.random.default_rng(2)
     head = _head()
     feats = _point_feats(rng)
-    params = head.init(jax.random.PRNGKey(0), feats, train=False)
-    logits, boxes = head.apply(params, feats, train=False)
+    params = jax.jit(lambda r, f: head.init(r, f, train=False))(
+        jax.random.PRNGKey(0), feats)
+    logits, boxes = jax.jit(
+        lambda p, f: head.apply(p, f, train=False))(params, feats)
 
     g_cap = 6
     gt = np.zeros((B, g_cap, 9), np.float32)
@@ -87,10 +93,11 @@ def test_losses_finite_and_positive():
     mask = np.zeros((B, g_cap), bool)
     mask[:, :3] = True
 
-    losses = srfdet_losses(
+    losses = jax.jit(lambda lg, bx, g, lb, m: srfdet_losses(
+        lg, bx, g, lb, m,
+        LossConfig(num_classes=NCLS), OTAConfig(pc_range=PC)))(
         logits, boxes, jnp.asarray(gt), jnp.asarray(labels),
-        jnp.asarray(mask),
-        LossConfig(num_classes=NCLS), OTAConfig(pc_range=PC))
+        jnp.asarray(mask))
     assert set(losses) == {"loss_cls", "loss_bbox",
                            "s.0.loss_cls", "s.0.loss_bbox"}
     for k, v in losses.items():

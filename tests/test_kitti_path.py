@@ -21,18 +21,21 @@ def test_kitti_style_forward_loss_decode():
     assert batch["gt_boxes"].shape[-1] == 7        # no velocity
 
     model = SRFDet(cfg)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
-    logits, boxes = model.apply(variables, batch, train=False)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+    logits, boxes = jax.jit(
+        lambda v, b: model.apply(v, b, train=False))(variables, batch)
     assert boxes.shape == (2, B, cfg.head.num_proposals, 8)
     assert np.isfinite(np.asarray(boxes)).all()
 
-    losses = srfdet_losses(
-        logits, boxes, batch["gt_boxes"], batch["gt_labels"],
-        batch["gt_mask"], cfg.loss, cfg.ota)
+    losses = jax.jit(lambda lg, bx: srfdet_losses(
+        lg, bx, batch["gt_boxes"], batch["gt_labels"],
+        batch["gt_mask"], cfg.loss, cfg.ota))(logits, boxes)
     for k, v in losses.items():
         assert np.isfinite(float(v)), k
 
-    out = model.apply(variables, batch, method=SRFDet.predict)
+    out = jax.jit(lambda v, b: model.apply(v, b, method=SRFDet.predict))(
+        variables, batch)
     assert out["boxes"].shape == (B, cfg.test.max_per_img, 7)
     assert np.isfinite(np.asarray(out["boxes"])).all()
 

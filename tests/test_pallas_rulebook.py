@@ -26,7 +26,7 @@ def test_matches_searchsorted(k, group):
     rng = np.random.default_rng(0)
     cells = 100_000
     keys = _make_keys(rng, 3000, cells, 3100)
-    m = 2048
+    m = 768    # 6 tiles at tm=128 — small enough for interpret mode on CPU
     base = keys[np.sort(rng.integers(0, 3000, m))].astype(np.int64)
     deltas = rng.integers(-40, 40, size=(1, k))
     queries = base[:, None] + deltas            # near keys, many misses
@@ -37,7 +37,7 @@ def test_matches_searchsorted(k, group):
     ref = _oracle(keys, queries, cells)
     got = np.asarray(rulebook_lookup(
         jnp.asarray(keys), jnp.asarray(queries), cells,
-        tm=256, group_by_z=group, correction_tiles=8,
+        tm=128, group_by_z=group, correction_tiles=8,
         interpret=True))
     np.testing.assert_array_equal(got, ref)
 

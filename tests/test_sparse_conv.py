@@ -123,9 +123,11 @@ def test_sparse_encoder_basicblock_end_to_end():
                           (128, 128)),
         encoder_paddings=((0, 0, 1), (0, 0, 1), (0, 0, (0, 1, 1)), (0, 0)),
         block_type="basicblock", capacities=(64, 64, 64, 64))
-    variables = enc.init(jax.random.PRNGKey(0), feats, coords, mask,
-                         train=False)
-    out = enc.apply(variables, feats, coords, mask, train=False)
+    variables = jax.jit(lambda r, f, c, m: enc.init(
+        r, f, c, m, train=False))(
+        jax.random.PRNGKey(0), feats, coords, mask)
+    out = jax.jit(lambda vv, f, c, m: enc.apply(
+        vv, f, c, m, train=False))(variables, feats, coords, mask)
     # D: 5 -> 3 -> 2 -> 1(pad0: (2-3+2)/2+1 = 0? -> computed by conv arith)
     assert out.ndim == 4 and out.shape[0] == b
     assert np.isfinite(np.asarray(out)).all()
@@ -143,9 +145,11 @@ def test_sparse_encoder_conv_module_kitti_layout():
     enc = SparseEncoder(
         in_channels=4, sparse_shape=shape, block_type="conv_module",
         capacities=(64, 64, 64, 64), output_channels=16)
-    variables = enc.init(jax.random.PRNGKey(0), feats, st0.coords[None], mask,
-                         train=False)
-    out = enc.apply(variables, feats, st0.coords[None], mask, train=False)
+    variables = jax.jit(lambda r, f, c, m: enc.init(
+        r, f, c, m, train=False))(
+        jax.random.PRNGKey(0), feats, st0.coords[None], mask)
+    out = jax.jit(lambda vv, f, c, m: enc.apply(
+        vv, f, c, m, train=False))(variables, feats, st0.coords[None], mask)
     assert out.shape[0] == 1 and np.isfinite(np.asarray(out)).all()
 
 

@@ -177,7 +177,8 @@ def test_torch_convert_full_model():
 
     # load + forward: finite outputs
     variables = jax.tree_util.tree_map(jnp.asarray, converted)
-    logits, boxes = model.apply(variables, batch, train=False)
+    logits, boxes = jax.jit(
+        lambda v, b: model.apply(v, b, train=False))(variables, batch)
     assert np.all(np.isfinite(np.asarray(logits)))
     assert np.all(np.isfinite(np.asarray(boxes)))
 

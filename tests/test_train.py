@@ -28,7 +28,9 @@ def test_freeze_mask_lidar():
     cfg = tiny_test_config().replace(optim=OptimConfig(freeze_lidar=True))
     batch = graft._synthetic_batch(cfg, 1)
     from srfdet3d_tpu.models.detector import SRFDet
-    variables = SRFDet(cfg).init(jax.random.PRNGKey(0), batch, train=False)
+    model = SRFDet(cfg)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), batch)
     mask = freeze_mask(variables["params"], cfg)
     flat = jax.tree_util.tree_flatten_with_path(mask)[0]
     froze = [k for k, v in flat if not v]
@@ -103,7 +105,8 @@ def _tiny_entry():
     cfg = tiny_test_config()
     batch = graft._synthetic_batch(cfg, 1)
     model = SRFDet(cfg)
-    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), batch)
 
     def forward(variables, batch):
         return model.apply(variables, batch, train=False)

@@ -58,13 +58,13 @@ def test_deform_attention_shapes_and_grad():
     query = jnp.asarray(rng.normal(size=(b, q, c)).astype(np.float32))
     ref = jnp.asarray(rng.uniform(0.1, 0.9, (b, q, 2)).astype(np.float32))
     m = MSDeformAttention(c, num_heads=4, num_points=2)
-    params = m.init(jax.random.PRNGKey(0), query, levels, ref)
-    out = m.apply(params, query, levels, ref)
+    params = jax.jit(m.init)(jax.random.PRNGKey(0), query, levels, ref)
+    out = jax.jit(m.apply)(params, query, levels, ref)
     assert out.shape == (b, q, c)
 
     def loss(p):
         return jnp.sum(m.apply(p, query, levels, ref) ** 2)
-    g = jax.grad(loss)(params)
+    g = jax.jit(jax.grad(loss))(params)
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree_util.tree_leaves(g))
     # sampling offsets zero-init -> output is value at reference points;
@@ -83,8 +83,10 @@ def test_head_with_lidar_encoder():
         voxel_size=cfg.voxel_size)
     feats = [jnp.asarray(rng.normal(size=(1, h, w, 32)).astype(np.float32))
              for h, w in [(10, 10), (5, 5), (3, 3), (2, 2)]]
-    variables = head.init(jax.random.PRNGKey(0), feats, train=False)
+    variables = jax.jit(lambda r, f: head.init(r, f, train=False))(
+        jax.random.PRNGKey(0), feats)
     assert "lidar_encoder" in variables["params"]
-    logits, boxes = head.apply(variables, feats, train=False)
+    logits, boxes = jax.jit(
+        lambda v, f: head.apply(v, f, train=False))(variables, feats)
     assert np.isfinite(np.asarray(logits)).all()
     assert np.isfinite(np.asarray(boxes)).all()

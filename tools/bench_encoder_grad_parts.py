@@ -1,0 +1,137 @@
+"""Localize the sparse-encoder BACKWARD cost (train-step <=400 ms push).
+
+bench_encoder_grad.py showed grad(encoder) ~642 ms vs 192 ms forward at
+flagship scale, while the per-conv one-hot backward kernels measure ~10 ms
+each (tools/bench_convs.py) — so a large share of the backward is
+unaccounted.  This segments it two ways:
+
+  1. truncated stacks: grad of the encoder cut after stage k (k = 1..4
+     of the basicblock layout) — cumulative per-stage fwd/bwd cost;
+  2. isolated pieces at stage-0 scale: the plan-major sort's gather
+     transpose, MaskedBatchNorm train-mode grad, and the dense-scatter
+     transpose — the non-conv suspects.
+
+Usage:  python tools/bench_encoder_grad_parts.py [bitmap|table] [onehot|xla]
+"""
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import srfdet3d_tpu.ops.sparse_conv as sc  # noqa: E402
+from srfdet3d_tpu.configs import srfdet_voxel_nusc_L  # noqa: E402
+from srfdet3d_tpu.models.sparse_encoder import SparseEncoder  # noqa: E402
+
+
+def _flagship_batch(cfg):
+    mid = cfg.middle
+    d = int(round((cfg.pc_range[5] - cfg.pc_range[2]) / cfg.voxel_size[2])) + 1
+    h = int(round((cfg.pc_range[4] - cfg.pc_range[1]) / cfg.voxel_size[1]))
+    w = int(round((cfg.pc_range[3] - cfg.pc_range[0]) / cfg.voxel_size[0]))
+    v = cfg.voxels_cap
+    rng = np.random.default_rng(0)
+    flat = rng.choice(d * h * w, size=v, replace=False).astype(np.int64)
+    coords = np.stack([flat // (h * w), (flat // w) % h, flat % w],
+                      axis=-1).astype(np.int32)[None]
+    feats = rng.normal(size=(1, v, mid.in_channels)).astype(np.float32)
+    mask = np.ones((1, v), bool)
+    return (d, h, w), (jnp.asarray(feats), jnp.asarray(coords),
+                       jnp.asarray(mask))
+
+
+def _time(fn, label, iters=6):
+    t0 = time.perf_counter()
+    out = fn()
+    val = out[0] if isinstance(out, tuple) else out
+    float(jnp.sum(val) if hasattr(val, "sum") else val)
+    print(f"{label}: compile+run {time.perf_counter() - t0:.0f}s",
+          flush=True)
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn()
+        val = out[0] if isinstance(out, tuple) else out
+        float(jnp.sum(val) if hasattr(val, "sum") else val)
+        ts.append(time.perf_counter() - t0)
+    p50 = np.percentile(ts, 50) * 1000
+    print(f"{label}: p50 {p50:.1f} ms", flush=True)
+    return p50
+
+
+def main():
+    backend = sys.argv[1] if len(sys.argv) > 1 else "bitmap"
+    gather = sys.argv[2] if len(sys.argv) > 2 else "onehot"
+    sc.GATHER_METHOD = gather
+    sc.ONEHOT_BWD = gather
+    cfg = srfdet_voxel_nusc_L()
+    mid = cfg.middle
+    (d, h, w), batch = _flagship_batch(cfg)
+    print(f"device: {jax.devices()[0]} backend={backend} gather={gather} "
+          f"grid=({d},{h},{w})", flush=True)
+
+    # 1. truncated stacks ---------------------------------------------------
+    for k in range(1, len(mid.encoder_channels) + 1):
+        enc = SparseEncoder(
+            in_channels=mid.in_channels, sparse_shape=(d, h, w),
+            base_channels=mid.base_channels,
+            output_channels=mid.output_channels,
+            encoder_channels=mid.encoder_channels[:k],
+            encoder_paddings=mid.encoder_paddings[:k],
+            block_type=mid.block_type,
+            capacities=mid.capacities, rulebook=backend)
+        variables = jax.jit(lambda f, c, m, e=enc: e.init(
+            jax.random.PRNGKey(0), f, c, m, train=False))(*batch)
+
+        def loss_fn(params, e=enc, v=variables):
+            out, _ = e.apply(
+                {"params": params,
+                 "batch_stats": v.get("batch_stats", {})},
+                *batch, train=True, mutable=["batch_stats"])
+            return jnp.sum(out.astype(jnp.float32))
+
+        fwd = jax.jit(loss_fn)
+        grad = jax.jit(jax.value_and_grad(loss_fn))
+        p = variables["params"]
+        f_ms = _time(lambda: fwd(p), f"stages<= {k} fwd")
+        g_ms = _time(lambda: grad(p), f"stages<= {k} grad")
+        print(f"stages<={k}: bwd-only ~{g_ms - f_ms:.1f} ms", flush=True)
+
+    # 2. isolated non-conv pieces at stage-0 scale --------------------------
+    from srfdet3d_tpu.ops.bitmap_rulebook import sort_plan_major
+    from srfdet3d_tpu.models.layers import MaskedBatchNorm
+
+    feats16 = jnp.zeros((1, cfg.voxels_cap, 16), jnp.float32)
+    coords, mask = batch[1], batch[2]
+
+    def sort_loss(f):
+        sf, _, _ = sort_plan_major(f, coords, mask, (d, h, w))
+        return jnp.sum(sf)
+
+    _time(jax.jit(jax.grad(sort_loss)), "sort_plan_major grad (16ch)")
+
+    bn = MaskedBatchNorm()
+    bnv = jax.jit(lambda f, m: bn.init(jax.random.PRNGKey(0), f, m,
+                                       train=False))(feats16, mask)
+
+    def bn_loss(f):
+        out, _ = bn.apply(bnv, f, mask, train=True,
+                          mutable=["batch_stats"])
+        return jnp.sum(out)
+
+    _time(jax.jit(jax.grad(bn_loss)), "MaskedBatchNorm grad (120k x 16)")
+
+
+if __name__ == "__main__":
+    main()
