@@ -113,6 +113,11 @@ class HeadConfig:
     # pooled_img_roi) — exact up to per-camera capacity; 0 = gather every
     # (camera, proposal) pair like the reference
     img_roi_cap: int = 0
+    # >0: patch-gather RoIAlign with a PxP cell window (32 covers mmdet
+    # level mapping); oversized RoIs take a compacted corner-pair pass of
+    # `roi_patch_fallback` slots (-1 = full exactness, 0 = drop to zeros)
+    roi_patch: int = 0
+    roi_patch_fallback: int = -1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -204,6 +204,8 @@ class SRFDet(nn.Module):
             lidar_strides=tuple(h.lidar_strides),
             img_strides=tuple(h.img_strides),
             img_roi_cap=h.img_roi_cap,
+            roi_patch=h.roi_patch,
+            roi_patch_fallback=h.roi_patch_fallback,
             dtype=self.dtype,
             name="bbox_head")(
             point_feats, img_feats, lidar2img, train=train)

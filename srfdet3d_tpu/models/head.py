@@ -136,7 +136,8 @@ def img_rois_from_boxes(boxes_abs: jnp.ndarray,
 
 
 def pooled_img_roi(img_feats, cam_rois, strides, res: int,
-                   cap: int = 0) -> jnp.ndarray:
+                   cap: int = 0, patch: int = 0,
+                   patch_fallback: int = -1) -> jnp.ndarray:
     """Camera-summed multi-level RoI pooling (reference
     img_feats_sampling_bboxes_roi, srfdet_head.py:1963-2103: RoIAlign per
     camera then sum over cameras).
@@ -162,7 +163,8 @@ def pooled_img_roi(img_feats, cam_rois, strides, res: int,
         flat_rois = cam_rois.reshape(b * n_cam, n_p, 4)
         per_cam = jax.vmap(
             lambda feats, r: multilevel_roi_align(
-                feats, r, strides, out_size=res))(flat_feats, flat_rois)
+                feats, r, strides, out_size=res, patch=patch,
+                patch_fallback=patch_fallback))(flat_feats, flat_rois)
         return jnp.sum(per_cam.reshape((b, n_cam, n_p, res, res, c)),
                        axis=1)
 
@@ -191,7 +193,8 @@ def pooled_img_roi(img_feats, cam_rois, strides, res: int,
 
     per_cam = jax.vmap(
         lambda feats, r: multilevel_roi_align(
-            feats, r, strides, out_size=res))(flat_feats, rois_c)
+            feats, r, strides, out_size=res, patch=patch,
+            patch_fallback=patch_fallback))(flat_feats, rois_c)
     # scatter-add pooled slots back to their proposals
     b_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n_cam)[:, None]
     flat_prop = jnp.where(src < n_p, b_idx * n_p + src, b * n_p)
@@ -227,6 +230,9 @@ class SingleSRFDetHead(nn.Module):
     prior_prob: float = 0.01
     # >0: compacted visible-pair image RoI gather (see pooled_img_roi)
     img_roi_cap: int = 0
+    # >0: patch-gather RoIAlign window (ops/roi_align.py multilevel_roi_align)
+    roi_patch: int = 0
+    roi_patch_fallback: int = -1
     dtype: Any = jnp.float32
 
     @property
@@ -264,12 +270,16 @@ class SingleSRFDetHead(nn.Module):
                                          self.voxel_size)       # (B, n_p, 4)
             pts_roi = jax.vmap(
                 lambda feats, r: multilevel_roi_align(
-                    feats, r, self.lidar_strides, out_size=res))(
+                    feats, r, self.lidar_strides, out_size=res,
+                    patch=self.roi_patch,
+                    patch_fallback=self.roi_patch_fallback))(
                 tuple(point_feats), rois)                # (B, n_p, 7, 7, C)
         if self.use_img:
             cam_rois = img_rois_from_boxes(boxes_abs, lidar2img)
             img_roi = pooled_img_roi(img_feats, cam_rois, self.img_strides,
-                                     res, cap=self.img_roi_cap)
+                                     res, cap=self.img_roi_cap,
+                                     patch=self.roi_patch,
+                                     patch_fallback=self.roi_patch_fallback)
 
         if self.use_fusion:
             fused = jnp.concatenate([img_roi, pts_roi], axis=-1)
@@ -386,6 +396,8 @@ class SRFDetHead(nn.Module):
     lidar_strides: Sequence[int] = (8, 16, 32, 64)
     img_strides: Sequence[int] = (4, 8, 16, 32)
     img_roi_cap: int = 0
+    roi_patch: int = 0
+    roi_patch_fallback: int = -1
     dtype: Any = jnp.float32
 
     def _dpg_weights(self, feats: Sequence[jnp.ndarray], tag: str,
@@ -523,6 +535,8 @@ class SRFDetHead(nn.Module):
             lidar_strides=tuple(self.lidar_strides),
             img_strides=tuple(self.img_strides),
             img_roi_cap=self.img_roi_cap,
+            roi_patch=self.roi_patch,
+            roi_patch_fallback=self.roi_patch_fallback,
             prior_prob=self.prior_prob,
             dtype=self.dtype)
 

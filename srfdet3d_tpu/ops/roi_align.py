@@ -11,12 +11,28 @@ output_size=7, sampling_ratio=2, aligned).  Design:
     coordinates are converted to flat indices with per-level offsets, so the
     whole op is a single big gather + weighted sum -> MXU-friendly reshape.
 
+Two gather strategies (`patch` parameter):
+
+  - pairs (default): each bilinear sample gathers its two (x0, x0+1)
+    corner-row pairs — 2 slice-gathers per sample, 392 slices per RoI at
+    the shipped 7x7/sr=2 sizing.
+  - patch (`patch=P`, e.g. 32): gather the RoI's PxP-cell feature window
+    once (P slice-gathers of P consecutive cells) and evaluate every
+    bilinear sample as two small separable matmuls (wy @ patch @ wx^T) —
+    ~12x fewer slice-gathers for ~1.3x more bytes; the RoI path is
+    slice-count bound (PERF.md).  mmdet's level mapping bounds a mapped
+    RoI at <2*finest_scale/stride+2 = 30 cells, so P=32 covers every
+    properly-mapped RoI; oversized RoIs (clamped at the top level, e.g.
+    behind-camera projections) are compacted into a `patch_fallback`-slot
+    buffer and take the pairs path — exact whenever they fit the buffer.
+
 Everything is static-shape; RoIs are never filtered, invalid RoIs simply
 produce garbage rows the caller masks.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Sequence, Tuple
 
 import jax
@@ -56,57 +72,92 @@ def _pair_gather_rows_bwd(res, dg):
 _pair_gather_rows.defvjp(_pair_gather_rows_fwd, _pair_gather_rows_bwd)
 
 
-def multilevel_roi_align(feats: Sequence[jnp.ndarray],
-                         rois: jnp.ndarray,
-                         strides: Sequence[int],
-                         out_size: int = 7,
-                         sampling_ratio: int = 2,
-                         finest_scale: float = 56.0) -> jnp.ndarray:
-    """RoIAlign over multiple levels for a single sample.
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _slice_gather_rows(table: jnp.ndarray, starts: jnp.ndarray,
+                       n: int) -> jnp.ndarray:
+    """Gather n-consecutive-row slices: table (S, C), starts (N,) int32 in
+    [0, S-n] -> (N, n, C).  Same explicit flat scatter-add backward as
+    `_pair_gather_rows` (the autodiff transpose of overlapping-window
+    slices serializes in XLA)."""
+    c = table.shape[1]
+    return jax.vmap(
+        lambda i: jax.lax.dynamic_slice(table, (i, 0), (n, c)))(starts)
 
-    Args:
-      feats: list of (H_l, W_l, C) feature maps (NHWC without batch).
-      rois: (R, 4) [x1, y1, x2, y2] in the stride-1 input frame.
-      strides: per-level stride of the input frame.
 
-    Returns: (R, out_size, out_size, C).
-    """
+def _slice_gather_rows_fwd(table, starts, n):
+    # custom_vjp passes nondiff_argnums in their ORIGINAL positions to the
+    # fwd rule (only the bwd rule gets them prepended)
+    return _slice_gather_rows(table, starts, n), (starts, table.shape[0])
+
+
+def _slice_gather_rows_bwd(n, res, dg):
+    starts, s_rows = res
+    c = dg.shape[-1]
+    idx = (starts[:, None] + jnp.arange(n, dtype=starts.dtype)).reshape(-1)
+    dt = jnp.zeros((s_rows, c), dg.dtype).at[idx].add(
+        dg.reshape(-1, c), mode="drop")
+    return dt, None
+
+
+_slice_gather_rows.defvjp(_slice_gather_rows_fwd, _slice_gather_rows_bwd)
+
+
+def _level_geometry(feats, rois, strides, finest_scale):
+    """Per-RoI level mapping shared by both gather strategies.
+
+    Returns (lvl (R,), scale s (R,), h_l, w_l, off (R,) all float32,
+    sizes list, offsets array)."""
     num_levels = len(feats)
-    c = feats[0].shape[-1]
     hs = jnp.array([f.shape[0] for f in feats], jnp.float32)
     ws = jnp.array([f.shape[1] for f in feats], jnp.float32)
     scales = jnp.array([1.0 / s for s in strides], jnp.float32)
     sizes = [f.shape[0] * f.shape[1] for f in feats]
     offsets = jnp.array(
         [sum(sizes[:i]) for i in range(num_levels)], jnp.float32)
-    table = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
-    # one zero pad row for out-of-bounds samples
-    table = jnp.concatenate([table, jnp.zeros((1, c), table.dtype)], axis=0)
-    pad_idx = table.shape[0] - 1
 
     x1, y1, x2, y2 = rois[:, 0], rois[:, 1], rois[:, 2], rois[:, 3]
     scale = jnp.sqrt(jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0))
     lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
     lvl = jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)     # (R,)
+    return lvl, scales[lvl], hs[lvl], ws[lvl], offsets[lvl], sizes
 
-    s = scales[lvl]                                               # (R,)
-    h_l, w_l = hs[lvl], ws[lvl]
-    off = offsets[lvl]
 
-    # aligned=True RoIAlign (mmcv default): half-pixel offset
+def _sample_grid(rois, s, out_size, sampling_ratio):
+    """Separable sample positions: (sx (R, S), sy (R, S)) with
+    S = out_size * sampling_ratio, in the RoI's level cell frame
+    (aligned=True half-pixel offset)."""
+    x1, y1, x2, y2 = rois[:, 0], rois[:, 1], rois[:, 2], rois[:, 3]
     rx1 = x1 * s - 0.5
     ry1 = y1 * s - 0.5
-    roi_w = (x2 - x1) * s
-    roi_h = (y2 - y1) * s
-    bin_w = roi_w / out_size
-    bin_h = roi_h / out_size
-
+    bin_w = (x2 - x1) * s / out_size
+    bin_h = (y2 - y1) * s / out_size
     sr = sampling_ratio
-    # sample grid: (out, sr) fractional positions within the roi
     grid = (jnp.arange(out_size)[:, None] +
-            (jnp.arange(sr)[None, :] + 0.5) / sr)                # (out, sr)
-    sx = rx1[:, None, None] + bin_w[:, None, None] * grid[None]  # (R, out, sr)
-    sy = ry1[:, None, None] + bin_h[:, None, None] * grid[None]
+            (jnp.arange(sr)[None, :] + 0.5) / sr).reshape(-1)   # (S,)
+    sx = rx1[:, None] + bin_w[:, None] * grid[None]             # (R, S)
+    sy = ry1[:, None] + bin_h[:, None] * grid[None]
+    return sx, sy
+
+
+def _mla_pairs(feats: Sequence[jnp.ndarray],
+               rois: jnp.ndarray,
+               strides: Sequence[int],
+               out_size: int,
+               sampling_ratio: int,
+               finest_scale: float) -> jnp.ndarray:
+    """Corner-pair gather strategy (see module docstring)."""
+    c = feats[0].shape[-1]
+    _, s, h_l, w_l, off, _ = _level_geometry(feats, rois, strides,
+                                             finest_scale)
+    table = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
+    # one zero pad row for out-of-bounds samples
+    table = jnp.concatenate([table, jnp.zeros((1, c), table.dtype)], axis=0)
+    pad_idx = table.shape[0] - 1
+
+    sx, sy = _sample_grid(rois, s, out_size, sampling_ratio)
+    sr = sampling_ratio
+    sx = sx.reshape(-1, out_size, sr)
+    sy = sy.reshape(-1, out_size, sr)
 
     def bilinear(y, x):
         """y (R, oh, sr), x (R, ow, sr) -> (R, oh, sr, ow, sr, C).
@@ -164,3 +215,149 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray],
     vals = bilinear(sy, sx)                     # (R, oh, sr, ow, sr, C)
     pooled = jnp.mean(vals, axis=(2, 4))        # (R, oh, ow, C)
     return pooled
+
+
+def _axis_weights(pos, size_l, patch, anchor):
+    """Per-axis one-hot bilinear weights within the patch window.
+
+    pos (R, S) sample positions; size_l (R,) level extent along the axis;
+    anchor (R,) int window start.  Returns (w (R, S, P) f32,
+    cmax (R,) int32 max referenced cell) — weights are zero for
+    out-of-bounds samples and fold the clamped edge corner like the pairs
+    path."""
+    oob = (pos < -1.0) | (pos > size_l[:, None])
+    p = jnp.clip(pos, 0.0, size_l[:, None] - 1.0)
+    c0 = jnp.floor(p)
+    lc = p - c0
+    edge = c0 >= size_l[:, None] - 1.0
+    c1 = jnp.minimum(c0 + 1, size_l[:, None] - 1.0)
+    w0 = jnp.where(oob, 0.0, jnp.where(edge, 1.0, 1.0 - lc))
+    w1 = jnp.where(oob, 0.0, jnp.where(edge, 0.0, lc))
+    c0i = c0.astype(jnp.int32) - anchor[:, None]
+    c1i = c1.astype(jnp.int32) - anchor[:, None]
+    iota = jnp.arange(patch, dtype=jnp.int32)
+    w = (w0[..., None] * (iota == c0i[..., None]) +
+         w1[..., None] * (iota == c1i[..., None]))
+    cmax = jnp.max(c1.astype(jnp.int32), axis=1)
+    return w.astype(jnp.float32), cmax
+
+
+def _mla_patch(feats: Sequence[jnp.ndarray],
+               rois: jnp.ndarray,
+               strides: Sequence[int],
+               out_size: int,
+               sampling_ratio: int,
+               finest_scale: float,
+               patch: int,
+               patch_fallback: int,
+               patch_chunk: int) -> jnp.ndarray:
+    """Patch-gather strategy (see module docstring)."""
+    r = rois.shape[0]
+    c = feats[0].shape[-1]
+    _, s, h_l, w_l, off, _ = _level_geometry(feats, rois, strides,
+                                             finest_scale)
+    table = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
+    # `patch` zero pad rows: a weighted window row never starts past the
+    # table end (see anchor bound below), but its P-cell slice may run
+    # into the pad when the level is narrower than the patch
+    table = jnp.concatenate(
+        [table, jnp.zeros((patch, c), table.dtype)], axis=0)
+
+    sx, sy = _sample_grid(rois, s, out_size, sampling_ratio)
+    hi = h_l.astype(jnp.int32)
+    wi = w_l.astype(jnp.int32)
+    offi = off.astype(jnp.int32)
+
+    def anchor(pos, size_i):
+        p = jnp.clip(pos, 0.0, size_i[:, None].astype(jnp.float32) - 1.0)
+        c0 = jnp.min(jnp.floor(p).astype(jnp.int32), axis=1)
+        return jnp.clip(c0, 0, jnp.maximum(size_i - patch, 0))
+
+    ax = anchor(sx, wi)
+    ay = anchor(sy, hi)
+    wx, xmax = _axis_weights(sx, w_l, patch, ax)       # (R, S, P)
+    wy, ymax = _axis_weights(sy, h_l, patch, ay)
+    fits = ((xmax - ax) <= patch - 1) & ((ymax - ay) <= patch - 1)
+
+    # window row starts: off + (ay+dy)*W + ax.  For weighted rows
+    # (ay+dy <= h_l-1, ax <= max(w_l-patch, 0)) the start stays within the
+    # level, so with the patch-row pad no slice is ever clamped backwards.
+    starts = (offi[:, None] +
+              (ay[:, None] + jnp.arange(patch, dtype=jnp.int32)[None, :]) *
+              wi[:, None] + ax[:, None])               # (R, P)
+
+    chunk = min(patch_chunk, r) if patch_chunk > 0 else r
+    n_chunks = -(-r // chunk)
+    rp = n_chunks * chunk
+
+    def pad0(a):
+        return jnp.concatenate(
+            [a, jnp.zeros((rp - r,) + a.shape[1:], a.dtype)], axis=0) \
+            if rp != r else a
+
+    starts_c = pad0(starts).reshape(n_chunks, chunk, patch)
+    wy_c = pad0(wy).reshape(n_chunks, chunk, wy.shape[1], patch)
+    wx_c = pad0(wx).reshape(n_chunks, chunk, wx.shape[1], patch)
+
+    def body(args):
+        st, wyk, wxk = args
+        pv = _slice_gather_rows(table, st.reshape(-1), patch)
+        pv = pv.reshape(chunk, patch, patch, c)        # [r, dy, dx, c]
+        tmp = jnp.einsum("rip,rpqc->riqc", wyk, pv.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        return jnp.einsum("rjq,riqc->rijc", wxk, tmp,
+                          preferred_element_type=jnp.float32)
+
+    vals = jax.lax.map(body, (starts_c, wy_c, wx_c))   # (n, chunk, S, S, C)
+    sr = sampling_ratio
+    vals = vals.reshape(rp, out_size, sr, out_size, sr, c)[:r]
+    pooled = jnp.mean(vals, axis=(2, 4))               # (R, oh, ow, C)
+
+    # oversized RoIs (top-level clamped, e.g. behind-camera projections):
+    # compact into `cap` slots and take the pairs path — exact whenever
+    # they fit; overflow rows produce zeros (capacity discipline).
+    cap = r if patch_fallback < 0 else patch_fallback
+    if cap == 0:
+        zero = jnp.zeros_like(pooled[:1])
+        return jnp.where(fits[:, None, None, None], pooled,
+                         jnp.broadcast_to(zero, pooled.shape))
+    mis = ~fits
+    slot = jnp.cumsum(mis.astype(jnp.int32)) - 1
+    sel = jnp.where(mis & (slot < cap), slot, cap)
+    rois_fb = jnp.full((cap + 1, 4), -1e6, rois.dtype).at[sel].set(
+        rois, mode="drop")[:cap]
+    out_fb = _mla_pairs(feats, rois_fb, strides, out_size, sampling_ratio,
+                        finest_scale)
+    out_fb = jnp.concatenate(
+        [out_fb, jnp.zeros((1,) + out_fb.shape[1:], out_fb.dtype)], axis=0)
+    return jnp.where(fits[:, None, None, None], pooled, out_fb[sel])
+
+
+def multilevel_roi_align(feats: Sequence[jnp.ndarray],
+                         rois: jnp.ndarray,
+                         strides: Sequence[int],
+                         out_size: int = 7,
+                         sampling_ratio: int = 2,
+                         finest_scale: float = 56.0,
+                         patch: int = 0,
+                         patch_fallback: int = -1,
+                         patch_chunk: int = 32) -> jnp.ndarray:
+    """RoIAlign over multiple levels for a single sample.
+
+    Args:
+      feats: list of (H_l, W_l, C) feature maps (NHWC without batch).
+      rois: (R, 4) [x1, y1, x2, y2] in the stride-1 input frame.
+      strides: per-level stride of the input frame.
+      patch: 0 = corner-pair gathers (default); P > 0 = patch-gather
+        strategy with a PxP cell window (32 covers mmdet level mapping).
+      patch_fallback: capacity of the oversized-RoI pairs-path buffer
+        (-1 = R, exact always; 0 = none, oversized RoIs produce zeros).
+      patch_chunk: RoIs per gather chunk (bounds the live patch tensor).
+
+    Returns: (R, out_size, out_size, C).
+    """
+    if patch:
+        return _mla_patch(feats, rois, strides, out_size, sampling_ratio,
+                          finest_scale, patch, patch_fallback, patch_chunk)
+    return _mla_pairs(feats, rois, strides, out_size, sampling_ratio,
+                      finest_scale)

@@ -181,3 +181,90 @@ def test_pair_gather_rows_grad_under_vmap():
     g_custom = jax.grad(custom)(tables)
     np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_plain),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_patch_path_matches_pairs_path():
+    """patch=32 separable-matmul gather == the corner-pair path on a mix
+    of small / typical / edge-straddling / fully-offscreen RoIs."""
+    rng = np.random.RandomState(5)
+    feats = [jnp.array(rng.randn(32, 48, 8), jnp.float32),
+             jnp.array(rng.randn(16, 24, 8), jnp.float32)]
+    strides = [8, 16]
+    n = 24
+    x1 = rng.uniform(-80, 300, n)
+    y1 = rng.uniform(-60, 200, n)
+    rois = np.stack([x1, y1,
+                     x1 + rng.uniform(4, 220, n),
+                     y1 + rng.uniform(4, 200, n)], -1).astype(np.float32)
+    rois[0] = [-500, -500, -400, -400]          # fully offscreen
+    rois[1] = [50, 50, 58, 58]                  # tiny
+    rois[2] = [-30, -20, 380, 250]              # spans the whole image
+    r = jnp.asarray(rois)
+    ref = multilevel_roi_align(feats, r, strides)
+    got = multilevel_roi_align(feats, r, strides, patch=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_patch_path_oversized_uses_fallback():
+    """A top-level-clamped RoI wider than the patch window must come out
+    of the compacted pairs fallback, exactly; with patch_fallback=0 it
+    must come out zero."""
+    rng = np.random.RandomState(6)
+    feats = [jnp.array(rng.randn(16, 64, 4), jnp.float32)]
+    strides = [8]
+    # one normal RoI + one enormous one (cells >> 32 at the single level)
+    rois = jnp.asarray(np.array([
+        [10.0, 10.0, 60.0, 60.0],
+        [-3000.0, -20.0, 3500.0, 120.0],
+    ], np.float32))
+    ref = multilevel_roi_align(feats, rois, strides)
+    got = multilevel_roi_align(feats, rois, strides, patch=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    dropped = multilevel_roi_align(feats, rois, strides, patch=32,
+                                   patch_fallback=0)
+    np.testing.assert_allclose(np.asarray(dropped[0]), np.asarray(ref[0]),
+                               rtol=1e-4, atol=1e-5)
+    assert np.abs(np.asarray(dropped[1])).max() == 0.0
+
+
+def test_patch_path_grad_matches_pairs():
+    """d(table-features) through the patch path == through the pairs path
+    (the slice-gather custom VJP and the separable matmuls transpose to
+    the same scatter-add)."""
+    rng = np.random.RandomState(7)
+    f0 = jnp.array(rng.randn(16, 24, 4), jnp.float32)
+    f1 = jnp.array(rng.randn(8, 12, 4), jnp.float32)
+    strides = [8, 16]
+    n = 6
+    x1 = rng.uniform(-20, 120, n)
+    y1 = rng.uniform(-20, 80, n)
+    rois = jnp.asarray(np.stack(
+        [x1, y1, x1 + rng.uniform(5, 150, n),
+         y1 + rng.uniform(5, 100, n)], -1).astype(np.float32))
+    w = jnp.asarray(rng.randn(n, 7, 7, 4).astype(np.float32))
+
+    def loss(fa, fb, patch):
+        out = multilevel_roi_align([fa, fb], rois, strides, patch=patch)
+        return jnp.sum(out * w)
+
+    g_ref = jax.grad(lambda a, b: loss(a, b, 0), argnums=(0, 1))(f0, f1)
+    g_new = jax.grad(lambda a, b: loss(a, b, 32), argnums=(0, 1))(f0, f1)
+    for a, b in zip(g_ref, g_new):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_patch_path_under_vmap_batch():
+    rng = np.random.RandomState(8)
+    feats = [jnp.array(rng.randn(2, 16, 16, 4), jnp.float32),
+             jnp.array(rng.randn(2, 8, 8, 4), jnp.float32)]
+    rois = jnp.array(rng.uniform(0, 100, (2, 5, 4)), jnp.float32)
+    rois = rois.at[..., 2:].add(60.0)
+    ref = jax.vmap(lambda f0, f1, r: multilevel_roi_align(
+        [f0, f1], r, [8, 16]))(feats[0], feats[1], rois)
+    got = jax.vmap(lambda f0, f1, r: multilevel_roi_align(
+        [f0, f1], r, [8, 16], patch=32))(feats[0], feats[1], rois)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
