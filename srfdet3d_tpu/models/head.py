@@ -204,6 +204,25 @@ def pooled_img_roi(img_feats, cam_rois, strides, res: int,
     return out[:b * n_p].reshape(b, n_p, res, res, c)
 
 
+def visible_pair_counts(cam_rois: jnp.ndarray, img_shape: Tuple[int, int],
+                        strides) -> jnp.ndarray:
+    """Per-(sample, camera) count of RoIs `pooled_img_roi` would keep.
+
+    Diagnostic for sizing `img_roi_cap`: the compaction is exact only while
+    every camera's intersecting-pair count stays <= cap.  Note boxes BEHIND
+    a camera project to enormous RoIs (z clamped at 1e-5 in
+    img_rois_from_boxes) that straddle the image and therefore COUNT —
+    matching the reference, which RoIAligns every (camera, proposal) pair.
+    Same margin rule as pooled_img_roi."""
+    h_img, w_img = img_shape
+    margin = float(2 * max(strides))
+    x1, y1 = cam_rois[..., 0], cam_rois[..., 1]
+    x2, y2 = cam_rois[..., 2], cam_rois[..., 3]
+    vis = ((x2 >= -margin) & (x1 <= w_img + margin) &
+           (y2 >= -margin) & (y1 <= h_img + margin))
+    return jnp.sum(vis, axis=-1)
+
+
 class SingleSRFDetHead(nn.Module):
     """One refinement iteration (LiDAR / image / fusion).
 

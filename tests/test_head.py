@@ -132,3 +132,40 @@ def test_lidar_rois_cover_box():
     # center (0,0) -> grid (80,80); w=2 -> ±8 in x; l=4 -> ±16 in y
     np.testing.assert_allclose(roi, [80 - 8, 80 - 16, 80 + 8, 80 + 16],
                                atol=1e-4)
+
+
+def test_visible_pair_counts_bounds_compaction_exactness():
+    """visible_pair_counts sizes img_roi_cap: with cap >= max count the
+    compacted pooling equals the all-pairs path; behind-camera projections
+    (huge straddling RoIs) are counted as visible."""
+    from srfdet3d_tpu.models.head import (pooled_img_roi,
+                                          visible_pair_counts,
+                                          img_rois_from_boxes)
+    rng = np.random.default_rng(9)
+    b, n_cam, n_p, c = 1, 2, 10, 4
+    strides = (4, 8)
+    feats = [jnp.asarray(rng.normal(size=(b, n_cam, 16, 24, c))
+                         .astype(np.float32)),
+             jnp.asarray(rng.normal(size=(b, n_cam, 8, 12, c))
+                         .astype(np.float32))]
+    x1 = rng.uniform(-300, 90, (b, n_cam, n_p)).astype(np.float32)
+    y1 = rng.uniform(-200, 60, (b, n_cam, n_p)).astype(np.float32)
+    rois = np.stack([x1, y1, x1 + 40, y1 + 30], -1).astype(np.float32)
+    rois_j = jnp.asarray(rois)
+    counts = np.asarray(visible_pair_counts(rois_j, (64, 96), strides))
+    assert counts.shape == (b, n_cam)
+    cap = int(counts.max())
+    ref = pooled_img_roi(feats, rois_j, strides, res=5, cap=0)
+    got = pooled_img_roi(feats, rois_j, strides, res=5, cap=max(cap, 1))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # a box BEHIND the camera projects to a straddling huge RoI -> counted
+    boxes = jnp.asarray(np.array(
+        [[[0.0, 0.0, -1.0, np.log(2.0), np.log(2.0), np.log(1.5),
+           0.0, 1.0, 0.0, 0.0]]], np.float32))
+    l2i = np.eye(4, dtype=np.float32)
+    l2i[2, 3] = -5.0          # camera 5 m ahead: box is behind it
+    cam_rois = img_rois_from_boxes(boxes, jnp.asarray(l2i)[None, None])
+    n_vis = int(visible_pair_counts(cam_rois, (64, 96), strides)[0, 0])
+    assert n_vis == 1

@@ -11,7 +11,11 @@ unaccounted.  This segments it two ways:
      transpose, MaskedBatchNorm train-mode grad, and the dense-scatter
      transpose — the non-conv suspects.
 
-Usage:  python tools/bench_encoder_grad_parts.py [bitmap|table] [onehot|xla]
+Usage:  python tools/bench_encoder_grad_parts.py [bitmap|table] [onehot|xla] [scale]
+
+scale (default 1): divide the grid plan dims and voxel capacities by this —
+scale=4 runs a 1/16-size problem that is tractable on CPU for structural
+(fwd:bwd ratio) comparisons.
 """
 
 import os
@@ -35,12 +39,14 @@ from srfdet3d_tpu.configs import srfdet_voxel_nusc_L  # noqa: E402
 from srfdet3d_tpu.models.sparse_encoder import SparseEncoder  # noqa: E402
 
 
-def _flagship_batch(cfg):
+def _flagship_batch(cfg, scale=1):
     mid = cfg.middle
     d = int(round((cfg.pc_range[5] - cfg.pc_range[2]) / cfg.voxel_size[2])) + 1
-    h = int(round((cfg.pc_range[4] - cfg.pc_range[1]) / cfg.voxel_size[1]))
-    w = int(round((cfg.pc_range[3] - cfg.pc_range[0]) / cfg.voxel_size[0]))
-    v = cfg.voxels_cap
+    h = int(round((cfg.pc_range[4] - cfg.pc_range[1]) / cfg.voxel_size[1])) \
+        // scale
+    w = int(round((cfg.pc_range[3] - cfg.pc_range[0]) / cfg.voxel_size[0])) \
+        // scale
+    v = cfg.voxels_cap // (scale * scale)
     rng = np.random.default_rng(0)
     flat = rng.choice(d * h * w, size=v, replace=False).astype(np.int64)
     coords = np.stack([flat // (h * w), (flat // w) % h, flat % w],
@@ -73,24 +79,33 @@ def _time(fn, label, iters=6):
 def main():
     backend = sys.argv[1] if len(sys.argv) > 1 else "bitmap"
     gather = sys.argv[2] if len(sys.argv) > 2 else "onehot"
+    scale = int(sys.argv[3]) if len(sys.argv) > 3 else 1
     sc.GATHER_METHOD = gather
     sc.ONEHOT_BWD = gather
     cfg = srfdet_voxel_nusc_L()
     mid = cfg.middle
-    (d, h, w), batch = _flagship_batch(cfg)
+    (d, h, w), batch = _flagship_batch(cfg, scale)
+    caps = tuple(cc // (scale * scale) for cc in mid.capacities)
     print(f"device: {jax.devices()[0]} backend={backend} gather={gather} "
-          f"grid=({d},{h},{w})", flush=True)
+          f"grid=({d},{h},{w}) caps={caps}", flush=True)
 
     # 1. truncated stacks ---------------------------------------------------
-    for k in range(1, len(mid.encoder_channels) + 1):
+    n_stages = len(mid.encoder_channels)
+    for k in range(1, n_stages + 1):
+        chans = [tuple(b) for b in mid.encoder_channels[:k]]
+        if k < n_stages and mid.block_type == "basicblock":
+            # the dropped downsample carried the stage's channel change;
+            # keep the truncated last stage channel-consistent (the block
+            # count — what we time — is unchanged)
+            chans[-1] = tuple(chans[-1][0] for _ in chans[-1])
         enc = SparseEncoder(
             in_channels=mid.in_channels, sparse_shape=(d, h, w),
             base_channels=mid.base_channels,
             output_channels=mid.output_channels,
-            encoder_channels=mid.encoder_channels[:k],
+            encoder_channels=tuple(chans),
             encoder_paddings=mid.encoder_paddings[:k],
             block_type=mid.block_type,
-            capacities=mid.capacities, rulebook=backend)
+            capacities=caps, rulebook=backend)
         variables = jax.jit(lambda f, c, m, e=enc: e.init(
             jax.random.PRNGKey(0), f, c, m, train=False))(*batch)
 
