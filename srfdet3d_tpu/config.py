@@ -114,8 +114,13 @@ class HeadConfig:
     # (camera, proposal) pair like the reference
     img_roi_cap: int = 0
     # >0: patch-gather RoIAlign with a PxP cell window (32 covers mmdet
-    # level mapping); oversized RoIs take a compacted corner-pair pass of
-    # `roi_patch_fallback` slots (-1 = full exactness, 0 = drop to zeros)
+    # level mapping for square-ish RoIs; elongated ones map by sqrt(w*h)
+    # and can exceed it).  Oversized RoIs take a compacted corner-pair
+    # pass of `roi_patch_fallback` slots: -1 = full-size fallback buffer
+    # (always exact but runs the ENTIRE pairs pass on top of the patch
+    # pass — strictly slower; only a safety default), 0 = drop oversized
+    # RoIs to zeros.  When enabling roi_patch, size the fallback from a
+    # measured misfit count (tools/bench_roi.py).
     roi_patch: int = 0
     roi_patch_fallback: int = -1
 

@@ -170,13 +170,7 @@ def pooled_img_roi(img_feats, cam_rois, strides, res: int,
 
     h_img = img_feats[0].shape[2] * strides[0]
     w_img = img_feats[0].shape[3] * strides[0]
-    # margin covers the coarsest level's half-pixel sample reach (-0.5 *
-    # stride); beyond it every bilinear sample is out of bounds -> zero
-    margin = float(2 * max(strides))
-    x1, y1 = cam_rois[..., 0], cam_rois[..., 1]
-    x2, y2 = cam_rois[..., 2], cam_rois[..., 3]
-    vis = ((x2 >= -margin) & (x1 <= w_img + margin) &
-           (y2 >= -margin) & (y1 <= h_img + margin))
+    vis = _visible_mask(cam_rois, (h_img, w_img), strides)
     bc = b * n_cam
     vis_f = vis.reshape(bc, n_p)
     slot = jnp.cumsum(vis_f.astype(jnp.int32), axis=1) - 1     # (BC, n_p)
@@ -204,6 +198,22 @@ def pooled_img_roi(img_feats, cam_rois, strides, res: int,
     return out[:b * n_p].reshape(b, n_p, res, res, c)
 
 
+def _visible_mask(cam_rois: jnp.ndarray, img_shape: Tuple[int, int],
+                  strides) -> jnp.ndarray:
+    """Which (.., RoI) entries intersect the image (+ sampling margin).
+
+    The margin covers the coarsest level's half-pixel sample reach
+    (-0.5 * stride); beyond it every bilinear sample is out of bounds and
+    contributes exactly zero.  ONE definition shared by the compaction
+    (pooled_img_roi) and its sizing diagnostic (visible_pair_counts)."""
+    h_img, w_img = img_shape
+    margin = float(2 * max(strides))
+    x1, y1 = cam_rois[..., 0], cam_rois[..., 1]
+    x2, y2 = cam_rois[..., 2], cam_rois[..., 3]
+    return ((x2 >= -margin) & (x1 <= w_img + margin) &
+            (y2 >= -margin) & (y1 <= h_img + margin))
+
+
 def visible_pair_counts(cam_rois: jnp.ndarray, img_shape: Tuple[int, int],
                         strides) -> jnp.ndarray:
     """Per-(sample, camera) count of RoIs `pooled_img_roi` would keep.
@@ -212,15 +222,8 @@ def visible_pair_counts(cam_rois: jnp.ndarray, img_shape: Tuple[int, int],
     every camera's intersecting-pair count stays <= cap.  Note boxes BEHIND
     a camera project to enormous RoIs (z clamped at 1e-5 in
     img_rois_from_boxes) that straddle the image and therefore COUNT —
-    matching the reference, which RoIAligns every (camera, proposal) pair.
-    Same margin rule as pooled_img_roi."""
-    h_img, w_img = img_shape
-    margin = float(2 * max(strides))
-    x1, y1 = cam_rois[..., 0], cam_rois[..., 1]
-    x2, y2 = cam_rois[..., 2], cam_rois[..., 3]
-    vis = ((x2 >= -margin) & (x1 <= w_img + margin) &
-           (y2 >= -margin) & (y1 <= h_img + margin))
-    return jnp.sum(vis, axis=-1)
+    matching the reference, which RoIAligns every (camera, proposal) pair."""
+    return jnp.sum(_visible_mask(cam_rois, img_shape, strides), axis=-1)
 
 
 class SingleSRFDetHead(nn.Module):

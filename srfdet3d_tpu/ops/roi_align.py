@@ -39,46 +39,19 @@ import jax
 import jax.numpy as jnp
 
 
-@jax.custom_vjp
-def _pair_gather_rows(table: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
-    """Gather (start, start+1) row pairs: table (S, C), starts (N,) int32
-    in [0, S-2] -> (N, 2, C).
-
-    The 2-row slice gather halves the gathered row count vs 4 single-row
-    corner gathers (the RoI path is row-count bound, PERF.md).  Its
-    AUTODIFF transpose, however, is a scatter of overlapping 2-row windows
-    which XLA serializes catastrophically (measured 5.9 s/step in the
-    flagship train backward) — so the backward is spelled explicitly as a
-    flat single-row scatter-add, the same lowering the plain-gather VJP
-    gets (~tens of ms at these sizes)."""
-    c = table.shape[1]
-    return jax.vmap(
-        lambda i: jax.lax.dynamic_slice(table, (i, 0), (2, c)))(starts)
-
-
-def _pair_gather_rows_fwd(table, starts):
-    return _pair_gather_rows(table, starts), (starts, table.shape[0])
-
-
-def _pair_gather_rows_bwd(res, dg):
-    starts, s_rows = res
-    c = dg.shape[-1]
-    idx = jnp.concatenate([starts, starts + 1])
-    upd = jnp.concatenate([dg[:, 0, :], dg[:, 1, :]])
-    dt = jnp.zeros((s_rows, c), dg.dtype).at[idx].add(upd, mode="drop")
-    return dt, None
-
-
-_pair_gather_rows.defvjp(_pair_gather_rows_fwd, _pair_gather_rows_bwd)
-
-
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _slice_gather_rows(table: jnp.ndarray, starts: jnp.ndarray,
                        n: int) -> jnp.ndarray:
     """Gather n-consecutive-row slices: table (S, C), starts (N,) int32 in
-    [0, S-n] -> (N, n, C).  Same explicit flat scatter-add backward as
-    `_pair_gather_rows` (the autodiff transpose of overlapping-window
-    slices serializes in XLA)."""
+    [0, S-n] -> (N, n, C).
+
+    The slice gather cuts the gathered row count vs single-row corner
+    gathers (the RoI path is slice-count bound, PERF.md).  Its AUTODIFF
+    transpose, however, is a scatter of overlapping n-row windows which
+    XLA serializes catastrophically (measured 5.9 s/step in the flagship
+    train backward at n=2) — so the backward is spelled explicitly as a
+    flat single-row scatter-add, the same lowering the plain-gather VJP
+    gets (~tens of ms at these sizes)."""
     c = table.shape[1]
     return jax.vmap(
         lambda i: jax.lax.dynamic_slice(table, (i, 0), (n, c)))(starts)
@@ -100,6 +73,12 @@ def _slice_gather_rows_bwd(n, res, dg):
 
 
 _slice_gather_rows.defvjp(_slice_gather_rows_fwd, _slice_gather_rows_bwd)
+
+
+def _pair_gather_rows(table: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
+    """(start, start+1) row pairs — the n=2 case of the shared slice
+    gather (one custom VJP to maintain)."""
+    return _slice_gather_rows(table, starts, 2)
 
 
 def _level_geometry(feats, rois, strides, finest_scale):
@@ -217,14 +196,16 @@ def _mla_pairs(feats: Sequence[jnp.ndarray],
     return pooled
 
 
-def _axis_weights(pos, size_l, patch, anchor):
-    """Per-axis one-hot bilinear weights within the patch window.
+def _axis_weights(pos, size_l, size_i, patch):
+    """Per-axis window anchor + one-hot bilinear weights within it.
 
-    pos (R, S) sample positions; size_l (R,) level extent along the axis;
-    anchor (R,) int window start.  Returns (w (R, S, P) f32,
-    cmax (R,) int32 max referenced cell) — weights are zero for
-    out-of-bounds samples and fold the clamped edge corner like the pairs
-    path."""
+    pos (R, S) sample positions; size_l/size_i (R,) level extent along the
+    axis (float/int).  Returns (w (R, S, P) f32, anchor (R,) int32,
+    fits (R,) bool).  Weights are zero for out-of-bounds samples and fold
+    the clamped edge corner like the pairs path.  Anchor placement and the
+    fit test consider only WEIGHTED cells — a fully- or partially-offscreen
+    RoI whose on-image span fits the window stays on the patch path (its
+    oob samples clip to the image edge but carry zero weight)."""
     oob = (pos < -1.0) | (pos > size_l[:, None])
     p = jnp.clip(pos, 0.0, size_l[:, None] - 1.0)
     c0 = jnp.floor(p)
@@ -233,13 +214,19 @@ def _axis_weights(pos, size_l, patch, anchor):
     c1 = jnp.minimum(c0 + 1, size_l[:, None] - 1.0)
     w0 = jnp.where(oob, 0.0, jnp.where(edge, 1.0, 1.0 - lc))
     w1 = jnp.where(oob, 0.0, jnp.where(edge, 0.0, lc))
-    c0i = c0.astype(jnp.int32) - anchor[:, None]
-    c1i = c1.astype(jnp.int32) - anchor[:, None]
+    c0i = c0.astype(jnp.int32)
+    c1i = c1.astype(jnp.int32)
+    big = jnp.int32(1 << 30)
+    cmin = jnp.min(jnp.where(oob, big, c0i), axis=1)
+    cmax = jnp.max(jnp.where(oob, -1, c1i), axis=1)
+    anchor = jnp.clip(cmin, 0, jnp.maximum(size_i - patch, 0))
+    fits = (cmax - anchor) <= patch - 1   # all-oob: cmax=-1 -> fits, w=0
     iota = jnp.arange(patch, dtype=jnp.int32)
-    w = (w0[..., None] * (iota == c0i[..., None]) +
-         w1[..., None] * (iota == c1i[..., None]))
-    cmax = jnp.max(c1.astype(jnp.int32), axis=1)
-    return w.astype(jnp.float32), cmax
+    o0 = c0i - anchor[:, None]
+    o1 = c1i - anchor[:, None]
+    w = (w0[..., None] * (iota == o0[..., None]) +
+         w1[..., None] * (iota == o1[..., None]))
+    return w.astype(jnp.float32), anchor, fits
 
 
 def _mla_patch(feats: Sequence[jnp.ndarray],
@@ -268,16 +255,9 @@ def _mla_patch(feats: Sequence[jnp.ndarray],
     wi = w_l.astype(jnp.int32)
     offi = off.astype(jnp.int32)
 
-    def anchor(pos, size_i):
-        p = jnp.clip(pos, 0.0, size_i[:, None].astype(jnp.float32) - 1.0)
-        c0 = jnp.min(jnp.floor(p).astype(jnp.int32), axis=1)
-        return jnp.clip(c0, 0, jnp.maximum(size_i - patch, 0))
-
-    ax = anchor(sx, wi)
-    ay = anchor(sy, hi)
-    wx, xmax = _axis_weights(sx, w_l, patch, ax)       # (R, S, P)
-    wy, ymax = _axis_weights(sy, h_l, patch, ay)
-    fits = ((xmax - ax) <= patch - 1) & ((ymax - ay) <= patch - 1)
+    wx, ax, fits_x = _axis_weights(sx, w_l, wi, patch)  # (R, S, P)
+    wy, ay, fits_y = _axis_weights(sy, h_l, hi, patch)
+    fits = fits_x & fits_y
 
     # window row starts: off + (ay+dy)*W + ax.  For weighted rows
     # (ay+dy <= h_l-1, ax <= max(w_l-patch, 0)) the start stays within the

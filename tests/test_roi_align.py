@@ -268,3 +268,21 @@ def test_patch_path_under_vmap_batch():
         [f0, f1], r, [8, 16], patch=32))(feats[0], feats[1], rois)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_patch_path_edge_straddling_needs_no_fallback():
+    """An RoI straddling the image edge with a long offscreen tail must
+    stay on the patch path (anchor/fit consider only weighted cells):
+    exact vs pairs even with the fallback disabled."""
+    rng = np.random.RandomState(9)
+    feats = [jnp.array(rng.randn(16, 32, 4), jnp.float32)]
+    strides = [8]
+    rois = jnp.asarray(np.array([
+        [-700.0, 20.0, 60.0, 90.0],     # long tail off the left edge
+        [180.0, -500.0, 250.0, 50.0],   # long tail off the top edge
+    ], np.float32))
+    ref = multilevel_roi_align(feats, rois, strides)
+    got = multilevel_roi_align(feats, rois, strides, patch=32,
+                               patch_fallback=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)

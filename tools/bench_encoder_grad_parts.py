@@ -127,14 +127,16 @@ def main():
     from srfdet3d_tpu.ops.bitmap_rulebook import sort_plan_major
     from srfdet3d_tpu.models.layers import MaskedBatchNorm
 
-    feats16 = jnp.zeros((1, cfg.voxels_cap, 16), jnp.float32)
+    v_eff = batch[0].shape[1]
+    feats16 = jnp.zeros((1, v_eff, 16), jnp.float32)
     coords, mask = batch[1], batch[2]
 
     def sort_loss(f):
         sf, _, _ = sort_plan_major(f, coords, mask, (d, h, w))
         return jnp.sum(sf)
 
-    _time(jax.jit(jax.grad(sort_loss)), "sort_plan_major grad (16ch)")
+    g_sort = jax.jit(jax.grad(sort_loss))
+    _time(lambda: g_sort(feats16), "sort_plan_major grad (16ch)")
 
     bn = MaskedBatchNorm()
     bnv = jax.jit(lambda f, m: bn.init(jax.random.PRNGKey(0), f, m,
@@ -145,7 +147,8 @@ def main():
                           mutable=["batch_stats"])
         return jnp.sum(out)
 
-    _time(jax.jit(jax.grad(bn_loss)), "MaskedBatchNorm grad (120k x 16)")
+    g_bn = jax.jit(jax.grad(bn_loss))
+    _time(lambda: g_bn(feats16), f"MaskedBatchNorm grad ({v_eff} x 16)")
 
 
 if __name__ == "__main__":

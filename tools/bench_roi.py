@@ -23,8 +23,18 @@ jax.config.update("jax_compilation_cache_dir",
                       os.path.abspath(__file__))), ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from srfdet3d_tpu.ops.roi_align import multilevel_roi_align  # noqa: E402
+from srfdet3d_tpu.ops.roi_align import (  # noqa: E402
+    multilevel_roi_align, _axis_weights, _level_geometry, _sample_grid)
 from srfdet3d_tpu.models.head import pooled_img_roi  # noqa: E402
+
+
+def _misfit_count(feats, rois, strides, patch=32):
+    """How many RoIs would take the pairs fallback at this patch size."""
+    _, s, h_l, w_l, _, _ = _level_geometry(feats, rois, strides, 56.0)
+    sx, sy = _sample_grid(rois, s, 7, 2)
+    _, _, fx = _axis_weights(sx, w_l, w_l.astype(jnp.int32), patch)
+    _, _, fy = _axis_weights(sy, h_l, h_l.astype(jnp.int32), patch)
+    return int(jnp.sum(~(fx & fy)))
 
 
 def _time(fn, label, iters=8):
@@ -56,6 +66,8 @@ def main():
     wh = rng.uniform(6, 260, (1, n_p, 2))
     rois = jnp.asarray(np.concatenate(
         [ctr - wh / 2, ctr + wh / 2], -1).astype(np.float32))
+    print(f"lidar misfits@32: {_misfit_count(tuple(bev), rois[0], strides)}"
+          f" / {n_p}", flush=True)
 
     for p in patches:
         def fwd(p=p):
@@ -85,6 +97,10 @@ def main():
     h = np.where(big, 1e5, h)
     cam_rois = jnp.asarray(np.stack(
         [x1, y1, x1 + w, y1 + h], -1).astype(np.float32))
+    flat_img = tuple(f[0, 0] for f in img)
+    mis = max(_misfit_count(flat_img, cam_rois[0, k], (4, 8, 16, 32))
+              for k in range(n_cam))
+    print(f"img max misfits@32 per cam: {mis} / {n_p}", flush=True)
 
     for p in patches:
         f = jax.jit(lambda p=p: pooled_img_roi(
