@@ -33,7 +33,31 @@ ITERS = 20
 STREAM_ITERS = 50
 
 
+def _fail_fast_if_tunnel_dead():
+    """The axon TPU backend rides a localhost relay; if the relay is dead,
+    jax device init hangs forever.  Probe the first relay port and exit
+    with a diagnostic instead of hanging the driver."""
+    if os.environ.get("JAX_PLATFORMS", "axon") == "cpu":
+        return
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return
+    import socket
+    s = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    s.settimeout(2.0)
+    try:
+        s.connect(("127.0.0.1", 8082))
+    except OSError:
+        import sys
+        print("bench.py: TPU tunnel relay (127.0.0.1:8082) is not "
+              "listening — jax init would hang. Restore the relay and "
+              "re-run.", file=sys.stderr)
+        raise SystemExit(3)
+    finally:
+        s.close()
+
+
 def main():
+    _fail_fast_if_tunnel_dead()
     from __graft_entry__ import predict_entry
 
     predict, (variables, batch) = predict_entry()
