@@ -41,8 +41,7 @@ from flax import linen as nn
 
 from ..ops.bitmap_rulebook import (
     build_columns, convout_rulebook_bitmap, convout_sites_bitmap,
-    sort_plan_major, strided_rulebook_bitmap, strided_sites_bitmap,
-    subm_rulebook_bitmap)
+    sort_plan_major, strided_downsample_bitmap, subm_rulebook_bitmap)
 from ..ops.sparse_conv import (
     SparseTensor, subm_gather_indices_batched,
     strided_gather_indices_batched, gathered_conv_apply_batched,
@@ -130,10 +129,8 @@ class _BitmapRulebooks:
 
     def downsample(self, pad, capacity):
         pad = _pad3(pad)
-        cs_o, vcol_o, vz_o, vm_o = strided_sites_bitmap(self.cs, pad,
-                                                        capacity)
-        gidx = strided_rulebook_bitmap(self.cs, cs_o, vcol_o, vz_o, vm_o,
-                                       pad)
+        cs_o, vcol_o, vz_o, vm_o, gidx = strided_downsample_bitmap(
+            self.cs, pad, capacity)
         self.cs, self.vcol, self.vz, self.mask = cs_o, vcol_o, vz_o, vm_o
         return gidx
 

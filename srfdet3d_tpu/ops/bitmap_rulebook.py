@@ -405,14 +405,10 @@ def subm_rulebook_bitmap(cs: ColumnSet, vcol: jnp.ndarray, vz: jnp.ndarray,
     return jnp.where(vmask[:, :, None], out, miss_row)
 
 
-def strided_sites_bitmap(cs: ColumnSet, padding: Tuple[int, int, int],
-                         out_cap: int):
-    """Active output sites of a k3 s2 sparse conv, in column form.
-
-    Returns (cs_out, vcol_out (B, M), vz_out (B, M), vmask_out (B, M))
-    with M = P_out = out_cap (site count and column count share the
-    capacity; #columns <= #sites always).  Sites are plan-major; overflow
-    drops the highest plan keys."""
+def _strided_sites_impl(cs: ColumnSet, padding: Tuple[int, int, int],
+                        out_cap: int):
+    """Sites of a k3 s2 sparse conv + the output-column plan-neighbor
+    gather (reused by the rulebook via strided_downsample_bitmap)."""
     b, p, _ = cs.ccoords.shape
     d, h, w = cs.shape
     pz, py, px = padding
@@ -429,6 +425,15 @@ def strided_sites_bitmap(cs: ColumnSet, padding: Tuple[int, int, int],
     xlo = -(-(x + px - 2) // 2)
     xhi = (x + px) // 2
 
+    # a column whose DECIMATED z bits are empty (every voxel's output taps
+    # clip past the output depth) contributes no site to ANY candidate
+    # cell — gating it out of candidate emission keeps the '#columns <=
+    # #sites' invariant exact (no phantom zero-site columns eating out_cap
+    # slots; unreachable with the shipped depth chains, but reachable
+    # through this public function)
+    dlo = decimate_bits(cs.lo, cs.hi, pz, od)           # (B, P_in)
+    emits = cs.cmask & (dlo != jnp.uint32(0))
+
     # 2D occupancy of candidate cells (<= 4 per input column)
     ohw = oh * ow
     occ = jnp.zeros((b * ohw + 1,), bool)
@@ -438,7 +443,7 @@ def strided_sites_bitmap(cs: ColumnSet, padding: Tuple[int, int, int],
             cy = ylo + iy
             cx = xlo + ix
             ok = ((cy <= yhi) & (cx <= xhi) & (cy >= 0) & (cx >= 0) &
-                  (cy < oh) & (cx < ow) & cs.cmask)
+                  (cy < oh) & (cx < ow) & emits)
             key = jnp.where(ok, cy * ow + cx + offs_b, b * ohw)
             occ = occ.at[key.reshape(-1)].set(True, mode="drop")
     occ = occ[:b * ohw]
@@ -458,7 +463,7 @@ def strided_sites_bitmap(cs: ColumnSet, padding: Tuple[int, int, int],
             cy = ylo + iy
             cx = xlo + ix
             ok = ((cy <= yhi) & (cx <= xhi) & (cy >= 0) & (cx >= 0) &
-                  (cy < oh) & (cx < ow) & cs.cmask)
+                  (cy < oh) & (cx < ow) & emits)
             key = jnp.where(ok, cy * ow + cx + offs_b, 0)
             slot = pref[key.reshape(-1)].reshape(b, p) - base[:, None]
             ok &= slot < p_out
@@ -473,7 +478,6 @@ def strided_sites_bitmap(cs: ColumnSet, padding: Tuple[int, int, int],
     cm_o = cm_o.reshape(b, p_out + 1)[:, :p_out]
 
     # output z bits: OR of the 9 input neighbors' decimated bits
-    dlo = decimate_bits(cs.lo, cs.hi, pz, od)           # (B, P_in)
     dpk = jnp.concatenate(
         [dlo.reshape(-1), jnp.zeros((1,), jnp.uint32)])
     in_table = plan_table(cs)
@@ -502,15 +506,46 @@ def strided_sites_bitmap(cs: ColumnSet, padding: Tuple[int, int, int],
     cs_out = ColumnSet(ccoords=cc_o, cmask=cm_o, cstart=start_global,
                        lo=olo, hi=jnp.zeros_like(olo),
                        shape=(od, oh, ow), row_cap=out_cap)
-    return cs_out, vcol_o, vz_o, vm_o
+    return cs_out, vcol_o, vz_o, vm_o, nbr
+
+
+def strided_sites_bitmap(cs: ColumnSet, padding: Tuple[int, int, int],
+                         out_cap: int):
+    """Active output sites of a k3 s2 sparse conv, in column form.
+
+    Returns (cs_out, vcol_out (B, M), vz_out (B, M), vmask_out (B, M))
+    with M = P_out = out_cap (site count and column count share the
+    capacity; #columns <= #sites always).  Sites are plan-major; overflow
+    drops the highest plan keys."""
+    return _strided_sites_impl(cs, padding, out_cap)[:4]
+
+
+def strided_downsample_bitmap(cs: ColumnSet, padding: Tuple[int, int, int],
+                              out_cap: int):
+    """Fused sites + rulebook of a k3 s2 downsample.
+
+    Shares the output-column plan-neighbor gather between site generation
+    and the rulebook (the two queries are identical; sharing makes the
+    saving structural instead of relying on XLA CSE).  Returns
+    (cs_out, vcol_out, vz_out, vmask_out, gidx (B, M, 27))."""
+    cs_out, vcol_o, vz_o, vm_o, nbr = _strided_sites_impl(cs, padding,
+                                                          out_cap)
+    gidx = strided_rulebook_bitmap(cs, cs_out, vcol_o, vz_o, vm_o, padding,
+                                   nbr=nbr)
+    return cs_out, vcol_o, vz_o, vm_o, gidx
 
 
 def strided_rulebook_bitmap(cs_in: ColumnSet, cs_out: ColumnSet,
                             vcol_out: jnp.ndarray, vz_out: jnp.ndarray,
                             vmask_out: jnp.ndarray,
-                            padding: Tuple[int, int, int]) -> jnp.ndarray:
+                            padding: Tuple[int, int, int],
+                            nbr: jnp.ndarray | None = None) -> jnp.ndarray:
     """k3 s2 strided rulebook: (B, M, 27) GLOBAL input feature rows
-    (z-major (dz, dy, dx) offset order, offsets in {0, 1, 2})."""
+    (z-major (dz, dy, dx) offset order, offsets in {0, 1, 2}).
+
+    nbr: optional precomputed (B, P_out, 9) plan-neighbor slots of the
+    output columns (strided_downsample_bitmap passes the one site
+    generation already gathered)."""
     b, p_in, _ = cs_in.ccoords.shape
     p_out = cs_out.ccoords.shape[1]
     m = vcol_out.shape[1]
@@ -518,10 +553,11 @@ def strided_rulebook_bitmap(cs_in: ColumnSet, cs_out: ColumnSet,
     row_cap = cs_in.row_cap
     miss_row = b * row_cap
 
-    in_table = plan_table(cs_in)
-    nbr = plan_neighbors9(in_table, 2 * cs_out.ccoords[..., 0] - py,
-                          2 * cs_out.ccoords[..., 1] - px, cs_out.cmask,
-                          cs_in.shape[1:], b, p_in)      # (B, P_out, 9)
+    if nbr is None:
+        in_table = plan_table(cs_in)
+        nbr = plan_neighbors9(in_table, 2 * cs_out.ccoords[..., 0] - py,
+                              2 * cs_out.ccoords[..., 1] - px, cs_out.cmask,
+                              cs_in.shape[1:], b, p_in)  # (B, P_out, 9)
     pk = _packed_columns(cs_in)[nbr.reshape(-1)].reshape(b * p_out, 27)
     pk = jnp.concatenate(
         [pk, jnp.tile(jnp.array([[0, 0, 0]], jnp.int32), (1, 9))], axis=0)

@@ -128,6 +128,61 @@ def _default_groups(k: int):
     return tuple((j,) for j in range(k))
 
 
+def _snap_of(dtype) -> int:
+    """Sublane tile of the packed table: window starts snap to it so
+    Mosaic can prove DMA slice alignment (bf16 otherwise fails to lower)."""
+    return 8 if dtype == jnp.float32 else 16
+
+
+def _padded_rows(n: int, pack: int, snap: int, wp: int) -> int:
+    """Table rows after padding: one miss row, sublane-aligned packed
+    windows, plus one full window of DMA overrun slack."""
+    return _round_up(n + 1, pack * snap) + wp * pack
+
+
+def _window_layout(idx, n: int, pack: int, snap: int, wp: int,
+                   np_rows: int, tm: int, groups):
+    """Per-(tile, group) window starts + window-relative packed rows.
+
+    ONE definition shared by the forward kernel, the backward kernel and
+    the onehot_miss_count diagnostic — the layouts must agree exactly or
+    the diagnostic mis-sizes wp/correction_tiles and the backward
+    desynchronizes from the forward.
+
+    idx (Mp, K) int32 in [0, n] (n = miss), Mp a multiple of tm.
+    Returns (starts (T, G) int32, plidx (T*tm, ...) view as (Mp, K) via
+    caller reshape -> here (T, tm, K) int32 window-relative packed row
+    (-1 = miss/out-of-window), sub (Mp, K), miss (T, tm, K),
+    in_win (T, tm, K))."""
+    mp, k = idx.shape
+    n_tiles = mp // tm
+    pidx = idx // pack
+    sub = (idx % pack).astype(jnp.int32)
+    tiles = pidx.reshape(n_tiles, tm, k)
+    max_start = max(np_rows // pack - wp, 0)
+    starts = []
+    rel_parts = []
+    for offs in groups:
+        sel = tiles[:, :, list(offs)]                    # (T, TM, |g|)
+        # pidx <= n // pack by construction (idx <= n), so misses need no
+        # masking here: they only ever raise the min to n // pack
+        s = jnp.min(sel, axis=(1, 2))
+        s = jnp.minimum((s // snap) * snap, max_start)   # (T,)
+        starts.append(s)
+        rel_parts.append(sel - s[:, None, None])
+    starts = jnp.stack(starts, axis=1).astype(jnp.int32)  # (T, G)
+    rel = jnp.concatenate(rel_parts, axis=2)             # group-ordered
+    # restore original offset order: rel[..., j] must describe offset j
+    order = [j for g in groups for j in g]
+    perm = jnp.zeros((k,), jnp.int32).at[jnp.array(order)].set(
+        jnp.arange(k, dtype=jnp.int32))
+    rel = jnp.take(rel, perm, axis=2)
+    miss = idx.reshape(n_tiles, tm, k) >= n              # rulebook miss
+    in_win = (rel >= 0) & (rel < wp) & ~miss
+    plidx = jnp.where(in_win, rel, -1).astype(jnp.int32)
+    return starts, plidx, sub, miss, in_win
+
+
 @functools.partial(
     jax.jit, static_argnames=("tm", "wp", "interpret", "correct",
                               "correction_tiles", "group_by_z"))
@@ -160,23 +215,23 @@ def gather_matmul_onehot(features: jnp.ndarray,
     m, k = gather_idx.shape
     cout = weights.shape[2]
     dtype = features.dtype
+    if cin > LANE:
+        raise ValueError(
+            f"gather_matmul_onehot supports Cin <= {LANE} (one lane tile); "
+            f"got Cin={cin}. Callers gate on sparse_conv.ONEHOT_MAX_CIN.")
 
     # pad Cin to a divisor of 128 and pick the pack factor
     cin_pad = 1
     while cin_pad < cin or LANE % cin_pad:
         cin_pad *= 2
-    cin_pad = min(cin_pad, LANE)
     pack = LANE // cin_pad
 
-    snap = 8 if dtype == jnp.float32 else 16
+    snap = _snap_of(dtype)
 
     feats = features
     if cin_pad != cin:
         feats = jnp.pad(feats, ((0, 0), (0, cin_pad - cin)))
-    # one zero miss row, then pad rows to a multiple of pack*snap (sublane-
-    # aligned packed windows) plus one full window of DMA overrun slack
-    n1 = n + 1
-    np_rows = _round_up(n1, pack * snap) + wp * pack
+    np_rows = _padded_rows(n, pack, snap, wp)
     feats = jnp.pad(feats, ((0, np_rows - n), (0, 0)))
     packed = feats.reshape(np_rows // pack, pack * cin_pad)
 
@@ -198,32 +253,8 @@ def gather_matmul_onehot(features: jnp.ndarray,
     mp = idx.shape[0]
     n_tiles = mp // tm
 
-    # per (tile, group): packed window start = min valid packed row,
-    # snapped to the sublane tile
-    pidx = idx // pack                                   # (Mp, K) packed row
-    sub = (idx % pack).astype(jnp.int32)
-    tiles = pidx.reshape(n_tiles, tm, k)
-    max_start = max(np_rows // pack - wp, 0)
-    starts = []
-    rel_parts = []
-    for offs in groups:
-        sel = tiles[:, :, list(offs)]                    # (T, TM, |g|)
-        s = jnp.min(jnp.where(sel < (n // pack) + 1, sel, n // pack),
-                    axis=(1, 2))
-        s = jnp.minimum((s // snap) * snap, max_start)   # (T,)
-        starts.append(s)
-        rel_parts.append(sel - s[:, None, None])
-    starts = jnp.stack(starts, axis=1).astype(jnp.int32)  # (T, G)
-    rel = jnp.concatenate(rel_parts, axis=2)             # group-ordered
-    # restore original offset order: rel[..., j] must describe offset j
-    order = [j for g in groups for j in g]
-    perm = jnp.zeros((k,), jnp.int32).at[jnp.array(order)].set(
-        jnp.arange(k, dtype=jnp.int32))
-    rel = jnp.take(rel, perm, axis=2)
-
-    miss = idx.reshape(n_tiles, tm, k) >= n              # rulebook miss
-    in_win = (rel >= 0) & (rel < wp) & ~miss
-    plidx = jnp.where(in_win, rel, -1).astype(jnp.int32)
+    starts, plidx, sub, miss, in_win = _window_layout(
+        idx, n, pack, snap, wp, np_rows, tm, groups)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -300,28 +331,25 @@ def gather_matmul_onehot(features: jnp.ndarray,
     return out[:m]
 
 
-@functools.partial(jax.jit, static_argnames=("tm", "wp", "group_by_z"))
+@functools.partial(jax.jit,
+                   static_argnames=("n", "pack", "tm", "wp", "group_by_z",
+                                    "snap"))
 def onehot_miss_count(gather_idx: jnp.ndarray, n: int, pack: int,
                       tm: int = 512, wp: int = 256,
-                      group_by_z: bool = True) -> jnp.ndarray:
+                      group_by_z: bool = True,
+                      snap: int = 8) -> jnp.ndarray:
     """Count of out-of-window entries for the given layout — use to size
-    `correction_frac` on representative data."""
+    `wp` / `correction_tiles` on representative data.
+
+    Uses the SAME `_window_layout` as the kernels, so the count matches
+    what they will actually repair.  Pass snap=16 when the feature table
+    is not float32 (see _snap_of)."""
     m, k = gather_idx.shape
     pad_m = (-m) % tm
     idx = jnp.pad(gather_idx, ((0, pad_m), (0, 0)), constant_values=n)
-    n_tiles = idx.shape[0] // tm
-    pidx = idx // pack
-    tiles = pidx.reshape(n_tiles, tm, k)
     groups = _default_groups(k) if group_by_z else \
         tuple((j,) for j in range(k))
-    total = jnp.zeros((), jnp.int32)
-    for offs in groups:
-        sel = tiles[:, :, list(offs)]
-        s = jnp.min(jnp.where(sel < (n // pack) + 1, sel, n // pack),
-                    axis=(1, 2))
-        s = (s // 8) * 8
-        rel = sel - s[:, None, None]
-        miss = idx.reshape(n_tiles, tm, k)[:, :, list(offs)] >= n
-        oow = ((rel < 0) | (rel >= wp)) & ~miss
-        total += jnp.sum(oow.astype(jnp.int32))
-    return total
+    np_rows = _padded_rows(n, pack, snap, wp)
+    _, _, _, miss, in_win = _window_layout(
+        idx, n, pack, snap, wp, np_rows, tm, groups)
+    return jnp.sum((~in_win & ~miss).astype(jnp.int32))

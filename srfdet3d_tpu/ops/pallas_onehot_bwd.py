@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANE = 128
+from .pallas_onehot import (LANE, _default_groups, _padded_rows, _snap_of,
+                            _window_layout)
 
 
 def _bwd_kernel(starts_ref, plidx_ref, sub_ref, g_ref, feats_hbm, wt_ref,
@@ -131,25 +132,27 @@ def gather_matmul_onehot_bwd(features: jnp.ndarray,
     m, k = gather_idx.shape
     cout = weights.shape[2]
     dtype = features.dtype
+    if cin > LANE:
+        raise ValueError(
+            f"gather_matmul_onehot_bwd supports Cin <= {LANE} (one lane "
+            f"tile); got Cin={cin}. Callers gate on "
+            f"sparse_conv.ONEHOT_MAX_CIN.")
 
     cin_pad = 1
     while cin_pad < cin or LANE % cin_pad:
         cin_pad *= 2
-    cin_pad = min(cin_pad, LANE)
     pack = LANE // cin_pad
     lanes = pack * cin_pad
-    snap = 8 if dtype == jnp.float32 else 16
+    snap = _snap_of(dtype)
 
-    groups = tuple(tuple(range(g * (k // 3), (g + 1) * (k // 3)))
-                   for g in range(3)) if (k % 3 == 0 and group_by_z) else \
+    groups = _default_groups(k) if group_by_z else \
         tuple((j,) for j in range(k))
     per = len(groups[0])
 
     feats = features
     if cin_pad != cin:
         feats = jnp.pad(feats, ((0, 0), (0, cin_pad - cin)))
-    n1 = n + 1
-    np_rows = (-(-n1 // (pack * snap))) * (pack * snap) + wp * pack
+    np_rows = _padded_rows(n, pack, snap, wp)
     feats = jnp.pad(feats, ((0, np_rows - n), (0, 0)))
     packed = feats.reshape(np_rows // pack, lanes)
 
@@ -166,28 +169,8 @@ def gather_matmul_onehot_bwd(features: jnp.ndarray,
     mp = idx.shape[0]
     n_tiles = mp // tm
 
-    pidx = idx // pack
-    sub = (idx % pack).astype(jnp.int32)
-    tiles = pidx.reshape(n_tiles, tm, k)
-    max_start = max(np_rows // pack - wp, 0)
-    starts = []
-    rel_parts = []
-    for offs in groups:
-        sel = tiles[:, :, list(offs)]
-        s = jnp.min(jnp.where(sel < (n // pack) + 1, sel, n // pack),
-                    axis=(1, 2))
-        s = jnp.minimum((s // snap) * snap, max_start)
-        starts.append(s)
-        rel_parts.append(sel - s[:, None, None])
-    starts = jnp.stack(starts, axis=1).astype(jnp.int32)
-    rel = jnp.concatenate(rel_parts, axis=2)
-    order = [j for gr in groups for j in gr]
-    perm = jnp.zeros((k,), jnp.int32).at[jnp.array(order)].set(
-        jnp.arange(k, dtype=jnp.int32))
-    rel = jnp.take(rel, perm, axis=2)
-    miss = idx.reshape(n_tiles, tm, k) >= n
-    in_win = (rel >= 0) & (rel < wp) & ~miss
-    plidx = jnp.where(in_win, rel, -1).astype(jnp.int32)
+    starts, plidx, sub, miss, in_win = _window_layout(
+        idx, n, pack, snap, wp, np_rows, tm, groups)
 
     zeros_packed = jnp.zeros_like(packed)
 

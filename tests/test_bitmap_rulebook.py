@@ -275,3 +275,23 @@ def test_strided_bitmap_capacity_overflow_stays_masked():
     gidx = strided_rulebook_bitmap(cs, cs_o, vcol_o, vz_o, vm_o, (1, 1, 1))
     assert int(jnp.max(gidx)) <= B * cs.row_cap
     assert int(jnp.min(gidx)) >= 0
+
+
+def test_strided_no_phantom_zero_site_columns():
+    """An input column whose only voxel's output taps clip past the output
+    depth (e.g. z=9 at d=10, pad 0 -> oz=4 >= od=4) must not emit output
+    columns: every cmask column has >= 1 site, so '#columns <= #sites'
+    holds exactly and tight caps aren't wasted on phantoms."""
+    shape = (10, 8, 8)
+    coords = jnp.asarray(np.array(
+        [[[9, 3, 3], [2, 5, 5]]], np.int32))       # z=9 clips; z=2 real
+    vmask = jnp.asarray(np.array([[True, True]]))
+    feats = jnp.zeros((1, 2, 4))
+    sf, sc, sm = sort_plan_major(feats, coords, vmask, shape)
+    cs, vcol, vz = build_columns(sc, sm, shape)
+    cs_o, vcol_o, vz_o, vm_o = strided_sites_bitmap(cs, (0, 1, 1), 64)
+    counts = np.asarray(jax.lax.population_count(cs_o.lo))
+    cm = np.asarray(cs_o.cmask)
+    assert np.all(counts[cm] >= 1), "phantom zero-site output column"
+    # the z=2 voxel (oz in {0,1}) still produces its sites
+    assert int(vm_o.sum()) > 0

@@ -66,3 +66,37 @@ def test_bwd_overflow_falls_back_to_full_correction():
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_bwd_matches_autodiff_bf16():
+    """bf16 table: dtype-dependent snap-16 window layout + bf16 one-hot /
+    ystack casts must still match the XLA autodiff backward (bf16-scale
+    tolerances)."""
+    rng = np.random.default_rng(11)
+    n, cin, cout, m, k = 400, 16, 32, 512, 27
+    feats = jnp.asarray(
+        rng.normal(size=(n, cin)).astype(np.float32)).astype(jnp.bfloat16)
+    idx = _near_monotone_idx(rng, m, k, n)
+    w = jnp.asarray(rng.normal(size=(k, cin, cout)).astype(np.float32) * 0.1
+                    ).astype(jnp.bfloat16)
+    g = jnp.asarray(rng.normal(size=(m, cout)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+
+    # reference in f32 over the bf16 VALUES: autodiff of a bf16-typed
+    # reference would bf16-round every scatter-add contribution (an
+    # accumulation the kernel does in f32 — strictly more accurate)
+    def ref_loss(f, wts):
+        f0 = jnp.concatenate([f, jnp.zeros((1, cin))], axis=0)
+        out = jnp.einsum("mkc,kcd->md", f0[idx], wts)
+        return jnp.sum(out * g.astype(jnp.float32))
+
+    df_ref, dw_ref = jax.grad(ref_loss, argnums=(0, 1))(
+        feats.astype(jnp.float32), w.astype(jnp.float32))
+    df, dw = gather_matmul_onehot_bwd(feats, idx, w, g, tm=128, wp=64,
+                                      interpret=True)
+    # kernel keeps bf16 intermediates (ystack/windows); errors stay at the
+    # per-contribution bf16 scale, not the accumulated-sum scale
+    np.testing.assert_allclose(np.asarray(df), np.asarray(df_ref),
+                               rtol=2e-2, atol=1e-1)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                               rtol=2e-2, atol=1e-1)
