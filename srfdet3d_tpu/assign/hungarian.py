@@ -46,12 +46,20 @@ def auction_assign(cost: jnp.ndarray, gt_mask: jnp.ndarray,
     cost (n_p, G) fp32; gt_mask (G,) validity.  Returns matched gt per pred
     (n_p,), -1 unmatched.  Total cost is within G*eps of the Hungarian
     optimum (verified vs scipy in tests).  Jacobi bidding: all unassigned
-    GTs bid each round; convergence is bounded by cost_span/eps rounds.
+    GTs bid each round; convergence is bounded by cost_span/eps rounds —
+    which can exceed `max_rounds` on near-tied costs, so a greedy
+    completion pass after the loop guarantees every valid GT an owner
+    (possibly non-eps-optimal on budget exhaustion, never silently
+    unassigned — the scipy path always assigns every valid GT too).
     """
     n_p, g = cost.shape
     benefit = -cost.astype(jnp.float32).T            # (G, n_p) maximize
     big_neg = -1e9
     benefit = jnp.where(gt_mask[:, None], benefit, big_neg)
+    # top_k(_, 2) needs >= 2 columns; a padded big_neg pred column keeps
+    # the n_p == 1 case working (never wins a bid)
+    benefit2 = benefit if n_p >= 2 else jnp.pad(
+        benefit, ((0, 0), (0, 2 - n_p)), constant_values=big_neg)
 
     def cond(s):
         _, owner_, it = s
@@ -64,7 +72,8 @@ def auction_assign(cost: jnp.ndarray, gt_mask: jnp.ndarray,
         assigned = jnp.zeros((g,), bool).at[
             jnp.maximum(owner_, 0)].max(owner_ >= 0, mode="drop")
         bidder = gt_mask & ~assigned                 # (G,)
-        values = benefit - prices_[None, :]          # (G, n_p)
+        values = benefit2 - jnp.pad(
+            prices_, (0, benefit2.shape[1] - n_p))[None, :]
         top2, idx2 = jax.lax.top_k(values, 2)
         best_pred = idx2[:, 0]
         bid = prices_[best_pred] + (top2[:, 0] - top2[:, 1]) + eps
@@ -84,7 +93,19 @@ def auction_assign(cost: jnp.ndarray, gt_mask: jnp.ndarray,
     _, owner, _ = jax.lax.while_loop(
         cond, body, (jnp.zeros((n_p,), jnp.float32),
                      jnp.full((n_p,), -1, jnp.int32), jnp.int32(0)))
-    return owner
+
+    # greedy completion: any valid GT still unassigned (max_rounds hit)
+    # takes its best-benefit FREE pred, in GT-index order
+    def complete(gi, owner_):
+        assigned = jnp.zeros((g,), bool).at[
+            jnp.maximum(owner_, 0)].max(owner_ >= 0, mode="drop")
+        free = owner_ < 0
+        vals = jnp.where(free, benefit[gi], big_neg)
+        p = jnp.argmax(vals)
+        take = gt_mask[gi] & ~assigned[gi] & free[p]
+        return jnp.where(take, owner_.at[p].set(gi), owner_)
+
+    return jax.lax.fori_loop(0, g, complete, owner)
 
 
 def matching_cost(pred_boxes: jnp.ndarray,

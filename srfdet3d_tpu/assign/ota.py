@@ -164,13 +164,17 @@ def ota_assign(pred_boxes: jnp.ndarray,
     matching = matching.astype(jnp.float32)
     matching = _dedup_rows(matching, cost)
 
-    # guarantee every valid GT >= 1 pred (reference 297-319), bounded loop
+    # guarantee every valid GT >= 1 pred (reference 297-319), bounded loop.
+    # Bound g + n_p, not g: an iteration can make zero GT progress when
+    # dedup redirects the newly-added pred to an already-matched GT's
+    # column, but it then consumes a free pred — so every iteration either
+    # matches a GT (<= g times) or burns a pred (<= n_p times).
     def unmatched_cols(m):
         return gt_mask & (jnp.sum(m, axis=0) == 0)
 
     def cond(state):
         m, _, it = state
-        return jnp.any(unmatched_cols(m)) & (it < g)
+        return jnp.any(unmatched_cols(m)) & (it < g + n_p)
 
     def body(state):
         m, c, it = state

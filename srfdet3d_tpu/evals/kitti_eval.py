@@ -5,9 +5,13 @@ Replaces the mmdet3d kitti eval the reference reaches via
 
   - class-specific 3D IoU thresholds: Car 0.7, Pedestrian/Cyclist 0.5,
   - three difficulty buckets (easy/moderate/hard) from 2D bbox height /
-    occlusion / truncation when provided (all GTs fall into 'moderate'
-    when those fields are absent, e.g. synthetic data),
-  - AP_R40: precision interpolated at the 40 recall points 1/40 .. 1.
+    occlusion / truncation when provided (when those fields are absent —
+    e.g. synthetic data — every GT is valid in ALL three buckets, so the
+    three APs coincide),
+  - AP_R40: precision interpolated at the 40 recall points 1/40 .. 1,
+  - like the official eval, a detection prefers a VALID (in-bucket) GT
+    over an ignored harder-bucket one: ignored GTs only absorb detections
+    no valid GT claims (absorbed detections count as neither TP nor FP).
 
 Deviation from the official devkit, documented: matching is one global
 greedy pass over score-sorted detections (like the nuScenes protocol)
@@ -83,38 +87,54 @@ def kitti_eval(gts: List[Dict], preds: List[Dict],
     results = {}
     for cls in class_names:
         thr = IOU_THRESHOLDS.get(cls, 0.5)
+        # the IoU matrix depends only on (frame, class): compute it once
+        # and reuse it across the three difficulty buckets (one eager JAX
+        # dispatch per frame — tripling it tripled eval wall time)
+        frames = []
+        for g, p in zip(gts, preds):
+            g_sel = np.nonzero(g["labels_name"] == cls)[0]
+            p_sel = np.nonzero(p["labels_name"] == cls)[0]
+            p_order = p_sel[np.argsort(-p["scores"][p_sel])]
+            ious = _iou3d_np(p["boxes"][p_order], g["boxes"][g_sel]) \
+                if len(g_sel) and len(p_order) else \
+                np.zeros((len(p_order), len(g_sel)))
+            frames.append((g, p, g_sel, p_order, ious))
         for diff in DIFFICULTY:
             tp_flags, scores = [], []
             npos = 0
-            for g, p in zip(gts, preds):
-                g_sel = np.nonzero(g["labels_name"] == cls)[0]
+            for g, p, g_sel, p_order, ious in frames:
                 g_valid = _gt_difficulty_mask(g, diff)
                 g_count = g_sel[g_valid[g_sel]] if len(g_sel) else g_sel
                 npos += len(g_count)
-                p_sel = np.nonzero(p["labels_name"] == cls)[0]
-                if len(p_sel) == 0:
+                if len(p_order) == 0:
                     continue
-                p_order = p_sel[np.argsort(-p["scores"][p_sel])]
-                ious = _iou3d_np(p["boxes"][p_order], g["boxes"][g_sel]) \
-                    if len(g_sel) else np.zeros((len(p_order), 0))
                 taken = np.zeros(len(g_sel), bool)
-                for pi in range(len(p_order)):
-                    best_gi, best_iou = -1, thr
+
+                def best(pi, want_valid):
+                    bi, bv = -1, thr
                     for gi in range(len(g_sel)):
-                        if taken[gi]:
+                        if taken[gi] or \
+                                g_valid[g_sel[gi]] != want_valid:
                             continue
-                        if ious[pi, gi] >= best_iou:
-                            best_iou, best_gi = ious[pi, gi], gi
+                        if ious[pi, gi] >= bv:
+                            bv, bi = ious[pi, gi], gi
+                    return bi
+
+                for pi in range(len(p_order)):
+                    # valid GTs first: an ignored (harder-bucket) GT must
+                    # not steal a detection a valid GT can claim
+                    gi = best(pi, True)
+                    if gi >= 0:
+                        taken[gi] = True
+                        tp_flags.append(True)
+                        scores.append(float(p["scores"][p_order[pi]]))
+                        continue
+                    gi = best(pi, False)
+                    if gi >= 0:         # ignored GT absorbs the detection
+                        taken[gi] = True
+                        continue
+                    tp_flags.append(False)
                     scores.append(float(p["scores"][p_order[pi]]))
-                    if best_gi >= 0:
-                        taken[best_gi] = True
-                        # matches to ignored (harder) GTs count as neither
-                        if g_valid[g_sel[best_gi]]:
-                            tp_flags.append(True)
-                        else:
-                            scores.pop()
-                    else:
-                        tp_flags.append(False)
             results[f"{cls}_3d_{diff}"] = _ap_r40(
                 np.asarray(tp_flags, bool), np.asarray(scores), npos)
     for diff in DIFFICULTY:

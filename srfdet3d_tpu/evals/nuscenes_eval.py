@@ -178,8 +178,9 @@ def _filter_by_range(frame: Dict, class_ranges: Dict[str, float]) -> Dict:
     if len(boxes) == 0:
         return frame
     dist = np.hypot(boxes[:, 0], boxes[:, 1])
+    # strict <, matching devkit filter_eval_boxes (ego_dist < max_dist)
     keep = np.array([
-        d <= class_ranges.get(str(n), 50.0) for d, n in zip(dist, names)])
+        d < class_ranges.get(str(n), 50.0) for d, n in zip(dist, names)])
     out = {k: (np.asarray(v)[keep] if k in
                ("boxes", "scores", "labels_name", "attrs") and
                v is not None else v) for k, v in frame.items()}

@@ -8,7 +8,10 @@ reference shells out to (README.md:72-93).  Protocol:
   - LEVEL_2 = all GTs; LEVEL_1 = GTs with > 5 lidar points (and not marked
     difficulty 2),
   - AP = 101-point interpolated PR area; APH weights each TP by heading
-    accuracy (1 - |Δyaw_wrapped| / pi).
+    accuracy (1 - |Δyaw_wrapped| / pi) on BOTH axes — precision
+    Σh / (tp + fp) and recall Σh / npos — matching the official
+    compute_detection_metrics semantics (a 90°-heading detector halves
+    recall too, not just precision).
 """
 
 from __future__ import annotations
@@ -38,7 +41,7 @@ def _pr_area(weights: np.ndarray, is_tp: np.ndarray, scores: np.ndarray,
     tp_w = np.cumsum(np.where(is_tp[order], weights[order], 0.0))
     fp = np.cumsum(~is_tp[order]).astype(float)
     tp = np.cumsum(is_tp[order]).astype(float)
-    rec = tp / npos
+    rec = tp_w / npos                 # heading-weighted recall (APH)
     prec_w = tp_w / np.maximum(tp + fp, 1e-9)
     rec_i = np.linspace(0, 1, 101)
     prec_i = np.interp(rec_i, rec, prec_w, right=0.0)
@@ -60,11 +63,24 @@ def waymo_eval(gts: List[Dict], preds: List[Dict],
     out = {}
     for cls in class_names:
         thr = IOU_THRESHOLDS.get(cls, 0.5)
+        # IoU depends only on (frame, class) — compute once, reuse for
+        # both levels (one eager JAX dispatch per frame)
+        frames = []
+        for g, p in zip(gts, preds):
+            g_sel = np.nonzero(g["labels_name"] == cls)[0]
+            p_sel = np.nonzero(p["labels_name"] == cls)[0]
+            p_order = p_sel[np.argsort(-p["scores"][p_sel])]
+            if len(g_sel) and len(p_order):
+                ious = np.asarray(iou_3d(
+                    jnp.asarray(p["boxes"][p_order][:, :7]),
+                    jnp.asarray(g["boxes"][g_sel][:, :7])))
+            else:
+                ious = np.zeros((len(p_order), len(g_sel)))
+            frames.append((g, p, g_sel, p_order, ious))
         for level in (1, 2):
             is_tp, weights, scores = [], [], []
             npos = 0
-            for g, p in zip(gts, preds):
-                g_sel = np.nonzero(g["labels_name"] == cls)[0]
+            for g, p, g_sel, p_order, ious in frames:
                 npts = np.asarray(g.get("num_points",
                                         np.full(len(g["boxes"]), 100)))
                 diff = np.asarray(g.get("difficulty",
@@ -74,16 +90,8 @@ def waymo_eval(gts: List[Dict], preds: List[Dict],
                 else:
                     lvl_ok = np.ones(len(g["boxes"]), bool)
                 npos += int(lvl_ok[g_sel].sum()) if len(g_sel) else 0
-                p_sel = np.nonzero(p["labels_name"] == cls)[0]
-                if len(p_sel) == 0:
+                if len(p_order) == 0:
                     continue
-                p_order = p_sel[np.argsort(-p["scores"][p_sel])]
-                if len(g_sel):
-                    ious = np.asarray(iou_3d(
-                        jnp.asarray(p["boxes"][p_order][:, :7]),
-                        jnp.asarray(g["boxes"][g_sel][:, :7])))
-                else:
-                    ious = np.zeros((len(p_order), 0))
                 taken = np.zeros(len(g_sel), bool)
                 for pi in range(len(p_order)):
                     best_gi, best_iou = -1, thr

@@ -34,3 +34,25 @@ def test_auction_with_padded_gts():
     owner = np.asarray(auction_assign(jnp.asarray(cost), jnp.asarray(mask)))
     assigned = owner[owner >= 0]
     assert set(assigned) == {0, 1, 2, 3}
+
+
+def test_auction_single_pred_column():
+    """n_p == 1 must not crash top_k(_, 2) (padded big-neg column)."""
+    cost = jnp.asarray(np.array([[3.0, 1.0, 2.0]], np.float32))  # (1, 3)
+    mask = jnp.asarray(np.array([True, True, True]))
+    owner = np.asarray(auction_assign(cost, mask))
+    assert owner.shape == (1,)
+    assert owner[0] == 1          # the cheapest gt wins the only pred
+
+
+def test_auction_budget_exhaustion_still_assigns():
+    """Near-tied costs can exceed the round budget; the greedy completion
+    must still give every valid GT an owner (never silently unassigned)."""
+    rng = np.random.default_rng(7)
+    g = 12
+    base = rng.uniform(0, 1e-6, (g,))              # near-identical columns
+    cost = np.tile(base[None, :], (g, 1)).astype(np.float32)
+    owner = np.asarray(auction_assign(jnp.asarray(cost),
+                                      jnp.ones(g, bool), max_rounds=2))
+    assigned = owner[owner >= 0]
+    assert len(np.unique(assigned)) == g           # all GTs assigned

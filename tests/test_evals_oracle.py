@@ -87,13 +87,19 @@ def test_waymo_aph_golden():
     GT1, P2 (.8) far FP.
 
     Hand derivation (101-pt interpolated PR area; APH weights TPs by
-    1 - |dyaw|/pi):
+    h = 1 - |dyaw|/pi on BOTH axes: recall Σh/npos, precision Σh/(tp+fp),
+    the official compute_detection_metrics convention):
       w = 1 - 0.1/pi = 0.96816901...
-      L1 (npos 1): rec [1,1], weighted prec [w, w/2]; interp gives w at
-        r<1, w/2 at r=1 -> APH_L1 = w*100.5/101 = 0.9633760955;
-        AP_L1 = 100.5/101 = 0.9950495050.
-      L2 (npos 2): rec [.5,.5]; interp w at r<.5, w/2 at r=.5, 0 beyond
-        -> APH_L2 = (50*w + w/2)/101 = w/2 = 0.4840845057; AP_L2 = 0.5.
+      AP  L1 (npos 1): rec [1,1], prec [1, 1/2]; grid r<1 -> 1 (100 pts),
+        r=1 -> right-most duplicate 1/2 -> AP_L1 = 100.5/101.
+      APH L1: rec [w, w] (weighted), prec [w, w/2]; grid r<w -> w
+        (97 pts: 0.00..0.96), r>w -> 0 -> APH_L1 = 97*w/101
+        = 0.9298256841...
+      AP  L2 (npos 2): rec [.5,.5], prec [1, .5]; 50 pts of 1 + the
+        duplicate .5 at r=.5 -> AP_L2 = 50.5/101 = 0.5.
+      APH L2: rec [w/2, w/2] = [.48408..], prec [w, w/2]; grid r<w/2 -> w
+        (49 pts: 0.00..0.48), beyond -> 0 -> APH_L2 = 49*w/101
+        = 0.4697057579...
     """
     gt = {"boxes": np.array([[0, 0, 0, 1.8, 4.2, 1.5, 0.0],
                              [10, 0, 0, 1.8, 4.2, 1.5, 0.0]], float),
@@ -106,7 +112,32 @@ def test_waymo_aph_golden():
     out = waymo_eval([gt], [pred], class_names=("Car",))
     w = 1 - 0.1 / np.pi
     np.testing.assert_allclose(out["Car_AP_L1"], 100.5 / 101, atol=1e-9)
-    np.testing.assert_allclose(out["Car_APH_L1"], w * 100.5 / 101,
+    np.testing.assert_allclose(out["Car_APH_L1"], 97 * w / 101, atol=1e-9)
+    np.testing.assert_allclose(out["Car_APH_L1"], 0.9298256841981903,
                                atol=1e-9)
     np.testing.assert_allclose(out["Car_AP_L2"], 0.5, atol=1e-9)
-    np.testing.assert_allclose(out["Car_APH_L2"], w * 0.5, atol=1e-9)
+    np.testing.assert_allclose(out["Car_APH_L2"], 49 * w / 101, atol=1e-9)
+    np.testing.assert_allclose(out["Car_APH_L2"], 0.469705757997024,
+                               atol=1e-9)
+
+
+def test_kitti_valid_gt_not_stolen_by_ignored():
+    """Easy bucket: one detection overlaps a valid easy GT (IoU ~0.72) and
+    a harder ignored GT slightly more (~0.74).  The official eval assigns
+    valid GTs first, so the detection must be a TP for the easy GT, not
+    absorbed by the ignored one (AP 1.0, not 0)."""
+    # identical boxes shifted along x; heights/occlusion make GT2 hard-only
+    gt = {"boxes": np.array([[0.0, 0, 0, 2.0, 4.0, 1.5, 0.0],
+                             [0.55, 0, 0, 2.0, 4.0, 1.5, 0.0]], float),
+          "labels_name": np.array(["Car", "Car"]),
+          "bbox_heights": np.array([50.0, 30.0]),
+          "occluded": np.array([0, 2]),
+          "truncated": np.array([0.0, 0.4])}
+    # detection sits between them, slightly closer to the ignored GT
+    pred = {"boxes": np.array([[0.30, 0, 0, 2.0, 4.0, 1.5, 0.0]], float),
+            "labels_name": np.array(["Car"]),
+            "scores": np.array([0.9])}
+    out = kitti_eval([gt], [pred], class_names=("Car",))
+    np.testing.assert_allclose(out["Car_3d_easy"], 1.0, atol=1e-9)
+    # hard bucket: both GTs valid, one detection -> recall caps at 0.5
+    assert out["Car_3d_hard"] < 1.0
