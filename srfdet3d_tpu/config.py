@@ -141,6 +141,29 @@ class OptimConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class AugConfig:
+    """Train-time geometric augmentation (reference train_pipeline blocks).
+
+    Defaults mirror the LiDAR-only nuScenes pipeline
+    (srfdet_voxel_nusc_L.py:247-256: GlobalRotScaleTrans rot ±0.785,
+    scale 0.9-1.1, trans 0.5; RandomFlip3D h/v 0.5).  The LC fine-tune
+    pipelines DROP the geometric augs (srfdet_voxel_nusc_LC.py:226-251 has
+    none): rotating/scaling/flipping the lidar frame without compensating
+    lidar2img would project boxes onto the wrong image regions."""
+    rot_scale_trans: bool = True
+    rot_range: Tuple[float, float] = (-0.785, 0.785)
+    scale_range: Tuple[float, float] = (0.9, 1.1)
+    trans_std: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    flip_horizontal: float = 0.5
+    flip_vertical: float = 0.5
+
+    @staticmethod
+    def none() -> "AugConfig":
+        return AugConfig(rot_scale_trans=False, flip_horizontal=0.0,
+                         flip_vertical=0.0)
+
+
+@dataclasses.dataclass(frozen=True)
 class SRFDetConfig:
     """One experiment = one reference config file."""
     name: str = "srfdet_voxel_nusc_L"
@@ -174,6 +197,7 @@ class SRFDetConfig:
     loss: LossConfig = LossConfig()
     test: TestConfig = TestConfig()
     optim: OptimConfig = OptimConfig()
+    aug: AugConfig = AugConfig()
 
     @property
     def num_classes(self) -> int:

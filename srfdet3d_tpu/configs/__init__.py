@@ -13,9 +13,9 @@ from __future__ import annotations
 import dataclasses
 
 from ..assign.ota import OTAConfig
-from ..config import (BackboneConfig, HeadConfig, ImgBranchConfig,
-                      MiddleConfig, OptimConfig, SRFDetConfig, TestConfig,
-                      VFEConfig)
+from ..config import (AugConfig, BackboneConfig, HeadConfig,
+                      ImgBranchConfig, MiddleConfig, OptimConfig,
+                      SRFDetConfig, TestConfig, VFEConfig)
 from ..models.losses import LossConfig
 
 NUS_CLASSES = ("car", "truck", "construction_vehicle", "bus", "trailer",
@@ -48,7 +48,10 @@ def srfdet_voxel_nusc_LC() -> SRFDetConfig:
         use_img=True,
         img=ImgBranchConfig(backbone="vovnet-99", num_cams=6),
         head=dataclasses.replace(base.head, img_roi_cap=320),
-        optim=OptimConfig(freeze_lidar=True))
+        optim=OptimConfig(freeze_lidar=True),
+        # LC fine-tune drops geometric lidar augs (reference
+        # srfdet_voxel_nusc_LC.py:226-251): no lidar2img compensation
+        aug=AugConfig.none())
 
 
 def srfdet_voxel_r50_LC() -> SRFDetConfig:
@@ -87,7 +90,7 @@ def srfdet_pillar_r50_LC() -> SRFDetConfig:
     return _pillar_base().replace(
         name="srfdet_pillar_r50_LC", use_img=True,
         img=ImgBranchConfig(backbone="resnet-50", num_cams=6),
-        optim=OptimConfig(freeze_lidar=True))
+        optim=OptimConfig(freeze_lidar=True), aug=AugConfig.none())
 
 
 def srfdet_pillar_v299_LC() -> SRFDetConfig:
@@ -95,7 +98,7 @@ def srfdet_pillar_v299_LC() -> SRFDetConfig:
     return _pillar_base().replace(
         name="srfdet_pillar_v299_LC", use_img=True,
         img=ImgBranchConfig(backbone="vovnet-99", num_cams=6),
-        optim=OptimConfig(freeze_lidar=True))
+        optim=OptimConfig(freeze_lidar=True), aug=AugConfig.none())
 
 
 def _kitti_base() -> SRFDetConfig:
@@ -125,7 +128,11 @@ def _kitti_base() -> SRFDetConfig:
         ota=OTAConfig(pc_range=pc),
         loss=LossConfig(code_weights=(1.0,) * 8, num_classes=3),
         test=TestConfig(post_center_range=(0.0, -50.0, -5.0, 80.4, 50.0,
-                                           5.0)))
+                                           5.0)),
+        # reference kitti_L.py:252-256: horizontal flip only, scale
+        # 0.95-1.05, no translation noise
+        aug=AugConfig(scale_range=(0.95, 1.05), trans_std=(0.0, 0.0, 0.0),
+                      flip_vertical=0.0))
 
 
 def srfdet_voxel_kitti_L() -> SRFDetConfig:
@@ -139,7 +146,11 @@ def srfdet_voxel_kitti_LC() -> SRFDetConfig:
         name="srfdet_voxel_kitti_LC", use_img=True,
         img=ImgBranchConfig(backbone="vovnet-99", num_cams=1,
                             img_shape=(384, 1280)),
-        optim=OptimConfig(freeze_lidar=True))
+        optim=OptimConfig(freeze_lidar=True),
+        # reference kitti LC keeps a sync_2d horizontal flip (image
+        # flipped with the boxes); we drop it instead — documented
+        # train-aug deviation, projection consistency preserved
+        aug=AugConfig.none())
 
 
 def _waymo_base(name: str) -> SRFDetConfig:
@@ -162,7 +173,11 @@ def _waymo_base(name: str) -> SRFDetConfig:
         ota=OTAConfig(pc_range=pc),
         loss=LossConfig(code_weights=(1.0,) * 8, num_classes=3),
         test=TestConfig(post_center_range=(-80.0, -80.0, -10.0, 80.0, 80.0,
-                                           10.0)))
+                                           10.0)),
+        # reference waymo_L.py:220-229: flips h/v, scale 0.95-1.05, no
+        # translation noise
+        aug=AugConfig(scale_range=(0.95, 1.05),
+                      trans_std=(0.0, 0.0, 0.0)))
 
 
 def srfdet_dvoxel_waymo_L() -> SRFDetConfig:
@@ -175,7 +190,7 @@ def srfdet_dvoxel_waymo_LC() -> SRFDetConfig:
     return _waymo_base("srfdet_dvoxel_waymo_LC").replace(
         use_img=True,
         img=ImgBranchConfig(backbone="resnet-101", num_cams=5),
-        optim=OptimConfig(freeze_lidar=True))
+        optim=OptimConfig(freeze_lidar=True), aug=AugConfig.none())
 
 
 def srfdet_dvoxel_nusc_L() -> SRFDetConfig:

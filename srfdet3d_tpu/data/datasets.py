@@ -160,11 +160,19 @@ class SRFDetDataset:
             if self.db_sampler is not None:
                 points, boxes, labels = self.db_sampler.apply(
                     points, boxes, labels, self.rng)
-            points, boxes = T.global_rot_scale_trans(
-                points, boxes, self.rng,
-                rot_range=(-0.785, 0.785), scale_range=(0.9, 1.1),
-                trans_std=(0.5, 0.5, 0.5))
-            points, boxes, _ = T.random_flip_3d(points, boxes, self.rng)
+            # geometric augs are config-gated: the reference's LC pipelines
+            # drop them (no lidar2img compensation exists — see AugConfig)
+            if cfg.aug.rot_scale_trans:
+                points, boxes = T.global_rot_scale_trans(
+                    points, boxes, self.rng,
+                    rot_range=tuple(cfg.aug.rot_range),
+                    scale_range=tuple(cfg.aug.scale_range),
+                    trans_std=tuple(cfg.aug.trans_std))
+            if cfg.aug.flip_horizontal or cfg.aug.flip_vertical:
+                points, boxes, _ = T.random_flip_3d(
+                    points, boxes, self.rng,
+                    flip_ratio_horizontal=cfg.aug.flip_horizontal,
+                    flip_ratio_vertical=cfg.aug.flip_vertical)
             boxes, labels = T.object_range_filter(boxes, labels,
                                                   cfg.pc_range)
             boxes, labels = T.object_name_filter(boxes, labels,

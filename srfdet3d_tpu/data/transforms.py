@@ -64,9 +64,17 @@ def multi_sweep_aggregate(points: np.ndarray,
     microsecond timestamp, mmdet3d convention).  Train mode samples
     sweeps_num without replacement; test mode takes the first sweeps_num.
     """
+    use_dim = list(use_dim)
+    if points.shape[1] != len(use_dim):
+        raise ValueError(
+            f"key points have {points.shape[1]} dims, use_dim selects "
+            f"{len(use_dim)} — the caller must load the key frame with the "
+            f"same use_dim")
     points = points.copy()
-    if points.shape[1] > 4:
-        points[:, 4] = 0.0
+    # the time-lag channel is RAW column 4; locate it in the use_dim slice
+    tpos = use_dim.index(4) if 4 in use_dim else None
+    if tpos is not None:
+        points[:, tpos] = 0.0
     out = [points]
     if len(sweeps) > 0:
         if len(sweeps) <= sweeps_num:
@@ -86,9 +94,11 @@ def multi_sweep_aggregate(points: np.ndarray,
                 sweep["sensor2lidar_rotation"]).T + np.asarray(
                 sweep["sensor2lidar_translation"])
             pts[:, :3] = xyz
-            if pts.shape[1] > 4:
-                pts[:, 4] = ts - sweep.get("timestamp", 0.0) * 1e-6
-            out.append(pts[:, list(range(points.shape[1]))])
+            if load_dim > 4:
+                # KeyError on a malformed sweep like mmdet3d — a silent
+                # default would poison the lag channel with ~1.7e9 s
+                pts[:, 4] = ts - sweep["timestamp"] * 1e-6
+            out.append(pts[:, use_dim])
     return np.concatenate(out, axis=0)
 
 
@@ -295,8 +305,14 @@ class DBSampler:
                 new_boxes.append(box)
                 new_labels.append(ci)
                 new_points.append(pts)
-                all_boxes = np.concatenate(
-                    [all_boxes, box[None, :all_boxes.shape[1]]], axis=0)
+                # pad narrower db boxes (7-dim) to the scene width (9-dim
+                # with velocities) — slicing alone crashes the concat when
+                # the db is narrower than the scene boxes
+                row = box[None, :all_boxes.shape[1]]
+                if row.shape[1] < all_boxes.shape[1]:
+                    row = np.pad(
+                        row, ((0, 0), (0, all_boxes.shape[1] - row.shape[1])))
+                all_boxes = np.concatenate([all_boxes, row], axis=0)
         if not new_boxes:
             return (np.zeros((0, all_boxes.shape[1]), np.float32),
                     np.zeros((0,), np.int64),

@@ -215,7 +215,7 @@ class SRFDet(nn.Module):
         pred_logits, pred_boxes = self(batch, train=False)
         t = self.cfg.test
         return decode_boxes(
-            pred_logits[-1], pred_boxes[-1], self.cfg.pc_range,
+            pred_logits[-1], pred_boxes[-1],
             use_nms=t.use_nms, nms_thr=t.nms_thr, score_thr=t.score_thr,
             max_per_img=t.max_per_img,
             post_center_range=t.post_center_range)

@@ -491,6 +491,11 @@ class SRFDetHead(nn.Module):
                                (n_emb, self.feat_channels_lidar), jnp.float32)
 
         if self.with_dpg:
+            if point_feats is None:
+                # the DPG staircase is built over the BEV pyramid; no
+                # image-only config exists in the reference either
+                raise ValueError("with_dpg=True requires point_feats "
+                                 "(image-only DPG is not supported)")
             w = self._dpg_weights(point_feats, "lidar", 1024, train)
             if self.use_img:
                 # per-camera staircase then sum over cameras; resized to a
@@ -598,7 +603,6 @@ class SRFDetHead(nn.Module):
 
 def decode_boxes(pred_logits: jnp.ndarray,
                  pred_boxes: jnp.ndarray,
-                 pc_range,
                  use_nms: bool = True,
                  nms_thr: float = 0.4,
                  score_thr: float = 0.1,

@@ -56,8 +56,8 @@ class PFNLayer(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, point_mask, point_voxel_idx, num_points,
-                 v_cap, train=False):
+    def __call__(self, feats, point_mask, point_voxel_idx, v_cap,
+                 train=False):
         units = self.out_channels if self.last_layer else self.out_channels // 2
         x = nn.Dense(units, use_bias=False, dtype=self.dtype)(feats)
         x = MaskedBatchNorm(dtype=self.dtype)(x, point_mask, train=train)
@@ -115,7 +115,7 @@ class PillarFeatureNet(nn.Module):
         for i, ch in enumerate(self.feat_channels):
             pooled, x = PFNLayer(ch, last_layer=(i == n - 1), mode=self.mode,
                                  dtype=self.dtype)(
-                x, mask, vox.point_voxel_idx, vox.num_points, v_cap,
+                x, mask, vox.point_voxel_idx, v_cap,
                 train=train)
         return pooled  # (V_cap, feat_channels[-1])
 

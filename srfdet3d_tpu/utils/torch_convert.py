@@ -152,20 +152,17 @@ def convert_sparse_encoder(state: Dict, cfg, params: Dict, stats: Dict,
     spconv_pair(f"{tp}.conv_input", "conv_input")
     mc = cfg.middle
     n_stages = len(mc.encoder_channels)
-    ds = 0
     for i, blocks in enumerate(mc.encoder_channels):
         for j in range(len(blocks)):
             tmod = f"{tp}.encoder_layers.encoder_layer{i + 1}.{j}"
             if mc.block_type == "conv_module":
                 if i != 0 and j == 0:
                     spconv_pair(tmod, f"down{i}")
-                    ds += 1
                 else:
                     spconv_pair(tmod, f"subm{i}_{j}")
             else:  # basicblock
                 if j == len(blocks) - 1 and i != n_stages - 1:
                     spconv_pair(tmod, f"down{i}")
-                    ds += 1
                 else:
                     for ci in (1, 2):
                         _set(params, (tp, f"bb{i}_{j}_conv{ci}", "kernel"),

@@ -91,3 +91,44 @@ def test_collate_batch():
     ds = SyntheticDataset(cfg, length=2)
     batch = collate_batch([ds[0], ds[1]])
     assert batch["points"].shape == (2, cfg.points_cap, cfg.points_dim)
+
+
+def test_lc_configs_disable_geometric_augs():
+    """The reference's LC fine-tune pipelines carry NO geometric lidar augs
+    (srfdet_voxel_nusc_LC.py:226-251) — rotating/flipping the lidar frame
+    without compensating lidar2img would project boxes onto the wrong
+    image regions.  Every use_img config must ship aug-disabled."""
+    from srfdet3d_tpu.configs import CONFIGS, get_config
+    for name in CONFIGS:
+        cfg = get_config(name)
+        if cfg.use_img:
+            assert not cfg.aug.rot_scale_trans, name
+            assert cfg.aug.flip_horizontal == 0.0, name
+            assert cfg.aug.flip_vertical == 0.0, name
+        elif name.startswith("srfdet"):
+            assert cfg.aug.rot_scale_trans, name
+
+
+def test_multi_sweep_use_dim_subset(tmp_path):
+    """use_dim=(0,1,2,4): the sweep's lag (raw column 4) must land in the
+    sliced time column and intensity (raw 3) must be dropped."""
+    import os
+    from srfdet3d_tpu.data.transforms import multi_sweep_aggregate
+    raw = np.zeros((8, 5), np.float32)
+    raw[:, :3] = np.arange(24).reshape(8, 3) + 10.0   # away from origin
+    raw[:, 3] = 7.0                                   # intensity marker
+    path = os.path.join(tmp_path, "sweep.bin")
+    raw.tofile(path)
+    sweep = {"data_path": path,
+             "sensor2lidar_rotation": np.eye(3),
+             "sensor2lidar_translation": np.zeros(3),
+             "timestamp": 1_000_000.0}                # 1 s
+    key = np.zeros((4, 4), np.float32)                # already use_dim-cut
+    key[:, :3] = 100.0
+    out = multi_sweep_aggregate(
+        key, [sweep], sweeps_num=1, use_dim=(0, 1, 2, 4),
+        test_mode=True, load_dim=5, key_timestamp_us=3_000_000.0)
+    assert out.shape == (12, 4)
+    np.testing.assert_allclose(out[:4, 3], 0.0)       # key lag zeroed
+    np.testing.assert_allclose(out[4:, 3], 2.0)       # 3s - 1s lag
+    assert not np.any(out[4:, 3] == 7.0)              # intensity dropped

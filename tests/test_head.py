@@ -114,7 +114,7 @@ def test_decode_boxes_static_shapes():
     boxes[..., 3:6] = np.log(rng.uniform(0.5, 3.0, (B, NP, 3)))
     yaw = rng.uniform(-np.pi, np.pi, (B, NP))
     boxes[..., 6], boxes[..., 7] = np.sin(yaw), np.cos(yaw)
-    out = decode_boxes(logits, jnp.asarray(boxes), PC, max_per_img=8,
+    out = decode_boxes(logits, jnp.asarray(boxes), max_per_img=8,
                        score_thr=0.01)
     assert out["boxes"].shape == (B, 8, 9)
     assert out["scores"].shape == (B, 8)

@@ -68,7 +68,7 @@ def test_head_overfits_and_decodes_planted_boxes():
 
     lg, bx = head.apply({"params": params, "batch_stats": batch_stats},
                         feats, train=False)
-    out = decode_boxes(lg[-1], bx[-1], PC, max_per_img=6, score_thr=0.05)
+    out = decode_boxes(lg[-1], bx[-1], max_per_img=6, score_thr=0.05)
     v = np.asarray(out["valid"][0])
     assert v.any(), "no detections after overfit"
     boxes = np.asarray(out["boxes"][0])[v]

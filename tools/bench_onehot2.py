@@ -113,8 +113,7 @@ def main():
     from srfdet3d_tpu.models.head import decode_boxes
     logits = jnp.asarray(rng.normal(size=(1, 900, 10)).astype(np.float32))
     boxes = jnp.asarray(rng.normal(size=(1, 900, 10)).astype(np.float32))
-    pc = (-54.0, -54.0, -5.0, 54.0, 54.0, 3.0)
-    dec = jax.jit(lambda l, b: decode_boxes(l, b, pc))
+    dec = jax.jit(lambda l, b: decode_boxes(l, b))
 
     def run():
         r = dec(logits, boxes)

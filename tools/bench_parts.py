@@ -128,7 +128,7 @@ def main():
 
     t = cfg.test
     dec_fn = jax.jit(lambda o: decode_boxes(
-        o[0][-1], o[1][-1], cfg.pc_range, use_nms=t.use_nms,
+        o[0][-1], o[1][-1], use_nms=t.use_nms,
         nms_thr=t.nms_thr, score_thr=t.score_thr,
         max_per_img=t.max_per_img,
         post_center_range=t.post_center_range))
