@@ -157,6 +157,12 @@ class SRFDet(nn.Module):
             depth = int(icfg.backbone.split("-")[1])
             stages = ResNet(depth, dtype=self.dtype,
                             name="img_backbone")(x, train=bb_train)
+        if train and self.cfg.optim.freeze_img:
+            # reference freeze_img freezes ONLY the backbone (srfdet.py:
+            # 83-89; the img_neck block is commented out there) — cutting
+            # the gradient between backbone and neck keeps the neck
+            # training while the backward skips the backbone entirely
+            stages = tuple(jax.lax.stop_gradient(s) for s in stages)
         feats = FPN(out_channels=icfg.neck_out_channels,
                     num_outs=icfg.neck_num_outs,
                     relu_before_extra_convs=icfg.relu_before_extra_convs,
@@ -167,8 +173,19 @@ class SRFDet(nn.Module):
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False):
         cfg = self.cfg
+        # freeze_lidar (LC staged fine-tune): the frozen branch runs in
+        # eval mode — BN normalizes with the pretrained running stats
+        # exactly like the reference's fix_bn (tools/train.py:245-253) —
+        # and its features are stop_gradient'ed so the backward pass skips
+        # the whole lidar stack (the reference gets that from
+        # requires_grad=False; optax.set_to_zero alone still pays the
+        # full backward FLOPs/memory)
+        pts_train = train and not cfg.optim.freeze_lidar
         point_feats = self.extract_point_features(
-            batch["points"], batch["points_mask"], train)
+            batch["points"], batch["points_mask"], pts_train)
+        if train and cfg.optim.freeze_lidar:
+            point_feats = tuple(
+                jax.lax.stop_gradient(f) for f in point_feats)
         img_feats = None
         lidar2img = None
         if cfg.use_img and "images" in batch:

@@ -52,10 +52,12 @@ class FPN(nn.Module):
                                                           train=train)
             for i in range(num_ins)
         ]
-        # extra levels from the last output (add_extra_convs='on_output')
+        # extra levels from the last output (add_extra_convs='on_output').
+        # mmdet applies relu_before_extra_convs only from the SECOND extra
+        # conv on — the first consumes outs[-1] raw (mmdet fpn.py forward)
         for i in range(self.num_outs - num_ins):
             src = outs[-1]
-            if self.relu_before_extra_convs:
+            if self.relu_before_extra_convs and i > 0:
                 src = nn.relu(src)
             outs.append(
                 ConvBNReLU(self.out_channels, kernel=3, stride=2, padding=1,

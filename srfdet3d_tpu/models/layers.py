@@ -17,6 +17,7 @@ from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -50,13 +51,16 @@ class MaskedBatchNorm(nn.Module):
                 var = jnp.sum(m * (xf - mean) ** 2,
                               axis=tuple(range(x.ndim - 1))) / n
             else:
+                n = jnp.float32(np.prod(x.shape[:-1]))
                 mean = jnp.mean(xf, axis=tuple(range(x.ndim - 1)))
                 var = jnp.var(xf, axis=tuple(range(x.ndim - 1)))
             if not self.is_initializing():
+                # torch stores the UNBIASED variance in running_var
+                var_u = var * (n / jnp.maximum(n - 1.0, 1.0))
                 ra_mean.value = (1 - self.momentum) * ra_mean.value + \
                     self.momentum * mean
                 ra_var.value = (1 - self.momentum) * ra_var.value + \
-                    self.momentum * var
+                    self.momentum * var_u
         else:
             mean, var = ra_mean.value, ra_var.value
 

@@ -98,9 +98,12 @@ def srfdet_losses(pred_logits: jnp.ndarray,
     num_layers = pred_logits.shape[0]
     losses: Dict[str, jnp.ndarray] = {}
     for layer in range(num_layers):
-        # unit-increasing k: aux layer i uses head_idx i+1, the last layer
-        # uses the assigner's num_heads (reference srfdet_head.py:1066,1084)
-        head_idx = ota_cfg.num_heads if layer == num_layers - 1 else layer + 1
+        # unit-increasing k: aux layer i uses head_idx i+1; the last layer
+        # uses the HEAD's layer count (reference srfdet_head.py:1067 passes
+        # self.num_heads — the DECODER's 5, not the assigner's own
+        # num_heads=6, so the top layer keeps a -0.5 offset).  Under deep
+        # supervision num_layers == head.num_heads, giving exactly that.
+        head_idx = num_layers if layer == num_layers - 1 else layer + 1
         if loss_cfg.assigner == "ota":
             matched = ota_assign_batch(
                 pred_boxes[layer], pred_logits[layer], gt_boxes, gt_labels,

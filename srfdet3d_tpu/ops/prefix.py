@@ -16,16 +16,7 @@ _CHUNK = 512
 
 def prefix_count(flags: jnp.ndarray) -> jnp.ndarray:
     """(L,) bool -> (L,) int32: (inclusive count of True up to i) - 1."""
-    l = flags.shape[0]
-    pad = (-l) % _CHUNK
-    f = jnp.pad(flags.astype(jnp.float32), (0, pad)).reshape(-1, _CHUNK)
-    # tri[l, j] = 1 where l <= j  (inclusive scan)
-    tri = jnp.triu(jnp.ones((_CHUNK, _CHUNK), jnp.float32))
-    within = jnp.dot(f, tri, preferred_element_type=jnp.float32)
-    row_tot = within[:, -1]
-    base = jnp.cumsum(row_tot) - row_tot              # tiny cross-row scan
-    pos = within + base[:, None] - 1.0
-    return pos.reshape(-1)[:l].astype(jnp.int32)
+    return prefix_sum(flags.astype(jnp.int32)) - 1
 
 
 def prefix_sum(vals: jnp.ndarray) -> jnp.ndarray:

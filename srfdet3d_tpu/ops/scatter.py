@@ -20,10 +20,13 @@ def segment_mean(data: jnp.ndarray,
     Out-of-range ids (e.g. ``num_segments`` used as the invalid marker) are
     dropped.
     """
-    total = jax.ops.segment_sum(data, segment_ids, num_segments)
+    # accumulate in f32: a bf16 count saturates at 256 rows (256 + 1
+    # rounds back to 256) and a bf16 sum loses low bits on dense voxels
+    total = jax.ops.segment_sum(data.astype(jnp.float32), segment_ids,
+                                num_segments)
     count = jax.ops.segment_sum(
-        jnp.ones(data.shape[:1], dtype=data.dtype), segment_ids, num_segments)
-    return total / jnp.maximum(count, 1.0)[:, None]
+        jnp.ones(data.shape[:1], jnp.float32), segment_ids, num_segments)
+    return (total / jnp.maximum(count, 1.0)[:, None]).astype(data.dtype)
 
 
 def segment_max(data: jnp.ndarray,

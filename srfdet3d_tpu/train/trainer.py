@@ -38,16 +38,25 @@ class TrainState(struct.PyTreeNode):
 
 
 def make_lr_schedule(optim, total_steps: int) -> optax.Schedule:
-    """Linear warmup -> cosine anneal (mmcv CosineAnnealingLrUpdaterHook)."""
+    """Linear warmup -> cosine anneal (mmcv CosineAnnealingLrUpdaterHook).
+
+    mmcv evaluates the cosine at the ABSOLUTE iteration over max_iters
+    (warmup only overrides the early values), so after warmup the lr
+    resumes slightly below base lr rather than restarting the cosine —
+    matched here for reproducible reference training curves."""
     warmup = optax.linear_schedule(
         init_value=optim.lr * optim.warmup_ratio,
         end_value=optim.lr,
         transition_steps=optim.warmup_iters)
-    cosine = optax.cosine_decay_schedule(
-        init_value=optim.lr,
-        decay_steps=max(total_steps - optim.warmup_iters, 1),
-        alpha=optim.min_lr_ratio)
-    return optax.join_schedules([warmup, cosine], [optim.warmup_iters])
+    min_lr = optim.lr * optim.min_lr_ratio
+
+    def schedule(count):
+        frac = jnp.clip(count / max(total_steps, 1), 0.0, 1.0)
+        cos = min_lr + (optim.lr - min_lr) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * frac))
+        return jnp.where(count < optim.warmup_iters, warmup(count), cos)
+
+    return schedule
 
 
 def freeze_mask(params, cfg: SRFDetConfig):
@@ -163,12 +172,22 @@ def make_train_step(model: SRFDet, tx: optax.GradientTransformation,
         (total, (losses, new_bs)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         # frozen branches keep their pretrained BN running stats
-        # (reference fix_bn in freeze_lidar_components, tools/train.py:245)
+        # (reference fix_bn in freeze_lidar_components, tools/train.py:245;
+        # the forward also runs them in eval mode — detector.py pts_train)
         if frozen_keys and new_bs:
             new_bs = dict(new_bs)
             for k in frozen_keys:
                 if k in state.batch_stats:
                     new_bs[k] = state.batch_stats[k]
+            # freeze_lidar also freezes the head's optional BEV encoder
+            # (reference train.py:229-234) — restore its nested stats
+            if cfg.optim.freeze_lidar and \
+                    "bbox_head" in state.batch_stats and \
+                    "lidar_encoder" in state.batch_stats["bbox_head"]:
+                bh = dict(new_bs.get("bbox_head", {}))
+                bh["lidar_encoder"] = \
+                    state.batch_stats["bbox_head"]["lidar_encoder"]
+                new_bs["bbox_head"] = bh
             new_bs = FrozenDict(new_bs)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

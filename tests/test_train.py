@@ -15,12 +15,20 @@ import __graft_entry__ as graft
 
 def test_lr_schedule_shape():
     cfg = tiny_test_config()
-    sched = make_lr_schedule(cfg.optim, total_steps=5000)
+    total = 5000
+    sched = make_lr_schedule(cfg.optim, total_steps=total)
     lr0 = float(sched(0))
     lr_warm = float(sched(cfg.optim.warmup_iters))
     lr_end = float(sched(4999))
     assert np.isclose(lr0, cfg.optim.lr * cfg.optim.warmup_ratio, rtol=1e-3)
-    assert np.isclose(lr_warm, cfg.optim.lr, rtol=1e-3)
+    # mmcv evaluates the cosine at the ABSOLUTE iteration over max_iters:
+    # right after warmup the lr sits on the cosine curve, not at base lr
+    lr = cfg.optim.lr
+    min_lr = lr * cfg.optim.min_lr_ratio
+    frac = cfg.optim.warmup_iters / total
+    want = min_lr + (lr - min_lr) * 0.5 * (1 + np.cos(np.pi * frac))
+    assert np.isclose(lr_warm, want, rtol=1e-4), (lr_warm, want)
+    assert lr_warm <= lr
     assert lr_end < cfg.optim.lr * 0.01
 
 
