@@ -40,14 +40,22 @@ class SRFDetDataset:
 
     def __init__(self, cfg: SRFDetConfig, info_path: str = "",
                  data_root: str = "", test_mode: bool = False,
+                 augment: Optional[bool] = None,
                  db_sampler: Optional[T.DBSampler] = None,
                  sweeps_num: int = 10, seed: int = 0):
+        """test_mode=True drops GT loading entirely (reference test
+        pipelines); augment controls the random train transforms
+        SEPARATELY (default: not test_mode) so evaluation can keep GTs
+        while running the deterministic protocol (augment=False)."""
         self.cfg = cfg
         self.data_root = data_root
         self.test_mode = test_mode
+        self.augment = (not test_mode) if augment is None else augment
         self.db_sampler = db_sampler
         self.sweeps_num = sweeps_num
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
+        # the train loop bumps this each epoch so per-index aug draws vary
+        self.epoch = 0
         self.infos: List[Dict] = []
         if info_path:
             with open(info_path, "rb") as f:
@@ -57,7 +65,10 @@ class SRFDetDataset:
                 self.metadata = data.get("metadata", {})
 
     # ---- per-dataset hooks -------------------------------------------------
-    def load_points(self, info: Dict) -> np.ndarray:
+    def load_points(self, info: Dict,
+                    rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        """rng: per-call generator when augmenting (random sweep choice);
+        None = deterministic (eval/test protocol)."""
         raise NotImplementedError
 
     def load_annotations(self, info: Dict):
@@ -152,27 +163,33 @@ class SRFDetDataset:
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         cfg = self.cfg
         info = self.infos[idx]
-        points = self.load_points(info)
+        # per-call generator: the loader maps __getitem__ over a thread
+        # pool and numpy Generators are NOT thread-safe — a shared one
+        # races its state (correlated aug draws, irreproducible runs)
+        rng = np.random.default_rng((self.seed, self.epoch, idx))
+        points = self.load_points(info, rng=rng if self.augment else None)
 
         sample: Dict[str, np.ndarray] = {}
         if not self.test_mode:
             boxes, labels = self.load_annotations(info)
-            if self.db_sampler is not None:
-                points, boxes, labels = self.db_sampler.apply(
-                    points, boxes, labels, self.rng)
-            # geometric augs are config-gated: the reference's LC pipelines
-            # drop them (no lidar2img compensation exists — see AugConfig)
-            if cfg.aug.rot_scale_trans:
-                points, boxes = T.global_rot_scale_trans(
-                    points, boxes, self.rng,
-                    rot_range=tuple(cfg.aug.rot_range),
-                    scale_range=tuple(cfg.aug.scale_range),
-                    trans_std=tuple(cfg.aug.trans_std))
-            if cfg.aug.flip_horizontal or cfg.aug.flip_vertical:
-                points, boxes, _ = T.random_flip_3d(
-                    points, boxes, self.rng,
-                    flip_ratio_horizontal=cfg.aug.flip_horizontal,
-                    flip_ratio_vertical=cfg.aug.flip_vertical)
+            if self.augment:
+                if self.db_sampler is not None:
+                    points, boxes, labels = self.db_sampler.apply(
+                        points, boxes, labels, rng)
+                # geometric augs are config-gated: the reference's LC
+                # pipelines drop them (no lidar2img compensation — see
+                # AugConfig)
+                if cfg.aug.rot_scale_trans:
+                    points, boxes = T.global_rot_scale_trans(
+                        points, boxes, rng,
+                        rot_range=tuple(cfg.aug.rot_range),
+                        scale_range=tuple(cfg.aug.scale_range),
+                        trans_std=tuple(cfg.aug.trans_std))
+                if cfg.aug.flip_horizontal or cfg.aug.flip_vertical:
+                    points, boxes, _ = T.random_flip_3d(
+                        points, boxes, rng,
+                        flip_ratio_horizontal=cfg.aug.flip_horizontal,
+                        flip_ratio_vertical=cfg.aug.flip_vertical)
             boxes, labels = T.object_range_filter(boxes, labels,
                                                   cfg.pc_range)
             boxes, labels = T.object_name_filter(boxes, labels,
@@ -187,8 +204,8 @@ class SRFDetDataset:
         from .native import filter_pad_fast
         pts, mask = filter_pad_fast(
             points, cfg.pc_range, cfg.points_cap,
-            shuffle=not self.test_mode,
-            seed=int(self.rng.integers(1 << 31)))
+            shuffle=self.augment,
+            seed=int(rng.integers(1 << 31)))
         sample.update(points=pts, points_mask=mask)
 
         if cfg.use_img:
@@ -224,14 +241,16 @@ class NuScenesDataset(SRFDetDataset):
                "barrier", "motorcycle", "bicycle", "pedestrian",
                "traffic_cone")
 
-    def load_points(self, info: Dict) -> np.ndarray:
+    def load_points(self, info: Dict,
+                    rng: Optional[np.random.Generator] = None) -> np.ndarray:
         path = info["lidar_path"]
         if not os.path.isabs(path):
             path = os.path.join(self.data_root, path)
         points = T.load_points_bin(path, 5, (0, 1, 2, 3, 4))
+        # rng=None (eval/test): deterministic first-N sweep selection
         return T.multi_sweep_aggregate(
             points, info.get("sweeps", []), self.sweeps_num,
-            rng=self.rng, test_mode=self.test_mode,
+            rng=rng, test_mode=rng is None,
             key_timestamp_us=float(info.get("timestamp", 0.0)))
 
     def load_annotations(self, info: Dict):
@@ -292,7 +311,8 @@ class KittiDataset(SRFDetDataset):
     # forward-facing window (reference show_bev_result_kitti, :634)
     BEV_RANGE = (0.0, -40.0, 70.4, 40.0)
 
-    def load_points(self, info: Dict) -> np.ndarray:
+    def load_points(self, info: Dict,
+                    rng: Optional[np.random.Generator] = None) -> np.ndarray:
         pi = info.get("point_cloud", info)
         path = pi.get("velodyne_path", pi.get("lidar_path"))
         if not os.path.isabs(path):
@@ -314,30 +334,34 @@ class KittiDataset(SRFDetDataset):
         keep = labels >= 0
         return boxes[keep], labels[keep]
 
-    def load_images(self, info: Dict):
-        img_info = info.get("image", {})
-        path = img_info.get("image_path")
+    def _load_view(self, path: str, p_mat: np.ndarray, calib: Dict):
+        """One camera: image resized to cfg.img.img_shape + rescaled
+        lidar2img (projection @ R0_rect @ Tr_velo_to_cam)."""
         if path and not os.path.isabs(path):
             path = os.path.join(self.data_root, path)
         img = _load_image(path)
         h0, w0 = img.shape[:2]
         h_t, w_t = self.cfg.img.img_shape
-        calib = info["calib"]
-        p2 = np.asarray(calib["P2"], np.float32)
         r0 = np.eye(4, dtype=np.float32)
         r0[:3, :3] = np.asarray(calib["R0_rect"], np.float32)[:3, :3]
         tr = np.asarray(calib["Tr_velo_to_cam"], np.float32)
         if tr.shape == (3, 4):
             tr = np.concatenate([tr, [[0, 0, 0, 1]]], axis=0)
-        p2h = np.eye(4, dtype=np.float32)
-        p2h[:3, :4] = p2[:3, :4]
-        l2i = p2h @ r0 @ tr
+        ph = np.eye(4, dtype=np.float32)
+        ph[:3, :4] = np.asarray(p_mat, np.float32)[:3, :4]
+        l2i = ph @ r0 @ tr
         from PIL import Image
         img = np.asarray(Image.fromarray(img.astype(np.uint8)).resize(
             (w_t, h_t)), np.float32)
         l2i = np.diag([w_t / w0, h_t / h0, 1.0, 1.0]).astype(
             np.float32) @ l2i
         img = (img - IMAGENET_MEAN) / IMAGENET_STD
+        return img, l2i
+
+    def load_images(self, info: Dict):
+        img_info = info.get("image", {})
+        img, l2i = self._load_view(img_info.get("image_path"),
+                                   info["calib"]["P2"], info["calib"])
         return img[None], l2i[None]
 
 
@@ -349,27 +373,50 @@ class WaymoDataset(KittiDataset):
     BEV_RANGE = (-75.0, -75.0, 75.0, 75.0)
     BEV_PIXELS_PER_METER = 7.0
 
-    def load_points(self, info: Dict) -> np.ndarray:
+    def load_points(self, info: Dict,
+                    rng: Optional[np.random.Generator] = None) -> np.ndarray:
         pi = info.get("point_cloud", info)
         path = pi.get("velodyne_path", pi.get("lidar_path"))
         if not os.path.isabs(path):
             path = os.path.join(self.data_root, path)
         return T.load_points_bin(path, 6, (0, 1, 2, 3, 4))
 
+    def load_images(self, info: Dict):
+        """All num_cams surround views (reference CustomWaymoDataset
+        num_views=5, waymo_dataset_custom.py:22,47): the mmdet3d
+        waymo-kitti conversion stores view k's image under image_k/ with
+        projection calib[Pk]."""
+        n_cam = self.cfg.img.num_cams if self.cfg.img else 1
+        img_info = info.get("image", {})
+        path0 = img_info.get("image_path", "")
+        calib = info["calib"]
+        imgs, l2is = [], []
+        for v in range(n_cam):
+            path = path0.replace("image_0", f"image_{v}") if n_cam > 1 \
+                else path0
+            p_key = f"P{v}" if f"P{v}" in calib else "P2"
+            img, l2i = self._load_view(path, calib[p_key], calib)
+            imgs.append(img)
+            l2is.append(l2i)
+        return np.stack(imgs), np.stack(l2is)
+
 
 class SyntheticDataset(SRFDetDataset):
     """Random scenes with planted boxes — tests and benchmarking."""
 
     def __init__(self, cfg: SRFDetConfig, length: int = 8,
-                 test_mode: bool = False, seed: int = 0,
+                 test_mode: bool = False, augment: Optional[bool] = None,
+                 seed: int = 0,
                  points_per_scene: int = 0, boxes_per_scene: int = 4):
-        super().__init__(cfg, test_mode=test_mode, seed=seed)
+        super().__init__(cfg, test_mode=test_mode, augment=augment,
+                         seed=seed)
         self.length = length
         self.points_per_scene = points_per_scene or cfg.points_cap // 2
         self.boxes_per_scene = boxes_per_scene
         self.infos = [{"idx": i} for i in range(length)]
 
-    def load_points(self, info: Dict) -> np.ndarray:
+    def load_points(self, info: Dict,
+                    rng: Optional[np.random.Generator] = None) -> np.ndarray:
         rng = np.random.default_rng(info["idx"] + 1)
         lo, hi = self.cfg.pc_range[:3], self.cfg.pc_range[3:6]
         n = self.points_per_scene

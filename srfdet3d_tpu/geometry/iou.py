@@ -346,7 +346,16 @@ def multiclass_nms_3d(boxes: jnp.ndarray,
     keep = rotated_nms_bev(bev_sel, top_s, iou_thr, cls_valid)  # (C, k)
 
     flat_scores = jnp.where(keep, top_s, -jnp.inf).reshape(-1)  # (C*k,)
-    top_scores, flat_idx = jax.lax.top_k(flat_scores, max_num)
+    # max_num can exceed C*k on small configs; keep the static (max_num,)
+    # output contract by padding the short top-k back out
+    k_eff = min(max_num, flat_scores.shape[0])
+    top_scores, flat_idx = jax.lax.top_k(flat_scores, k_eff)
+    if k_eff < max_num:
+        pad = max_num - k_eff
+        top_scores = jnp.concatenate(
+            [top_scores, jnp.full((pad,), -jnp.inf, top_scores.dtype)])
+        flat_idx = jnp.concatenate(
+            [flat_idx, jnp.zeros((pad,), flat_idx.dtype)])
     out_labels = flat_idx // k
     box_idx = top_i.reshape(-1)[flat_idx]
     out_boxes = boxes[box_idx]

@@ -18,6 +18,7 @@ from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 _XAVIER = nn.initializers.xavier_uniform()
@@ -79,8 +80,22 @@ class MSDeformAttention(nn.Module):
         for hh, ww in hws[:-1]:
             offsets.append(offsets[-1] + hh * ww)
 
+        # mmcv init: zero kernel + GRID bias — head h points along angle
+        # 2*pi*h/nh, normalized to max-abs 1, scaled by (point index + 1)
+        # per level, so the taps start spread instead of all coincident
+        # (mmcv MultiScaleDeformableAttention.init_weights)
+        def _grid_bias(key, shape, dtype=jnp.float32):
+            del key
+            th = (2.0 * np.pi / nh) * np.arange(nh)
+            d = np.stack([np.cos(th), np.sin(th)], -1)          # (nh, 2)
+            d = d / np.abs(d).max(-1, keepdims=True)
+            g = np.tile(d[:, None, None, :], (1, nl, np_, 1))
+            g = g * (np.arange(1, np_ + 1)[None, None, :, None])
+            return jnp.asarray(g.reshape(shape), dtype)
+
         off = nn.Dense(nh * nl * np_ * 2,
                        kernel_init=nn.initializers.zeros,
+                       bias_init=_grid_bias,
                        dtype=self.dtype, name="sampling_offsets")(query)
         off = off.reshape(b, q, nh, nl, np_, 2)
         attn = nn.Dense(nh * nl * np_, kernel_init=nn.initializers.zeros,

@@ -635,11 +635,17 @@ def decode_boxes(pred_logits: jnp.ndarray,
     else:
         b, n_p, c = scores.shape
         flat = scores.reshape(b, n_p * c)
-        out_s, idx = jax.lax.top_k(flat, max_per_img)
+        k_eff = min(max_per_img, n_p * c)   # static output stays max_per_img
+        out_s, idx = jax.lax.top_k(flat, k_eff)
+        if k_eff < max_per_img:
+            pad = max_per_img - k_eff
+            out_s = jnp.pad(out_s, ((0, 0), (0, pad)))
+            idx = jnp.pad(idx, ((0, 0), (0, pad)))
         out_l = idx % c
         box_idx = idx // c
         out_b = jnp.take_along_axis(raw, box_idx[..., None], axis=1)
-        out_v = jnp.ones_like(out_s, dtype=bool)
+        out_v = jnp.pad(
+            jnp.ones((b, k_eff), bool), ((0, 0), (0, max_per_img - k_eff)))
 
     pcr = jnp.asarray(post_center_range, jnp.float32)
     in_range = jnp.all(out_b[..., :3] >= pcr[:3], axis=-1) & \

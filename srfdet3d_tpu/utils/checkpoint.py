@@ -59,23 +59,38 @@ def load_partial(params: Any, ckpt_path: str, prefix: str = "") -> Any:
     ckpt = _checkpointer().restore(os.path.abspath(ckpt_path))
     src = ckpt.get("params", ckpt)
     params = jax.tree_util.tree_map(lambda x: x, params)   # shallow copy
+    n_hit = 0
 
     def merge(dst, s):
+        nonlocal n_hit
         out = dict(dst)
         for k, v in s.items():
             if k in out and isinstance(v, dict) and isinstance(out[k], dict):
                 out[k] = merge(out[k], v)
             elif k in out:
                 out[k] = v
+                n_hit += 1
         return out
 
     if not prefix:
-        return merge(dict(params), dict(src))
-    if prefix in src and prefix in params:
-        new = dict(params)
-        new[prefix] = merge(dict(params[prefix]), dict(src[prefix]))
-        return new
-    return params
+        out = merge(dict(params), dict(src))
+    elif prefix in src and prefix in params:
+        out = dict(params)
+        out[prefix] = merge(dict(params[prefix]), dict(src[prefix]))
+    else:
+        raise KeyError(
+            f"load_partial: prefix {prefix!r} not found in "
+            f"{'checkpoint' if prefix in params else 'params'} "
+            f"(ckpt top-level keys: {sorted(src)[:8]})")
+    if n_hit == 0:
+        # a typo'd layout silently fine-tuning from random init is the
+        # worst failure mode a partial load can have
+        raise KeyError(
+            f"load_partial: ZERO leaves matched between {ckpt_path} and "
+            f"the model params (ckpt top-level keys: {sorted(src)[:8]})")
+    print(f"load_partial: restored {n_hit} leaves from {ckpt_path}"
+          + (f" under {prefix!r}" if prefix else ""), flush=True)
+    return out
 
 
 def torch_to_jax_array(t) -> np.ndarray:

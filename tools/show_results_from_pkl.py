@@ -32,9 +32,18 @@ def main():
     ap.add_argument("--save-3d", action="store_true")
     args = ap.parse_args()
 
+    import numpy as _np
+
     with open(args.pkl, "rb") as f:
         dump = pickle.load(f)
     gts, preds = dump["gts"], dump["preds"]
+    # the pickle stores gravity-center z (the eval convention, see
+    # tools/test.py); the visualizers draw bottom-center boxes
+    for fr in list(gts) + list(preds):
+        if len(fr.get("boxes", [])):
+            b = _np.asarray(fr["boxes"], _np.float32).copy()
+            b[:, 2] -= 0.5 * b[:, 5]
+            fr["boxes"] = b
 
     if args.config and args.info_path:
         # full dataset.show path: re-load points/images from the infos

@@ -4,7 +4,7 @@
 Usage:
   python tools/test.py <config_name> <checkpoint> [--eval mAP|kitti|waymo]
       [--synthetic] [--out results.pkl] [--batch-size B]
-      [--data-root PATH] [--ann-file PATH]
+      [--data-root PATH] [--ann-file PATH] [--cfg-options k=v ...]
 
 Runs inference with the config's test_cfg (rotated NMS etc.), optionally
 dumps per-frame results to a pickle (reference --out), and evaluates with
@@ -25,13 +25,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def evaluate(cfg, gts, preds):
+def evaluate(cfg, gts, preds, protocol: str = "auto"):
+    """protocol: auto (= cfg.dataset) | mAP/nuscenes | kitti | waymo
+    (reference --eval values, tools/test.py:243-252)."""
     from srfdet3d_tpu.evals import kitti_eval, nuscenes_eval, waymo_eval
-    if cfg.dataset == "nuscenes":
+    kind = cfg.dataset if protocol in ("auto", None) else \
+        {"mAP": "nuscenes"}.get(protocol, protocol)
+    if kind == "nuscenes":
         return nuscenes_eval(gts, preds, cfg.class_names)
-    if cfg.dataset == "kitti":
+    if kind == "kitti":
         return kitti_eval(gts, preds, cfg.class_names)
-    return waymo_eval(gts, preds, cfg.class_names)
+    if kind == "waymo":
+        return waymo_eval(gts, preds, cfg.class_names)
+    raise SystemExit(f"unknown --eval protocol {protocol!r}")
 
 
 def main():
@@ -46,15 +52,17 @@ def main():
     ap.add_argument("--batch-size", type=int, default=1)
     ap.add_argument("--data-root", default="data/nuscenes")
     ap.add_argument("--ann-file", default=None)
+    ap.add_argument("--cfg-options", nargs="*", default=None)
     args = ap.parse_args()
 
     from srfdet3d_tpu.configs import get_config
-    cfg = get_config(args.config)
+    from tools.train import apply_cfg_options
+    cfg = apply_cfg_options(get_config(args.config), args.cfg_options)
 
     if args.eval_from_pkl:
         with open(args.eval_from_pkl, "rb") as f:
             dump = pickle.load(f)
-        res = evaluate(cfg, dump["gts"], dump["preds"])
+        res = evaluate(cfg, dump["gts"], dump["preds"], args.eval)
         print({k: v for k, v in res.items() if not isinstance(v, dict)})
         return
 
@@ -69,15 +77,17 @@ def main():
     from srfdet3d_tpu.utils import restore_checkpoint
 
     if args.synthetic:
+        # keep GTs for eval but run the DETERMINISTIC protocol: no
+        # random augs, no sweep sampling, no point shuffle
         dataset = SyntheticDataset(cfg, length=args.synthetic_length,
-                                   test_mode=False)  # keep GTs for eval
+                                   test_mode=False, augment=False)
     else:
         ds_cls = {"nuscenes": NuScenesDataset, "kitti": KittiDataset,
                   "waymo": WaymoDataset}[cfg.dataset]
         ann = args.ann_file or os.path.join(
             args.data_root, f"{cfg.dataset}_infos_val.pkl")
         dataset = ds_cls(cfg, info_path=ann, data_root=args.data_root,
-                         test_mode=False)
+                         test_mode=False, augment=False)
 
     sample = next(iter(data_loader(dataset, args.batch_size, shuffle=False,
                                    num_workers=0)))
@@ -92,8 +102,10 @@ def main():
 
     names = np.asarray(cfg.class_names)
     gts, preds = [], []
+    # drop_last=False: every validation frame scores (the ragged tail
+    # batch costs one extra jit specialization)
     for batch in data_loader(dataset, args.batch_size, shuffle=False,
-                             num_workers=2):
+                             num_workers=2, drop_last=False):
         out = eval_step(state, {k: jnp.asarray(v) for k, v in batch.items()
                                 if k not in ("gt_boxes", "gt_labels",
                                              "gt_mask")})
@@ -117,7 +129,7 @@ def main():
             pickle.dump({"gts": gts, "preds": preds}, f)
         print(f"dumped {len(preds)} frames to {args.out}", flush=True)
 
-    res = evaluate(cfg, gts, preds)
+    res = evaluate(cfg, gts, preds, args.eval)
     print({k: (round(v, 4) if isinstance(v, float) else v)
            for k, v in res.items() if not isinstance(v, dict)})
 

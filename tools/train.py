@@ -162,17 +162,26 @@ def main():
     logger = MetricLogger(args.log_interval,
                           log_dir=os.path.join(work_dir, "tb"))
 
-    start_epoch = int(state.step) // steps_per_epoch
+    # host-side step counter: int(state.step)/float(metric) every
+    # iteration would block on the just-dispatched device step, defeating
+    # async dispatch (host preprocessing could no longer overlap compute)
+    host_step = int(state.step)
+    base_key = jax.random.PRNGKey(args.seed)
+    start_epoch = host_step // steps_per_epoch
     for epoch in range(start_epoch, epochs):
+        if hasattr(dataset, "epoch"):      # vary per-index aug draws
+            dataset.epoch = epoch
         for batch in data_loader(dataset, batch_size, shuffle=True,
                                  seed=args.seed + epoch):
             batch = shard_batch(
                 {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
             state, metrics = train_step(
-                state, batch, jax.random.PRNGKey(int(state.step)))
-            logger.log(int(state.step),
-                       {k: float(v) for k, v in metrics.items()},
-                       lr=float(schedule(int(state.step))))
+                state, batch, jax.random.fold_in(base_key, host_step))
+            host_step += 1
+            if host_step % args.log_interval == 0:
+                logger.log(host_step,
+                           {k: float(v) for k, v in metrics.items()},
+                           lr=float(schedule(host_step)))
         if (epoch + 1) % args.ckpt_interval == 0 or epoch == epochs - 1:
             path = os.path.join(work_dir, f"epoch_{epoch + 1}")
             save_checkpoint(path, jax.device_get(state), meta={
