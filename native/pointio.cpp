@@ -29,6 +29,10 @@ static PyObject* load_points(PyObject*, PyObject* args) {
   const char* path;
   int load_dim;
   if (!PyArg_ParseTuple(args, "si", &path, &load_dim)) return nullptr;
+  if (load_dim <= 0) {
+    PyErr_Format(PyExc_ValueError, "load_dim must be > 0, got %d", load_dim);
+    return nullptr;
+  }
 
   FILE* f = nullptr;
   Py_BEGIN_ALLOW_THREADS
@@ -41,7 +45,17 @@ static PyObject* load_points(PyObject*, PyObject* args) {
   std::fseek(f, 0, SEEK_END);
   long bytes = std::ftell(f);
   std::fseek(f, 0, SEEK_SET);
-  npy_intp n = bytes / (sizeof(float) * load_dim);
+  const long row_bytes = static_cast<long>(sizeof(float)) * load_dim;
+  if (bytes % row_bytes != 0) {
+    // the numpy fallback (fromfile + reshape) raises on trailing partial
+    // rows; silent truncation would hide file corruption
+    std::fclose(f);
+    PyErr_Format(PyExc_ValueError,
+                 "%s: %ld bytes is not a multiple of %ld (corrupt file?)",
+                 path, bytes, row_bytes);
+    return nullptr;
+  }
+  npy_intp n = bytes / row_bytes;
   npy_intp dims[2] = {n, load_dim};
   PyObject* arr = PyArray_SimpleNew(2, dims, NPY_FLOAT32);
   if (!arr) {
@@ -82,6 +96,16 @@ static PyObject* filter_pad(PyObject*, PyObject* args) {
   if (!pts || !rng_arr) {
     Py_XDECREF(pts);
     Py_XDECREF(rng_arr);
+    return nullptr;
+  }
+  if (PyArray_NDIM(pts) != 2 || PyArray_DIM(pts, 1) < 3 ||
+      PyArray_NDIM(rng_arr) != 1 || PyArray_DIM(rng_arr, 0) < 6 ||
+      cap < 0) {
+    PyErr_SetString(PyExc_ValueError,
+                    "filter_pad needs points (N, >=3), pc_range (>=6,), "
+                    "cap >= 0");
+    Py_DECREF(pts);
+    Py_DECREF(rng_arr);
     return nullptr;
   }
   const npy_intp n = PyArray_DIM(pts, 0);
@@ -159,6 +183,16 @@ static PyObject* transform_points(PyObject*, PyObject* args) {
   if (!rot || !tr) {
     Py_XDECREF(rot);
     Py_XDECREF(tr);
+    return nullptr;
+  }
+  if (PyArray_NDIM(pts_obj) != 2 || PyArray_DIM(pts_obj, 1) < 3 ||
+      PyArray_NDIM(rot) != 2 || PyArray_DIM(rot, 0) * PyArray_DIM(rot, 1)
+      < 9 || PyArray_SIZE(tr) < 3) {
+    PyErr_SetString(PyExc_ValueError,
+                    "transform_points needs points (N, >=3), rot (3, 3), "
+                    "trans (3,)");
+    Py_DECREF(rot);
+    Py_DECREF(tr);
     return nullptr;
   }
   const npy_intp n = PyArray_DIM(pts_obj, 0);

@@ -17,6 +17,20 @@ def points_in_boxes_bev(points: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     return (np.abs(u) <= boxes[:, 3] / 2) & (np.abs(v) <= boxes[:, 4] / 2)
 
 
+def points_in_boxes_3d(points: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """3D membership (rotated BEV x z slab): points (N, >=3),
+    boxes (M, >=7) with BOTTOM-center z -> bool (N, M).  Matches mmdet3d
+    points_in_rbbox (ObjectSample removes only points inside the 3D box,
+    not the whole vertical column)."""
+    bev = points_in_boxes_bev(points, boxes)
+    if bev.shape[1] == 0:
+        return bev
+    z0 = boxes[:, 2]
+    z1 = z0 + boxes[:, 5]
+    in_z = (points[:, 2:3] >= z0[None]) & (points[:, 2:3] <= z1[None])
+    return bev & in_z
+
+
 def box_corners_bev(boxes: np.ndarray) -> np.ndarray:
     """(M, >=7) -> (M, 4, 2) BEV corners."""
     hw, hl = boxes[:, 3] / 2, boxes[:, 4] / 2

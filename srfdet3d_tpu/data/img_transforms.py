@@ -23,10 +23,19 @@ import numpy as np
 
 
 def _resize(img: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    """Bilinear resize preserving float values (mmcv imresize semantics).
+
+    A uint8 round-trip would clip normalized (mean-subtracted, negative)
+    pixels to 0 and quantize floats — resize per channel in PIL 'F' mode
+    instead."""
     from PIL import Image
-    return np.asarray(
-        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)).resize(
-            (hw[1], hw[0])), np.float32)
+    img = img.astype(np.float32, copy=False)
+    size = (hw[1], hw[0])
+    chans = [np.asarray(
+        Image.fromarray(np.ascontiguousarray(img[..., c]), mode="F")
+        .resize(size, Image.BILINEAR), np.float32)
+        for c in range(img.shape[-1])]
+    return np.stack(chans, axis=-1)
 
 
 def pad_multiview(sample: Dict, size_divisor: int = 32,

@@ -39,7 +39,8 @@ def data_loader(dataset,
             yield collate_batch([dataset[int(i)] for i in idxs])
         return
 
-    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    # maxsize=0 would mean UNBOUNDED (whole-epoch host blowup)
+    q: "queue.Queue" = queue.Queue(maxsize=max(prefetch, 1))
     stop = threading.Event()
 
     def put(item) -> bool:

@@ -7,8 +7,12 @@ transforms.  Build once with:
     cd native && python setup.py build_ext --inplace
 
 If the extension is absent everything falls back to the numpy paths in
-transforms.py (identical results; the C++ path releases the GIL so the
-threaded loader scales).
+transforms.py.  Results are identical EXCEPT the shuffle order inside
+filter_pad (different RNGs): the point SET kept is identical while the
+in-range count fits the capacity; over capacity, the retained subset
+differs between the native and numpy paths (both are uniform random
+subsets — training semantics match, exact reproducibility across
+machines with/without the extension does not).
 """
 
 from __future__ import annotations
@@ -69,9 +73,12 @@ def filter_pad_fast(points: np.ndarray, pc_range, cap: int,
 
 def transform_points_fast(points: np.ndarray, rot: np.ndarray,
                           trans: np.ndarray) -> np.ndarray:
-    """xyz' = R @ xyz + t, in place when native, copying otherwise."""
+    """xyz' = R @ xyz + t.  Always returns a fresh array — the native
+    kernel works in place, so it gets a copy (identical aliasing behavior
+    with and without the extension)."""
     n = _load_native()
-    if n and points.dtype == np.float32 and points.flags.c_contiguous:
+    if n:
+        points = np.ascontiguousarray(points, np.float32).copy()
         n.transform_points(points, np.asarray(rot, np.float32),
                            np.asarray(trans, np.float32))
         return points

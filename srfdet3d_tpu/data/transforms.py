@@ -330,8 +330,8 @@ class DBSampler:
             gt_boxes, gt_labels, rng)
         if len(extra_boxes) == 0:
             return points, gt_boxes, gt_labels
-        from .box_np import points_in_boxes_bev
-        inside = points_in_boxes_bev(points[:, :3], extra_boxes)
+        from .box_np import points_in_boxes_3d
+        inside = points_in_boxes_3d(points[:, :3], extra_boxes)
         points = points[~inside.any(axis=1)]
         if extra_points.shape[1] < points.shape[1]:
             pad = np.zeros((len(extra_points),

@@ -15,7 +15,7 @@ code then spans slices (DCN) transparently.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import numpy as np

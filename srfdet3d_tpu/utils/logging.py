@@ -25,7 +25,7 @@ class MetricLogger:
 
     def log(self, step: int, metrics: Dict[str, float],
             lr: Optional[float] = None) -> None:
-        if step % self.interval:
+        if step % max(self.interval, 1):
             return
         now = time.perf_counter()
         dt = (now - self._last) / max(self.interval, 1)

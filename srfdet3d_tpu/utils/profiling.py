@@ -33,6 +33,8 @@ class StepTimer:
         return self
 
     def __exit__(self, *exc):
+        if exc and exc[0] is not None:
+            return   # aborted step: a partial duration would skew p50/p90
         dt = time.perf_counter() - self._t
         self._n += 1
         if self._n > self.warmup:

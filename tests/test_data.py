@@ -132,3 +132,27 @@ def test_multi_sweep_use_dim_subset(tmp_path):
     np.testing.assert_allclose(out[:4, 3], 0.0)       # key lag zeroed
     np.testing.assert_allclose(out[4:, 3], 2.0)       # 3s - 1s lag
     assert not np.any(out[4:, 3] == 7.0)              # intensity dropped
+
+
+def test_object_sample_removal_is_3d_not_bev_column():
+    """ObjectSample must remove only points INSIDE the pasted 3D box
+    (mmdet3d points_in_rbbox), not the whole vertical BEV column."""
+    from srfdet3d_tpu.data.box_np import points_in_boxes_3d
+    box = np.array([[0.0, 0.0, -1.0, 2.0, 2.0, 1.5, 0.0]], np.float32)
+    pts = np.array([
+        [0.0, 0.0, -0.5],    # inside (z in [-1.0, 0.5])
+        [0.0, 0.0, 4.0],     # same column, overpass height -> keep
+        [0.0, 0.0, -3.0],    # same column, below -> keep
+        [5.0, 5.0, -0.5],    # outside BEV
+    ], np.float32)
+    inside = points_in_boxes_3d(pts, box)[:, 0]
+    np.testing.assert_array_equal(inside, [True, False, False, False])
+
+
+def test_img_resize_preserves_normalized_floats():
+    """_resize must not round-trip through uint8 (normalized images are
+    mostly negative; clipping them to 0 destroyed the features)."""
+    from srfdet3d_tpu.data.img_transforms import _resize
+    img = np.full((8, 8, 3), -1.7, np.float32)
+    out = _resize(img, (4, 4))
+    np.testing.assert_allclose(out, -1.7, atol=1e-5)
