@@ -286,3 +286,26 @@ def test_patch_path_edge_straddling_needs_no_fallback():
                                patch_fallback=0)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_patch_path_bf16_features():
+    """bf16 feature maps (compute_dtype=bfloat16 LC): both strategies pool
+    in f32 over the bf16 values and agree to bf16-scale tolerance."""
+    rng = np.random.RandomState(11)
+    feats = [jnp.asarray(rng.randn(16, 24, 8).astype(np.float32)
+                         ).astype(jnp.bfloat16),
+             jnp.asarray(rng.randn(8, 12, 8).astype(np.float32)
+                         ).astype(jnp.bfloat16)]
+    strides = [8, 16]
+    n = 10
+    x1 = rng.uniform(-30, 120, n)
+    y1 = rng.uniform(-20, 80, n)
+    rois = jnp.asarray(np.stack(
+        [x1, y1, x1 + rng.uniform(5, 120, n),
+         y1 + rng.uniform(5, 90, n)], -1).astype(np.float32))
+    ref = multilevel_roi_align(feats, rois, strides)
+    got = multilevel_roi_align(feats, rois, strides, patch=32)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=1e-2, atol=1e-2)
+    assert np.isfinite(np.asarray(got, np.float32)).all()
