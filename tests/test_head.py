@@ -169,3 +169,32 @@ def test_visible_pair_counts_bounds_compaction_exactness():
     cam_rois = img_rois_from_boxes(boxes, jnp.asarray(l2i)[None, None])
     n_vis = int(visible_pair_counts(cam_rois, (64, 96), strides)[0, 0])
     assert n_vis == 1
+
+
+def test_losses_head_idx_wiring(monkeypatch):
+    """Reference srfdet_head.py:1067/1084: aux layer i is assigned with
+    head_idx=i+1 and the LAST layer with the decoder's num_heads (NOT the
+    assigner's own num_heads=6) — pin the wiring with a capturing stub."""
+    import srfdet3d_tpu.models.losses as L
+
+    captured = []
+
+    def fake_assign(pb, pl, gb, gl, gm, head_idx, cfg):
+        captured.append(head_idx)
+        return jnp.full(pb.shape[:2], -1, jnp.int32)
+
+    monkeypatch.setattr(L, "ota_assign_batch", fake_assign)
+    rng = np.random.default_rng(0)
+    nl, b, n_p, ncls = 3, 1, 6, 4
+    logits = jnp.asarray(rng.normal(size=(nl, b, n_p, ncls))
+                         .astype(np.float32))
+    boxes = jnp.asarray(rng.normal(size=(nl, b, n_p, 10))
+                        .astype(np.float32))
+    gt = jnp.zeros((b, 2, 9), jnp.float32)
+    labels = jnp.zeros((b, 2), jnp.int32)
+    mask = jnp.ones((b, 2), bool)
+    out = L.srfdet_losses(logits, boxes, gt, labels, mask,
+                          LossConfig(num_classes=ncls), OTAConfig(pc_range=PC))
+    assert captured == [1, 2, nl], captured
+    for v in out.values():
+        assert np.isfinite(float(v))
