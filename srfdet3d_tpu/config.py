@@ -79,7 +79,18 @@ class ImgBranchConfig:
     neck_num_outs: int = 4
     relu_before_extra_convs: bool = True
     num_cams: int = 6
-    img_shape: Tuple[int, int] = (640, 1600)   # (H, W) network input
+    img_shape: Tuple[int, int] = (928, 1600)   # (H, W) network input
+    # "pad": place the native image unscaled at the top-left of the
+    # (H, W) canvas (mmcv Normalize+Pad(size_divisor=32), reference
+    # srfdet_voxel_nusc_LC.py:246-247 — nuScenes 1600x900 -> 1600x928);
+    # falls back to resize when the source exceeds img_shape.
+    # "resize": scale to img_shape and rescale lidar2img (reference
+    # ResizeImageMultiViewImage, used by srfdet_dvoxel_waymo_LC.py:268).
+    mode: str = "pad"
+    # reference feeds BGR images to every backbone except ResNet-50
+    # (img_norm_cfg to_rgb=False with BGR mean/std, e.g.
+    # srfdet_voxel_nusc_LC.py:15-18; the r50 configs use to_rgb=True)
+    bgr: bool = True
     use_grid_mask: bool = True
 
 
@@ -156,6 +167,12 @@ class AugConfig:
     trans_std: Tuple[float, float, float] = (0.5, 0.5, 0.5)
     flip_horizontal: float = 0.5
     flip_vertical: float = 0.5
+    # per-object noise (mmdet3d ObjectNoise; used by the KITTI L pipeline,
+    # reference srfdet_voxel_kitti_L.py:247-251)
+    object_noise: bool = False
+    object_noise_trans: Tuple[float, float, float] = (1.0, 1.0, 0.5)
+    object_noise_rot: Tuple[float, float] = (-0.78539816, 0.78539816)
+    object_noise_tries: int = 100
 
     @staticmethod
     def none() -> "AugConfig":

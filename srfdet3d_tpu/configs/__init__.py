@@ -46,19 +46,29 @@ def srfdet_voxel_nusc_LC() -> SRFDetConfig:
     return base.replace(
         name="srfdet_voxel_nusc_LC",
         use_img=True,
-        img=ImgBranchConfig(backbone="vovnet-99", num_cams=6),
+        # 1600x900 multi-view images, normalized then padded to x32
+        # (reference srfdet_voxel_nusc_LC.py:246-247)
+        img=ImgBranchConfig(backbone="vovnet-99", num_cams=6,
+                            img_shape=(928, 1600), mode="pad"),
         head=dataclasses.replace(base.head, img_roi_cap=320),
-        optim=OptimConfig(freeze_lidar=True),
+        # LC fine-tune schedule (reference LC.py:310,360,378): batch 1
+        # per device, 10 epochs, warmup 10*500
+        optim=OptimConfig(freeze_lidar=True, batch_size_per_device=1,
+                          epochs=10, warmup_iters=5000),
         # LC fine-tune drops geometric lidar augs (reference
         # srfdet_voxel_nusc_LC.py:226-251): no lidar2img compensation
         aug=AugConfig.none())
 
 
 def srfdet_voxel_r50_LC() -> SRFDetConfig:
-    """configs/nus/srfdet_voxel_r50_LC.py."""
+    """configs/nus/srfdet_voxel_r50_nusc_LC.py."""
     return srfdet_voxel_nusc_LC().replace(
         name="srfdet_voxel_r50_LC",
-        img=ImgBranchConfig(backbone="resnet-50", num_cams=6))
+        # r50: frozen_stages=1, RGB input with to_rgb=True norm
+        # (reference voxel_r50_nusc_LC.py:17,44-50)
+        img=ImgBranchConfig(backbone="resnet-50", num_cams=6,
+                            img_shape=(928, 1600), mode="pad",
+                            frozen_stages=1, bgr=False))
 
 
 def _pillar_base() -> SRFDetConfig:
@@ -85,20 +95,29 @@ def srfdet_pillar_nusc_L() -> SRFDetConfig:
     return _pillar_base()
 
 
+# shared nuScenes LC fine-tune schedule (reference *_nusc_LC.py:
+# samples_per_gpu=1, total_epochs=10, warmup_iters=10*500)
+_NUSC_LC_OPTIM = OptimConfig(freeze_lidar=True, batch_size_per_device=1,
+                             epochs=10, warmup_iters=5000)
+
+
 def srfdet_pillar_r50_LC() -> SRFDetConfig:
-    """configs/nus/srfdet_pillar_r50_LC.py."""
+    """configs/nus/srfdet_pillar_r50_nusc_LC.py."""
     return _pillar_base().replace(
         name="srfdet_pillar_r50_LC", use_img=True,
-        img=ImgBranchConfig(backbone="resnet-50", num_cams=6),
-        optim=OptimConfig(freeze_lidar=True), aug=AugConfig.none())
+        img=ImgBranchConfig(backbone="resnet-50", num_cams=6,
+                            img_shape=(928, 1600), mode="pad",
+                            frozen_stages=1, bgr=False),
+        optim=_NUSC_LC_OPTIM, aug=AugConfig.none())
 
 
 def srfdet_pillar_v299_LC() -> SRFDetConfig:
-    """configs/nus/srfdet_pillar_v299_LC.py."""
+    """configs/nus/srfdet_pillar_v299_nusc_LC.py."""
     return _pillar_base().replace(
         name="srfdet_pillar_v299_LC", use_img=True,
-        img=ImgBranchConfig(backbone="vovnet-99", num_cams=6),
-        optim=OptimConfig(freeze_lidar=True), aug=AugConfig.none())
+        img=ImgBranchConfig(backbone="vovnet-99", num_cams=6,
+                            img_shape=(928, 1600), mode="pad"),
+        optim=_NUSC_LC_OPTIM, aug=AugConfig.none())
 
 
 def _kitti_base() -> SRFDetConfig:
@@ -123,16 +142,20 @@ def _kitti_base() -> SRFDetConfig:
             block_type="conv_module",
             capacities=(40000, 25000, 15000, 15000)),
         neck_out_channels=256,
+        # wider refinement heads on KITTI: dim_feedforward=1024,
+        # dynamic_dim=64 (reference srfdet_voxel_kitti_L.py:133,138)
         head=HeadConfig(num_classes=3, feat_channels_lidar=256,
-                        code_size=8),
+                        code_size=8, dim_feedforward=1024, dynamic_dim=64),
         ota=OTAConfig(pc_range=pc),
         loss=LossConfig(code_weights=(1.0,) * 8, num_classes=3),
         test=TestConfig(post_center_range=(0.0, -50.0, -5.0, 80.4, 50.0,
                                            5.0)),
-        # reference kitti_L.py:252-256: horizontal flip only, scale
-        # 0.95-1.05, no translation noise
+        # KITTI schedule: 40 epochs, warmup 200 (kitti_L.py:365,383)
+        optim=OptimConfig(epochs=40, warmup_iters=200),
+        # reference kitti_L.py:247-256: per-object ObjectNoise, horizontal
+        # flip only, global rot +-0.785 + scale 0.95-1.05, no translation
         aug=AugConfig(scale_range=(0.95, 1.05), trans_std=(0.0, 0.0, 0.0),
-                      flip_vertical=0.0))
+                      flip_vertical=0.0, object_noise=True))
 
 
 def srfdet_voxel_kitti_L() -> SRFDetConfig:
@@ -142,11 +165,18 @@ def srfdet_voxel_kitti_L() -> SRFDetConfig:
 
 def srfdet_voxel_kitti_LC() -> SRFDetConfig:
     """configs/kitti/srfdet_voxel_kitti_LC.py (single front camera)."""
-    return _kitti_base().replace(
+    base = _kitti_base()
+    return base.replace(
         name="srfdet_voxel_kitti_LC", use_img=True,
+        # 1242x375 KITTI image normalized + padded to x32 -> 1248x384
+        # (kitti_LC.py:256-257); hidden_dim=256 (:127)
         img=ImgBranchConfig(backbone="vovnet-99", num_cams=1,
-                            img_shape=(384, 1280)),
-        optim=OptimConfig(freeze_lidar=True),
+                            img_shape=(384, 1248), mode="pad"),
+        head=dataclasses.replace(base.head, hidden_dim=256),
+        # LC fine-tune: batch 4, 20 epochs, warmup 200 (kitti_LC.py:311,
+        # 366,384)
+        optim=OptimConfig(freeze_lidar=True, batch_size_per_device=4,
+                          epochs=20, warmup_iters=200),
         # reference kitti LC keeps a sync_2d horizontal flip (image
         # flipped with the boxes); we drop it instead — documented
         # train-aug deviation, projection consistency preserved
@@ -174,6 +204,8 @@ def _waymo_base(name: str) -> SRFDetConfig:
         loss=LossConfig(code_weights=(1.0,) * 8, num_classes=3),
         test=TestConfig(post_center_range=(-80.0, -80.0, -10.0, 80.0, 80.0,
                                            10.0)),
+        # Waymo schedule: 36 epochs, warmup 6*500 (waymo_L.py:330,348)
+        optim=OptimConfig(epochs=36, warmup_iters=3000),
         # reference waymo_L.py:220-229: flips h/v, scale 0.95-1.05, no
         # translation noise
         aug=AugConfig(scale_range=(0.95, 1.05),
@@ -187,10 +219,21 @@ def srfdet_dvoxel_waymo_L() -> SRFDetConfig:
 
 def srfdet_dvoxel_waymo_LC() -> SRFDetConfig:
     """configs/others/srfdet_dvoxel_waymo_LC.py (ResNet-101, 5 cameras)."""
-    return _waymo_base("srfdet_dvoxel_waymo_LC").replace(
+    base = _waymo_base("srfdet_dvoxel_waymo_LC")
+    return base.replace(
         use_img=True,
-        img=ImgBranchConfig(backbone="resnet-101", num_cams=5),
-        optim=OptimConfig(freeze_lidar=True), aug=AugConfig.none())
+        # ResNet-101, frozen_stages=1, images resized to 960x640, 128-ch
+        # image FPN (reference dvoxel_waymo_LC.py:61-82,268)
+        img=ImgBranchConfig(backbone="resnet-101", num_cams=5,
+                            img_shape=(640, 960), mode="resize",
+                            frozen_stages=1, neck_out_channels=128),
+        # feat_channels_img == hidden_dim == 128 -> no img_convs reduce
+        # (dvoxel_waymo_LC.py:148-149)
+        head=dataclasses.replace(base.head, feat_channels_img=128),
+        # LC fine-tune: batch 2, 15 epochs, warmup 6*500 (:303,364,382)
+        optim=OptimConfig(freeze_lidar=True, batch_size_per_device=2,
+                          epochs=15, warmup_iters=3000),
+        aug=AugConfig.none())
 
 
 def srfdet_dvoxel_nusc_L() -> SRFDetConfig:
@@ -201,7 +244,15 @@ def srfdet_dvoxel_nusc_L() -> SRFDetConfig:
         voxels_cap=160000,
         vfe=VFEConfig(kind="dynamic", in_channels=5, feat_channels=(5, 5),
                       with_centroid_aware=False),
-        middle=MiddleConfig(kind="sparse", in_channels=5))
+        middle=MiddleConfig(kind="sparse", in_channels=5),
+        # wider decoder than the hard-voxel flagship: 256-ch FPN + head,
+        # 6 iterations, dim_feedforward=1024, dynamic_dim=64
+        # (reference dvoxel_nusc_L.py:87,95,100,133,137)
+        neck_out_channels=256,
+        head=HeadConfig(feat_channels_lidar=256, num_heads=6,
+                        dim_feedforward=1024, dynamic_dim=64),
+        # batch 4 per device (dvoxel_nusc_L.py:315)
+        optim=OptimConfig(batch_size_per_device=4))
 
 
 CONFIGS = {

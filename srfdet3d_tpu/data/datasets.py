@@ -138,8 +138,11 @@ class SRFDetDataset:
                             bx[:, :3], lidar2img[v], img_hw)
                     g_m = in_view(gt_boxes)
                     p_m = in_view(pred)
-                    # de-normalize for display
-                    img = images[v] * IMAGENET_STD + IMAGENET_MEAN
+                    # de-normalize for display (stored channel order is
+                    # BGR when cfg.img.bgr — see _prep_image)
+                    rgb = (images[v][..., ::-1] if self.cfg.img.bgr
+                           else images[v])
+                    img = rgb * IMAGENET_STD + IMAGENET_MEAN
                     show_multi_modality_result(
                         img[..., ::-1],          # RGB -> BGR
                         pred[p_m][:, :7] if p_m.any() else pred[:0, :7],
@@ -179,6 +182,12 @@ class SRFDetDataset:
                 # geometric augs are config-gated: the reference's LC
                 # pipelines drop them (no lidar2img compensation — see
                 # AugConfig)
+                if cfg.aug.object_noise:
+                    points, boxes = T.object_noise(
+                        points, boxes, rng,
+                        trans_std=tuple(cfg.aug.object_noise_trans),
+                        rot_range=tuple(cfg.aug.object_noise_rot),
+                        num_try=cfg.aug.object_noise_tries)
                 if cfg.aug.rot_scale_trans:
                     points, boxes = T.global_rot_scale_trans(
                         points, boxes, rng,
@@ -232,6 +241,41 @@ def are_points_in_image(points: np.ndarray, lidar2img: np.ndarray,
 # nuScenes camera order used by the mmdet3d infos
 NUS_CAMS = ("CAM_FRONT", "CAM_FRONT_RIGHT", "CAM_FRONT_LEFT", "CAM_BACK",
             "CAM_BACK_LEFT", "CAM_BACK_RIGHT")
+
+
+def _prep_image(img: np.ndarray, icfg) -> "tuple[np.ndarray, float, float]":
+    """Normalize + fit one RGB image to icfg.img_shape.
+
+    mode="pad": mmcv Normalize + Pad(size_divisor) semantics (reference
+    srfdet_voxel_nusc_LC.py:246-247) — the native image sits unscaled at
+    the top-left of a zero canvas; lidar2img is unchanged (sx=sy=1).
+    Falls back to resize when the source exceeds the canvas.
+    mode="resize": scale to img_shape; the caller rescales lidar2img by
+    the returned (sx, sy) (reference ResizeImageMultiViewImage,
+    transform_3d.py:270).
+
+    icfg.bgr flips the channel axis AFTER RGB normalization — identical
+    to mmcv's to_rgb=False BGR mean/std on a BGR-loaded image (the
+    constants are exact mirrors), reference img_norm_cfg.
+    Returns (normalized (H, W, 3) float32, sx, sy).
+    """
+    h0, w0 = img.shape[:2]
+    h_t, w_t = icfg.img_shape
+    if icfg.mode == "pad" and h0 <= h_t and w0 <= w_t:
+        norm = (img.astype(np.float32) - IMAGENET_MEAN) / IMAGENET_STD
+        out = np.zeros((h_t, w_t, 3), np.float32)
+        out[:h0, :w0] = norm
+        sx = sy = 1.0
+    else:
+        from PIL import Image
+        img = np.asarray(
+            Image.fromarray(img.astype(np.uint8)).resize((w_t, h_t)),
+            np.float32)
+        out = (img - IMAGENET_MEAN) / IMAGENET_STD
+        sx, sy = w_t / w0, h_t / h0
+    if icfg.bgr:
+        out = out[..., ::-1]
+    return np.ascontiguousarray(out), sx, sy
 IMAGENET_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
 IMAGENET_STD = np.array([58.395, 57.12, 57.375], np.float32)
 
@@ -275,14 +319,12 @@ class NuScenesDataset(SRFDetDataset):
 
     def load_images(self, info: Dict):
         imgs, l2is = [], []
-        h_t, w_t = self.cfg.img.img_shape
         for cam in NUS_CAMS:
             c = info["cams"][cam]
             path = c["data_path"]
             if not os.path.isabs(path):
                 path = os.path.join(self.data_root, path)
             img = _load_image(path)
-            h0, w0 = img.shape[:2]
             # lidar -> cam (reference nuscenes_dataset.py:55-70)
             l2c_r = np.linalg.inv(
                 np.asarray(c["sensor2lidar_rotation"]))
@@ -293,15 +335,11 @@ class NuScenesDataset(SRFDetDataset):
             intr = np.eye(4)
             intr[:3, :3] = np.asarray(c["cam_intrinsic"])
             l2i = intr @ l2c
-            # resize to network input; scale the projection accordingly
-            sy, sx = h_t / h0, w_t / w0
-            from PIL import Image
-            img = np.asarray(
-                Image.fromarray(img.astype(np.uint8)).resize(
-                    (w_t, h_t)), np.float32)
-            scale = np.diag([sx, sy, 1.0, 1.0])
-            l2i = scale @ l2i
-            imgs.append((img - IMAGENET_MEAN) / IMAGENET_STD)
+            # pad or resize to network input (see _prep_image); scale the
+            # projection by the applied resize factors
+            img, sx, sy = _prep_image(img, self.cfg.img)
+            l2i = np.diag([sx, sy, 1.0, 1.0]) @ l2i
+            imgs.append(img)
             l2is.append(l2i)
         return np.stack(imgs), np.stack(l2is).astype(np.float32)
 
@@ -340,8 +378,6 @@ class KittiDataset(SRFDetDataset):
         if path and not os.path.isabs(path):
             path = os.path.join(self.data_root, path)
         img = _load_image(path)
-        h0, w0 = img.shape[:2]
-        h_t, w_t = self.cfg.img.img_shape
         r0 = np.eye(4, dtype=np.float32)
         r0[:3, :3] = np.asarray(calib["R0_rect"], np.float32)[:3, :3]
         tr = np.asarray(calib["Tr_velo_to_cam"], np.float32)
@@ -350,12 +386,8 @@ class KittiDataset(SRFDetDataset):
         ph = np.eye(4, dtype=np.float32)
         ph[:3, :4] = np.asarray(p_mat, np.float32)[:3, :4]
         l2i = ph @ r0 @ tr
-        from PIL import Image
-        img = np.asarray(Image.fromarray(img.astype(np.uint8)).resize(
-            (w_t, h_t)), np.float32)
-        l2i = np.diag([w_t / w0, h_t / h0, 1.0, 1.0]).astype(
-            np.float32) @ l2i
-        img = (img - IMAGENET_MEAN) / IMAGENET_STD
+        img, sx, sy = _prep_image(img, self.cfg.img)
+        l2i = np.diag([sx, sy, 1.0, 1.0]).astype(np.float32) @ l2i
         return img, l2i
 
     def load_images(self, info: Dict):

@@ -169,6 +169,47 @@ def random_flip_3d(points: np.ndarray,
     return points, boxes, (flip_h, flip_v)
 
 
+def object_noise(points: np.ndarray, boxes: Optional[np.ndarray],
+                 rng: np.random.Generator,
+                 trans_std: Tuple[float, float, float] = (1.0, 1.0, 0.5),
+                 rot_range: Tuple[float, float] = (-0.78539816, 0.78539816),
+                 num_try: int = 100):
+    """Per-object noise (mmdet3d ObjectNoise; reference
+    srfdet_voxel_kitti_L.py:247-251): each GT box gets an independent
+    random yaw rotation about its OWN center plus a gaussian translation,
+    applied to the box and to the points inside it.  A candidate noise is
+    rejected (up to num_try draws) if the moved box would collide with any
+    other current box in BEV — the same coarse circle test the DBSampler
+    uses.  Point membership is computed once up front, like mmdet3d's
+    noise_per_object_v3_.
+    """
+    if boxes is None or len(boxes) == 0:
+        return points, boxes
+    from .box_np import points_in_boxes_3d
+    boxes = boxes.copy()
+    points = points.copy()
+    inside = points_in_boxes_3d(points[:, :3], boxes)      # (N, M)
+    for i in range(len(boxes)):
+        others = np.delete(boxes, i, axis=0)
+        for _ in range(num_try):
+            trans = rng.normal(scale=trans_std, size=3).astype(points.dtype)
+            ang = float(rng.uniform(*rot_range))
+            cand = boxes[i].copy()
+            cand[:3] += trans
+            cand[6] += ang
+            if DBSampler._bev_iou(cand[None, :7], others[:, :7]).any():
+                continue
+            m = inside[:, i]
+            c, s = np.cos(ang), np.sin(ang)
+            rot = np.array([[c, -s], [s, c]], points.dtype)
+            rel = points[m, :2] - boxes[i, :2]
+            points[m, :2] = rel @ rot.T + boxes[i, :2] + trans[:2]
+            points[m, 2] += trans[2]
+            boxes[i] = cand
+            break
+    return points, boxes
+
+
 def points_range_filter(points: np.ndarray,
                         pc_range: Sequence[float]) -> np.ndarray:
     m = ((points[:, 0] >= pc_range[0]) & (points[:, 0] <= pc_range[3]) &

@@ -156,3 +156,95 @@ def test_img_resize_preserves_normalized_floats():
     img = np.full((8, 8, 3), -1.7, np.float32)
     out = _resize(img, (4, 4))
     np.testing.assert_allclose(out, -1.7, atol=1e-5)
+
+
+def test_object_noise_moves_points_with_boxes():
+    """ObjectNoise (reference kitti_L.py:247-251): each box gets its own
+    yaw+translation noise; points inside move rigidly with it, points
+    outside are untouched, and the point-in-box relationship survives."""
+    from srfdet3d_tpu.data.box_np import points_in_boxes_3d
+    from srfdet3d_tpu.data.transforms import object_noise
+    rng = np.random.default_rng(0)
+    boxes = np.array([
+        [0.0, 0.0, 0.0, 2.0, 4.0, 1.5, 0.3],
+        [20.0, 20.0, 0.0, 2.0, 4.0, 1.5, -0.5],
+    ], np.float32)
+    # points well inside each box + far-away outsiders
+    # box z is BOTTOM center (see test_object_sample_removal_is_3d...):
+    # box 0 spans z in [0, 1.5]
+    inside0 = np.array([[0.2, 0.5, 0.2, 9.0], [-0.3, -1.0, 0.7, 9.0]],
+                       np.float32)
+    inside1 = np.array([[20.1, 19.5, 0.1, 9.0]], np.float32)
+    outside = np.array([[50.0, 50.0, 0.0, 9.0]], np.float32)
+    pts = np.concatenate([inside0, inside1, outside], axis=0)
+    new_pts, new_boxes = object_noise(pts, boxes, rng)
+    # outsiders untouched
+    np.testing.assert_array_equal(new_pts[3], outside[0])
+    # some noise was actually applied (trans_std=1 makes this sure)
+    assert not np.allclose(new_boxes, boxes)
+    # extra feature dims survive
+    np.testing.assert_array_equal(new_pts[:, 3], 9.0)
+    # rigid motion: interior points stay inside their (moved) boxes
+    m = points_in_boxes_3d(new_pts[:3, :3], new_boxes)
+    np.testing.assert_array_equal(m[:, 0], [True, True, False])
+    np.testing.assert_array_equal(m[:, 1], [False, False, True])
+    # rigid motion preserves the box-frame offsets: distances between the
+    # two points of box 0 are unchanged
+    d_old = np.linalg.norm(inside0[0, :3] - inside0[1, :3])
+    d_new = np.linalg.norm(new_pts[0, :3] - new_pts[1, :3])
+    np.testing.assert_allclose(d_new, d_old, rtol=1e-5)
+
+
+def test_object_noise_empty_and_none():
+    from srfdet3d_tpu.data.transforms import object_noise
+    rng = np.random.default_rng(0)
+    pts = np.zeros((5, 4), np.float32)
+    p2, b2 = object_noise(pts, np.zeros((0, 7), np.float32), rng)
+    np.testing.assert_array_equal(p2, pts)
+    p3, b3 = object_noise(pts, None, rng)
+    assert b3 is None
+
+
+def test_prep_image_pad_mode():
+    """mode='pad' = mmcv Normalize + Pad: unscaled top-left placement,
+    zero padding, identity projection scale (reference
+    srfdet_voxel_nusc_LC.py:246-247)."""
+    from srfdet3d_tpu.config import ImgBranchConfig
+    from srfdet3d_tpu.data.datasets import (IMAGENET_MEAN, IMAGENET_STD,
+                                            _prep_image)
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (9, 16, 3)).astype(np.float32)
+    icfg = ImgBranchConfig(img_shape=(12, 16), mode="pad", bgr=False)
+    out, sx, sy = _prep_image(img, icfg)
+    assert out.shape == (12, 16, 3) and sx == 1.0 and sy == 1.0
+    np.testing.assert_allclose(
+        out[:9], (img - IMAGENET_MEAN) / IMAGENET_STD, rtol=1e-5)
+    np.testing.assert_array_equal(out[9:], 0.0)
+
+
+def test_prep_image_bgr_mirrors_reference_norm():
+    """bgr=True must equal mmcv to_rgb=False semantics: normalize the
+    BGR-ordered image with the BGR-ordered mean/std (the constants are
+    exact mirrors of the RGB ones)."""
+    from srfdet3d_tpu.config import ImgBranchConfig
+    from srfdet3d_tpu.data.datasets import (IMAGENET_MEAN, IMAGENET_STD,
+                                            _prep_image)
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (8, 8, 3)).astype(np.float32)
+    icfg = ImgBranchConfig(img_shape=(8, 8), mode="pad", bgr=True)
+    out, _, _ = _prep_image(img, icfg)
+    bgr_img = img[..., ::-1]
+    expect = (bgr_img - IMAGENET_MEAN[::-1]) / IMAGENET_STD[::-1]
+    np.testing.assert_allclose(out, expect, rtol=1e-5)
+
+
+def test_prep_image_resize_fallback():
+    """Sources larger than the canvas fall back to resize with the
+    projection rescale factors returned."""
+    from srfdet3d_tpu.config import ImgBranchConfig
+    from srfdet3d_tpu.data.datasets import _prep_image
+    img = np.zeros((20, 40, 3), np.float32)
+    icfg = ImgBranchConfig(img_shape=(10, 20), mode="pad", bgr=False)
+    out, sx, sy = _prep_image(img, icfg)
+    assert out.shape == (10, 20, 3)
+    assert sx == 0.5 and sy == 0.5
