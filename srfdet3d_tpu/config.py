@@ -78,6 +78,9 @@ class ImgBranchConfig:
     neck_out_channels: int = 256
     neck_num_outs: int = 4
     relu_before_extra_convs: bool = True
+    # only the waymo_LC img_neck carries BN+ReLU ConvModules
+    # (dvoxel_waymo_LC.py:74-76); the other img_necks are plain
+    neck_norm: bool = False
     num_cams: int = 6
     img_shape: Tuple[int, int] = (928, 1600)   # (H, W) network input
     # "pad": place the native image unscaled at the top-left of the
@@ -208,6 +211,11 @@ class SRFDetConfig:
     backbone: BackboneConfig = BackboneConfig()
     neck_out_channels: int = 128
     neck_num_outs: int = 4
+    # pts_neck extra-level mode: True = add_extra_convs='on_output'
+    # (nusc voxel / waymo / dvoxel configs); False = mmdet's default
+    # stride-2 max-pool (pillar + KITTI configs never set
+    # add_extra_convs, e.g. srfdet_pillar_nusc_L.py:67-78)
+    neck_extra_convs: bool = True
     img: Optional[ImgBranchConfig] = None
     head: HeadConfig = HeadConfig()
     ota: OTAConfig = OTAConfig()

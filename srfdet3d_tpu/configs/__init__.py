@@ -84,6 +84,9 @@ def _pillar_base() -> SRFDetConfig:
         backbone=BackboneConfig(out_channels=(64, 128, 256),
                                 layer_nums=(3, 5, 5),
                                 layer_strides=(2, 2, 2)),
+        # pillar pts_neck never sets add_extra_convs -> mmdet max-pool
+        # extra level (pillar_nusc_L.py:67-78)
+        neck_extra_convs=False,
         head=HeadConfig(lidar_strides=(2, 4, 8, 16)),
         test=TestConfig(post_center_range=(
             -61.2, -61.2, -10.0, 61.2, 61.2, 10.0)),
@@ -142,6 +145,9 @@ def _kitti_base() -> SRFDetConfig:
             block_type="conv_module",
             capacities=(40000, 25000, 15000, 15000)),
         neck_out_channels=256,
+        # KITTI pts_neck never sets add_extra_convs -> mmdet max-pool
+        # extra levels (srfdet_voxel_kitti_L.py:78-90)
+        neck_extra_convs=False,
         # wider refinement heads on KITTI: dim_feedforward=1024,
         # dynamic_dim=64 (reference srfdet_voxel_kitti_L.py:133,138)
         head=HeadConfig(num_classes=3, feat_channels_lidar=256,
@@ -226,7 +232,10 @@ def srfdet_dvoxel_waymo_LC() -> SRFDetConfig:
         # image FPN (reference dvoxel_waymo_LC.py:61-82,268)
         img=ImgBranchConfig(backbone="resnet-101", num_cams=5,
                             img_shape=(640, 960), mode="resize",
-                            frozen_stages=1, neck_out_channels=128),
+                            frozen_stages=1, neck_out_channels=128,
+                            # only this img_neck has BN+ReLU ConvModules
+                            # (dvoxel_waymo_LC.py:74-76)
+                            neck_norm=True),
         # feat_channels_img == hidden_dim == 128 -> no img_convs reduce
         # (dvoxel_waymo_LC.py:148-149)
         head=dataclasses.replace(base.head, feat_channels_img=128),
@@ -274,6 +283,7 @@ def tiny_kitti_test_config(**overrides) -> SRFDetConfig:
         name="tiny_kitti",
         dataset="kitti",
         class_names=("Pedestrian", "Cyclist", "Car"),
+        neck_extra_convs=False,     # KITTI family: max-pool FPN extras
         pc_range=pc,
         voxel_size=(0.25, 0.25, 0.1),     # 80 x 80 x 40 grid
         points_dim=4,

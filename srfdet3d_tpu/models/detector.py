@@ -138,6 +138,7 @@ class SRFDet(nn.Module):
                         dtype=self.dtype, name="pts_backbone")(x, train=train)
         return FPN(out_channels=cfg.neck_out_channels,
                    num_outs=cfg.neck_num_outs, use_norm=True, use_act=True,
+                   extra_convs=cfg.neck_extra_convs,
                    dtype=self.dtype, name="pts_neck")(stages, train=train)
 
     def extract_img_features(self, images: jnp.ndarray,
@@ -166,6 +167,7 @@ class SRFDet(nn.Module):
         feats = FPN(out_channels=icfg.neck_out_channels,
                     num_outs=icfg.neck_num_outs,
                     relu_before_extra_convs=icfg.relu_before_extra_convs,
+                    use_norm=icfg.neck_norm, use_act=icfg.neck_norm,
                     dtype=self.dtype, name="img_neck")(stages, train=train)
         return tuple(
             f.reshape((b, n_cam) + f.shape[1:]) for f in feats)

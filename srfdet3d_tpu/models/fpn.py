@@ -4,6 +4,11 @@ Configs exercised (srfdet_voxel_nusc_LC.py:55-66, 97-106):
   - lateral 1x1 convs + top-down nearest upsample + 3x3 output convs,
   - num_outs > num_ins extra levels via stride-2 3x3 convs
     (`add_extra_convs='on_output'`), optional ReLU before extra convs,
+  - `extra_convs=False`: mmdet's add_extra_convs=False default — extra
+    levels are `max_pool2d(out[-1], 1, stride=2)`, i.e. a parameter-free
+    stride-2 subsample.  The pillar and KITTI pts_necks use this mode
+    (their configs never set add_extra_convs, e.g.
+    srfdet_pillar_nusc_L.py:67-78, srfdet_voxel_kitti_L.py:78-90),
   - optional BN in every ConvModule (pts neck uses BN).
 """
 
@@ -30,6 +35,9 @@ class FPN(nn.Module):
     use_norm: bool = False
     use_act: bool = False
     relu_before_extra_convs: bool = False
+    # True = add_extra_convs='on_output' (stride-2 convs); False = mmdet
+    # default (parameter-free stride-2 max-pool of the last output)
+    extra_convs: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -56,6 +64,10 @@ class FPN(nn.Module):
         # mmdet applies relu_before_extra_convs only from the SECOND extra
         # conv on — the first consumes outs[-1] raw (mmdet fpn.py forward)
         for i in range(self.num_outs - num_ins):
+            if not self.extra_convs:
+                # max_pool2d(kernel=1, stride=2) == top-left subsample
+                outs.append(outs[-1][..., ::2, ::2, :])
+                continue
             src = outs[-1]
             if self.relu_before_extra_convs and i > 0:
                 src = nn.relu(src)

@@ -178,12 +178,14 @@ def convert_sparse_encoder(state: Dict, cfg, params: Dict, stats: Dict,
 
 def convert_fpn(state: Dict, torch_prefix: str, our_prefix: str,
                 num_ins: int, num_outs: int, params: Dict, stats: Dict,
-                with_bn: bool = True) -> None:
+                with_bn: bool = True, extra_convs: bool = True) -> None:
     """mmdet FPN -> our FPN naming.
 
     torch: lateral_convs.{i}.conv/.bn, fpn_convs.{i}.conv/.bn with the
     extra 'on_output' convs APPENDED to fpn_convs (indices num_ins..).
     ours: lateral_{i}, fpn_{i}, extra_{i} ConvBNReLU modules.
+    extra_convs=False (pillar/KITTI pts_necks): the extra levels are
+    parameter-free max-pools — nothing to convert past num_ins.
     """
     def one(tmod: str, our_name: str) -> None:
         p = {"Conv_0": {"kernel": conv2d_w(state[f"{tmod}.conv.weight"])}}
@@ -198,8 +200,9 @@ def convert_fpn(state: Dict, torch_prefix: str, our_prefix: str,
     for i in range(num_ins):
         one(f"{torch_prefix}.lateral_convs.{i}", f"lateral_{i}")
         one(f"{torch_prefix}.fpn_convs.{i}", f"fpn_{i}")
-    for e in range(num_outs - num_ins):
-        one(f"{torch_prefix}.fpn_convs.{num_ins + e}", f"extra_{e}")
+    if extra_convs:
+        for e in range(num_outs - num_ins):
+            one(f"{torch_prefix}.fpn_convs.{num_ins + e}", f"extra_{e}")
 
 
 def convert_single_head(state: Dict, t: int, modality: str = "lidar",
@@ -343,7 +346,8 @@ def convert_reference_state_dict(state: Dict, cfg,
         batch_stats["pts_backbone"] = bb_s
     if any(k.startswith("pts_neck.") for k in state):
         convert_fpn(state, "pts_neck", "pts_neck", len(cfg.backbone.out_channels),
-                    cfg.neck_num_outs, params, batch_stats)
+                    cfg.neck_num_outs, params, batch_stats,
+                    extra_convs=cfg.neck_extra_convs)
     if any(k.startswith("bbox_head.") for k in state):
         convert_head(state, cfg, params, batch_stats)
     return {"params": params, "batch_stats": batch_stats}

@@ -99,6 +99,8 @@ def test_pillar_nusc_L():
     assert c.backbone.layer_nums == (3, 5, 5)                     # :59
     assert c.backbone.layer_strides == (2, 2, 2)                  # :60
     assert c.head.lidar_strides == (2, 4, 8, 16)                  # :143
+    # pts_neck sets NO add_extra_convs -> mmdet max-pool extras (:77-78)
+    assert not c.neck_extra_convs
     assert c.head.dim_feedforward == 512 and c.head.dynamic_dim == 32
     assert c.optim.batch_size_per_device == 6 and c.optim.epochs == 20
 
@@ -128,6 +130,7 @@ def test_voxel_kitti_L():
     assert c.vfe.kind == "dynamic" and c.vfe.feat_channels == (4,)  # :43
     assert c.middle.block_type == "conv_module"
     assert c.neck_out_channels == 256                             # :83
+    assert not c.neck_extra_convs        # no add_extra_convs (:78-90)
     assert c.head.feat_channels_lidar == 256                      # :95
     assert c.head.hidden_dim == 128                               # default
     assert c.head.dim_feedforward == 1024                         # :133
@@ -169,6 +172,7 @@ def test_dvoxel_waymo_L():
     assert c.grid_size == (1536, 1536, 40)                        # :9
     assert c.vfe.feat_channels == (5, 5)                          # :39
     assert c.neck_out_channels == 128                             # :80
+    assert c.neck_extra_convs            # add_extra_convs='on_output' (:83)
     assert c.head.feat_channels_lidar == 128                      # :88
     assert c.head.dim_feedforward == 512 and c.head.dynamic_dim == 32
     assert c.optim.epochs == 36 and c.optim.warmup_iters == 3000  # :348,330
@@ -183,6 +187,7 @@ def test_dvoxel_waymo_LC():
     assert c.img.frozen_stages == 1                                # :64
     assert c.img.neck_out_channels == 128                          # :79
     assert c.img.img_shape == (640, 960)                           # :268
+    assert c.img.neck_norm               # BN+ReLU img_neck (:74-76)
     assert c.img.mode == "resize" and c.img.bgr                    # :268,:20
     assert c.head.feat_channels_img == 128                         # :148
     assert c.head.hidden_dim == 128                                # :149

@@ -113,3 +113,23 @@ def test_all_named_configs_construct():
         assert cfg.name == name
         assert cfg.num_classes == len(cfg.class_names)
         assert len(cfg.grid_size) == 3
+
+
+def test_fpn_pool_extra_levels_match_mmdet_semantics():
+    """extra_convs=False must reproduce mmdet's default
+    F.max_pool2d(out[-1], 1, stride=2) extra levels (parameter-free
+    subsample) used by the pillar/KITTI pts_necks."""
+    from srfdet3d_tpu.models.fpn import FPN
+    rng = np.random.default_rng(0)
+    ins = [jnp.asarray(rng.normal(size=(2, 16, 16, 8)).astype(np.float32)),
+           jnp.asarray(rng.normal(size=(2, 8, 8, 12)).astype(np.float32))]
+    fpn = FPN(out_channels=8, num_outs=4, extra_convs=False)
+    vars_ = fpn.init(jax.random.PRNGKey(0), ins)
+    outs = fpn.apply(vars_, ins)
+    assert len(outs) == 4
+    # no extra conv params exist
+    assert not any(k.startswith("extra") for k in vars_["params"])
+    np.testing.assert_array_equal(np.asarray(outs[2]),
+                                  np.asarray(outs[1][:, ::2, ::2, :]))
+    np.testing.assert_array_equal(np.asarray(outs[3]),
+                                  np.asarray(outs[2][:, ::2, ::2, :]))
