@@ -81,6 +81,12 @@ class ImgBranchConfig:
     # only the waymo_LC img_neck carries BN+ReLU ConvModules
     # (dvoxel_waymo_LC.py:74-76); the other img_necks are plain
     neck_norm: bool = False
+    # mmdet ResNet knobs (ignored by VoVNet): 'pytorch' puts the
+    # bottleneck stride on the 3x3 conv, 'caffe' on the first 1x1
+    # (waymo_LC R101 is caffe, dvoxel_waymo_LC.py:66); stage_with_dcn
+    # swaps the 3x3 for a DCNv2 modulated deformable conv per stage
+    resnet_style: str = "pytorch"
+    stage_with_dcn: Tuple[bool, ...] = (False, False, False, False)
     num_cams: int = 6
     img_shape: Tuple[int, int] = (928, 1600)   # (H, W) network input
     # "pad": place the native image unscaled at the top-left of the

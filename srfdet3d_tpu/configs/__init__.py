@@ -235,7 +235,11 @@ def srfdet_dvoxel_waymo_LC() -> SRFDetConfig:
                             frozen_stages=1, neck_out_channels=128,
                             # only this img_neck has BN+ReLU ConvModules
                             # (dvoxel_waymo_LC.py:74-76)
-                            neck_norm=True),
+                            neck_norm=True,
+                            # caffe-style R101 with DCNv2 in stages 3-4
+                            # (dvoxel_waymo_LC.py:66-67)
+                            resnet_style="caffe",
+                            stage_with_dcn=(False, False, True, True)),
         # feat_channels_img == hidden_dim == 128 -> no img_convs reduce
         # (dvoxel_waymo_LC.py:148-149)
         head=dataclasses.replace(base.head, feat_channels_img=128),

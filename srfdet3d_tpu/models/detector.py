@@ -156,7 +156,9 @@ class SRFDet(nn.Module):
                             name="img_backbone")(x, train=bb_train)
         else:
             depth = int(icfg.backbone.split("-")[1])
-            stages = ResNet(depth, dtype=self.dtype,
+            stages = ResNet(depth, style=icfg.resnet_style,
+                            stage_with_dcn=tuple(icfg.stage_with_dcn),
+                            dtype=self.dtype,
                             name="img_backbone")(x, train=bb_train)
         if train and self.cfg.optim.freeze_img:
             # reference freeze_img freezes ONLY the backbone (srfdet.py:
