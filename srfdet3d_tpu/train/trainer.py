@@ -1,10 +1,10 @@
 """GSPMD data-parallel trainer: AdamW + grad clip + warmup-cosine.
 
 Replaces the reference's mmcv Runner + DDP stack (tools/train.py:101-318):
-  - optimizer: AdamW lr=1e-4 wd=0.01, grad clip 35 (cfg
-    srfdet_voxel_nusc_L.py:346-352)
-  - schedule: linear warmup (1000 iters, ratio 1/3) into cosine annealing to
-    min_lr_ratio=1e-3 (cfg :354-360)
+  - optimizer: AdamW lr=2e-4 wd=0.01, grad clip 35 (cfg
+    srfdet_voxel_nusc_L.py:337-346)
+  - schedule: linear warmup (cfg.optim.warmup_iters, ratio 1/3) into cosine
+    annealing to min_lr_ratio=1e-3 (cfg :348-353)
   - freeze_img (srfdet.py:83-89) and freeze_lidar_components
     (tools/train.py:221-276) become optax.masked zero-updates plus
     BN-in-eval handled by the modules' train flags
@@ -74,8 +74,9 @@ def freeze_mask(params, cfg: SRFDetConfig):
                             # BEV encoder (train.py:229-234)
                             ("bbox_head", "lidar_encoder")]
 
-    # frozen_stages: stem + the first (fs - 1) stages stay frozen even
-    # when the rest of the image backbone trains
+    # frozen_stages=N freezes the stem PLUS stages 1..N — reference
+    # vovnet.py:353-364 (`range(1, frozen_stages + 1)` over stage{i+1})
+    # and mmdet ResNet (same loop over layer{i})
     fs = cfg.img.frozen_stages if (cfg.img and not cfg.optim.freeze_img) \
         else 0
     stage_prefixes = []
@@ -83,7 +84,7 @@ def freeze_mask(params, cfg: SRFDetConfig):
         stage_prefixes += [("img_backbone", "stem"),      # VoVNet stems
                            ("img_backbone", "Conv_0"),    # ResNet root
                            ("img_backbone", "BatchNorm_0")]
-        for s in range(1, fs):
+        for s in range(1, fs + 1):
             stage_prefixes.append(("img_backbone", f"stage{s + 1}_"))
             stage_prefixes.append(("img_backbone", f"layer{s}_"))
 

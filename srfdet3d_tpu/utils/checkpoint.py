@@ -61,13 +61,20 @@ def load_partial(params: Any, ckpt_path: str, prefix: str = "") -> Any:
     params = jax.tree_util.tree_map(lambda x: x, params)   # shallow copy
     n_hit = 0
 
-    def merge(dst, s):
+    def merge(dst, s, path=""):
         nonlocal n_hit
         out = dict(dst)
         for k, v in s.items():
             if k in out and isinstance(v, dict) and isinstance(out[k], dict):
-                out[k] = merge(out[k], v)
+                out[k] = merge(out[k], v, f"{path}/{k}")
             elif k in out:
+                dshape = getattr(out[k], "shape", None)
+                sshape = getattr(v, "shape", None)
+                if dshape is not None and sshape is not None \
+                        and tuple(dshape) != tuple(sshape):
+                    raise ValueError(
+                        f"load_partial: shape mismatch at {path}/{k}: "
+                        f"model {tuple(dshape)} vs ckpt {tuple(sshape)}")
                 out[k] = v
                 n_hit += 1
         return out

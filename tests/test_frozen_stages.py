@@ -37,11 +37,15 @@ def test_frozen_stages_vovnet():
 
     frozen = {top2(k) for k, v in flat if not v}
     trained = {top2(k) for k, v in flat if v}
-    # fs=2: stems + stage2 frozen; stage3+ and everything else trainable
+    # fs=2 freezes stem + stages 1..2 = stem, stage2, stage3 (reference
+    # vovnet.py:353-364: range(1, frozen_stages + 1) over stage{i+1});
+    # stage4+ and everything else trainable
     assert ("img_backbone", "stem1") in frozen
     assert any(t[1].startswith("stage2_") for t in frozen
                if t[0] == "img_backbone")
-    assert any(t[1].startswith("stage3_") for t in trained
+    assert any(t[1].startswith("stage3_") for t in frozen
+               if t[0] == "img_backbone")
+    assert any(t[1].startswith("stage4_") for t in trained
                if t[0] == "img_backbone")
     assert ("bbox_head",) == tuple(
         t[:1] for t in trained if t[0] == "bbox_head")[0]
