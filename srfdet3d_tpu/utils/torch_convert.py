@@ -205,6 +205,107 @@ def convert_fpn(state: Dict, torch_prefix: str, our_prefix: str,
             one(f"{torch_prefix}.fpn_convs.{num_ins + e}", f"extra_{e}")
 
 
+def convert_vovnet(state: Dict, torch_prefix: str, spec_name: str,
+                   params: Dict, stats: Dict) -> None:
+    """VoVNet -> our flax names.
+
+    torch (reference vovnet.py OrderedDict naming): stem.stem_{k}/conv|norm,
+    stage{S}.OSA{S}_{B}.layers.{i}.OSA{S}_{B}_{i}/conv|norm,
+    .concat.OSA{S}_{B}_concat/conv|norm, .ese.fc.
+    ours (models/vovnet.py): stem{k}, stage{S}_block{B-1} with
+    conv{i}/concat/ese submodules."""
+    from ..models.vovnet import VOVNET_SPECS
+    spec = VOVNET_SPECS[spec_name]
+
+    def convbn(tkey, opath):
+        _set(params, opath + ("Conv_0",),
+             {"kernel": conv2d_w(state[f"{tkey}/conv.weight"])})
+        s, st = bn(state, f"{tkey}/norm")
+        _set(params, opath + ("BatchNorm_0",), s)
+        _set(stats, opath + ("BatchNorm_0",), st)
+
+    for k in (1, 2, 3):
+        convbn(f"{torch_prefix}.stem.stem_{k}", (f"stem{k}",))
+    for si, nblocks in enumerate(spec["block_per_stage"]):
+        s = si + 2
+        for b in range(nblocks):
+            tm = f"{torch_prefix}.stage{s}.OSA{s}_{b + 1}"
+            om = f"stage{s}_block{b}"
+            for i in range(spec["layer_per_block"]):
+                convbn(f"{tm}.layers.{i}.OSA{s}_{b + 1}_{i}",
+                       (om, f"conv{i}"))
+            convbn(f"{tm}.concat.OSA{s}_{b + 1}_concat", (om, "concat"))
+            _set(params, (om, "ese", "Conv_0"), {
+                "kernel": conv2d_w(state[f"{tm}.ese.fc.weight"]),
+                "bias": np.asarray(state[f"{tm}.ese.fc.bias"])})
+
+
+def dcn_w(w) -> np.ndarray:
+    """mmcv ModulatedDeformConv2d weight (Cout, Cin, kh, kw) -> our
+    tap-major (kh*kw*Cin, Cout) (models/deform_conv.py layout)."""
+    w = np.asarray(w)
+    cout, cin, kh, kw = w.shape
+    return np.transpose(w, (2, 3, 1, 0)).reshape(kh * kw * cin, cout)
+
+
+def convert_resnet(state: Dict, torch_prefix: str, depth: int,
+                   params: Dict, stats: Dict,
+                   stage_with_dcn=(False, False, False, False)) -> None:
+    """mmdet ResNet -> our flax names.
+
+    torch: conv1/bn1 stem, layer{l}.{i}.conv{1,2,3}|bn{1,2,3},
+    downsample.0|1; DCN bottlenecks store the deformable weight at conv2
+    plus conv2.conv_offset.  ours (models/resnet.py): Conv_0/BatchNorm_0
+    stem, layer{l}_{i} blocks whose flax auto-names are _ConvBN_0/1/2
+    (plain bottleneck), or _ConvBN_0 + dcn2 + BatchNorm_0 + _ConvBN_1
+    (DCN bottleneck), plus 'down'."""
+    from ..models.resnet import RESNET_DEPTHS
+    kind, layers = RESNET_DEPTHS[depth]
+
+    def convbn(ckey, bkey, opath):
+        _set(params, opath + ("Conv_0",),
+             {"kernel": conv2d_w(state[f"{ckey}.weight"])})
+        s, st = bn(state, bkey)
+        _set(params, opath + ("BatchNorm_0",), s)
+        _set(stats, opath + ("BatchNorm_0",), st)
+
+    params["Conv_0"] = {
+        "kernel": conv2d_w(state[f"{torch_prefix}.conv1.weight"])}
+    s, st = bn(state, f"{torch_prefix}.bn1")
+    params["BatchNorm_0"] = s
+    stats["BatchNorm_0"] = st
+    for l, n in enumerate(layers, start=1):
+        dcn = stage_with_dcn[l - 1] and kind == "bottleneck"
+        for i in range(n):
+            tm = f"{torch_prefix}.layer{l}.{i}"
+            om = f"layer{l}_{i}"
+            if kind == "basic":
+                pairs = [("conv1", "bn1", "_ConvBN_0"),
+                         ("conv2", "bn2", "_ConvBN_1")]
+            elif dcn:
+                pairs = [("conv1", "bn1", "_ConvBN_0"),
+                         ("conv3", "bn3", "_ConvBN_1")]
+                _set(params, (om, "dcn2"), {
+                    "kernel": dcn_w(state[f"{tm}.conv2.weight"]),
+                    "conv_offset": {
+                        "kernel": conv2d_w(
+                            state[f"{tm}.conv2.conv_offset.weight"]),
+                        "bias": np.asarray(
+                            state[f"{tm}.conv2.conv_offset.bias"])}})
+                s, st = bn(state, f"{tm}.bn2")
+                _set(params, (om, "BatchNorm_0"), s)
+                _set(stats, (om, "BatchNorm_0"), st)
+            else:
+                pairs = [("conv1", "bn1", "_ConvBN_0"),
+                         ("conv2", "bn2", "_ConvBN_1"),
+                         ("conv3", "bn3", "_ConvBN_2")]
+            for c, b_, o in pairs:
+                convbn(f"{tm}.{c}", f"{tm}.{b_}", (om, o))
+            if f"{tm}.downsample.0.weight" in state:
+                convbn(f"{tm}.downsample.0", f"{tm}.downsample.1",
+                       (om, "down"))
+
+
 def convert_single_head(state: Dict, t: int, modality: str = "lidar",
                         num_attn_heads: int = 8) -> Tuple[Dict, Dict]:
     """One head_series iteration -> our SingleSRFDetHead param subtree.
@@ -268,6 +369,12 @@ def convert_single_head(state: Dict, t: int, modality: str = "lidar",
     p["bboxes_delta"] = {
         "kernel": linear_w(state[f"{mm}.bboxes_delta{sfx}.weight"]),
         "bias": np.asarray(state[f"{mm}.bboxes_delta{sfx}.bias"])}
+    # fusion iterations (SingleSRFDetHead, srfdet_head.py:2192-2194) carry
+    # the 2C->C fused projection
+    if f"{mm}.output_fused_proj.weight" in state:
+        p["output_fused_proj"] = {
+            "kernel": linear_w(state[f"{mm}.output_fused_proj.weight"]),
+            "bias": np.asarray(state[f"{mm}.output_fused_proj.bias"])}
     return p, {}
 
 
@@ -296,6 +403,26 @@ def convert_head(state: Dict, cfg, params: Dict, stats: Dict) -> None:
             hp[f"dpg_dw_lidar_{lvl}"]["BatchNorm_0"] = s
             hs[f"dpg_dw_lidar_{lvl}"] = {"BatchNorm_0": st}
         for fc in ("dpg_fc1_lidar", "dpg_fc2_lidar"):
+            hp[fc] = {
+                "kernel": linear_w(state[f"bbox_head.{fc}.weight"]),
+                "bias": np.asarray(state[f"bbox_head.{fc}.bias"])}
+    # LC extras: img channel-reduce convs (srfdet_head.py:147-158, present
+    # only when hidden_dim != feat_channels_img) + the image DPG staircase
+    # (srfdet_head.py:298-320)
+    if any(k.startswith("bbox_head.img_convs.") for k in state):
+        for i in range(hc.img_feat_lvls):
+            hp[f"img_conv_{i}"] = {
+                "kernel": conv2d_w(state[f"bbox_head.img_convs.{i}.weight"]),
+                "bias": np.asarray(state[f"bbox_head.img_convs.{i}.bias"])}
+    if any(k.startswith("bbox_head.dpg_dw_convs_img.") for k in state):
+        for lvl in range(hc.img_feat_lvls - 1):
+            tmod = f"bbox_head.dpg_dw_convs_img.{lvl}"
+            hp[f"dpg_dw_img_{lvl}"] = {
+                "Conv_0": {"kernel": conv2d_w(state[f"{tmod}.conv.weight"])}}
+            s, st = bn(state, f"{tmod}.bn")
+            hp[f"dpg_dw_img_{lvl}"]["BatchNorm_0"] = s
+            hs[f"dpg_dw_img_{lvl}"] = {"BatchNorm_0": st}
+        for fc in ("dpg_fc1_img", "dpg_fc2_img"):
             hp[fc] = {
                 "kernel": linear_w(state[f"bbox_head.{fc}.weight"]),
                 "bias": np.asarray(state[f"bbox_head.{fc}.bias"])}
@@ -348,6 +475,21 @@ def convert_reference_state_dict(state: Dict, cfg,
         convert_fpn(state, "pts_neck", "pts_neck", len(cfg.backbone.out_channels),
                     cfg.neck_num_outs, params, batch_stats,
                     extra_convs=cfg.neck_extra_convs)
+    if any(k.startswith("img_backbone.") for k in state):
+        bp: Dict = {}
+        bs_: Dict = {}
+        if cfg.img.backbone.startswith("vovnet"):
+            convert_vovnet(state, "img_backbone", cfg.img.backbone, bp, bs_)
+        else:
+            depth = int(cfg.img.backbone.split("-")[1])
+            convert_resnet(state, "img_backbone", depth, bp, bs_,
+                           stage_with_dcn=tuple(cfg.img.stage_with_dcn))
+        params["img_backbone"] = bp
+        batch_stats["img_backbone"] = bs_
+    if any(k.startswith("img_neck.") for k in state):
+        convert_fpn(state, "img_neck", "img_neck", 4,
+                    cfg.img.neck_num_outs, params, batch_stats,
+                    with_bn=cfg.img.neck_norm)
     if any(k.startswith("bbox_head.") for k in state):
         convert_head(state, cfg, params, batch_stats)
     return {"params": params, "batch_stats": batch_stats}

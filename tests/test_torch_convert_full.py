@@ -193,3 +193,174 @@ def test_spconv_layout_kio_numeric():
     assert out.shape == (27, 2, 4)
     assert out[k, 1, 3] == 7.0
     assert np.count_nonzero(out) == 1
+
+
+def _synthetic_torch_img_state(cfg, rng, st):
+    """Add the LC image-branch entries (reference naming): VoVNet
+    (vovnet.py OrderedDict names), plain img FPN, bbox_head img extras
+    (srfdet_head.py:147-158,298-320) and per-iteration fused projections
+    (:2192-2194)."""
+    from srfdet3d_tpu.models.vovnet import VOVNET_SPECS
+
+    def t(key, *shape):
+        st[key] = rng.normal(size=shape).astype(np.float32) * 0.05
+
+    def bn2(prefix, c):
+        t(f"{prefix}.weight", c)
+        t(f"{prefix}.bias", c)
+        st[f"{prefix}.running_mean"] = np.zeros(c, np.float32)
+        st[f"{prefix}.running_var"] = np.ones(c, np.float32)
+
+    def convbn(key, cout, cin, k=3):
+        t(f"{key}/conv.weight", cout, cin, k, k)
+        bn2(f"{key}/norm", cout)
+
+    spec = VOVNET_SPECS[cfg.img.backbone]
+    s1, s2, s3 = spec["stem"]
+    convbn("img_backbone.stem.stem_1", s1, 3)
+    convbn("img_backbone.stem.stem_2", s2, s1)
+    convbn("img_backbone.stem.stem_3", s3, s2)
+    in_ch = s3
+    for si, nb in enumerate(spec["block_per_stage"]):
+        s = si + 2
+        cc, oc = spec["conv_ch"][si], spec["out_ch"][si]
+        for b in range(nb):
+            tm = f"img_backbone.stage{s}.OSA{s}_{b + 1}"
+            ic = in_ch if b == 0 else oc
+            for i in range(spec["layer_per_block"]):
+                convbn(f"{tm}.layers.{i}.OSA{s}_{b + 1}_{i}",
+                       cc, ic if i == 0 else cc)
+            convbn(f"{tm}.concat.OSA{s}_{b + 1}_concat",
+                   oc, ic + spec["layer_per_block"] * cc, k=1)
+            t(f"{tm}.ese.fc.weight", oc, oc, 1, 1)
+            t(f"{tm}.ese.fc.bias", oc)
+        in_ch = oc
+
+    noc = cfg.img.neck_out_channels
+    for i, cin in enumerate(spec["out_ch"]):
+        t(f"img_neck.lateral_convs.{i}.conv.weight", noc, cin, 1, 1)
+        t(f"img_neck.lateral_convs.{i}.conv.bias", noc)
+        t(f"img_neck.fpn_convs.{i}.conv.weight", noc, noc, 3, 3)
+        t(f"img_neck.fpn_convs.{i}.conv.bias", noc)
+
+    hc = cfg.head
+    hid, c = hc.hidden_dim, hc.feat_channels_lidar
+    if hid != hc.feat_channels_img:
+        for i in range(hc.img_feat_lvls):
+            t(f"bbox_head.img_convs.{i}.weight", hid, hc.feat_channels_img,
+              3, 3)
+            t(f"bbox_head.img_convs.{i}.bias", hid)
+    for lvl in range(hc.img_feat_lvls - 1):
+        ch = hid * (lvl + 1)
+        t(f"bbox_head.dpg_dw_convs_img.{lvl}.conv.weight", ch, 1, 3, 3)
+        bn2(f"bbox_head.dpg_dw_convs_img.{lvl}.bn", ch)
+    t("bbox_head.dpg_fc1_img.weight", 1500, 30 * 30)
+    t("bbox_head.dpg_fc1_img.bias", 1500)
+    t("bbox_head.dpg_fc2_img.weight", hc.num_dpg_exp * hc.num_proposals,
+      1500)
+    t("bbox_head.dpg_fc2_img.bias", hc.num_dpg_exp * hc.num_proposals)
+    for it in range(hc.num_heads):
+        m = f"bbox_head.head_series_lidar.{it}"
+        t(f"{m}.output_fused_proj.weight", c, hid + c)
+        t(f"{m}.output_fused_proj.bias", c)
+    return st
+
+
+@pytest.mark.slow
+def test_torch_convert_full_model_lc():
+    """Full LC tree: lidar flagship + VoVNet image branch + fusion heads.
+    Converter output must be structure-identical to the model's own init
+    tree, then load + forward finite."""
+    import dataclasses as dc
+    from srfdet3d_tpu.config import ImgBranchConfig
+    cfg = _shrunk_flagship()
+    cfg = cfg.replace(
+        use_img=True,
+        img=ImgBranchConfig(backbone="vovnet-19-slim", num_cams=2,
+                            neck_out_channels=64, img_shape=(64, 96)),
+        head=dc.replace(cfg.head, feat_channels_img=64))
+    rng = np.random.default_rng(1)
+    state = _synthetic_torch_state(cfg, rng)
+    state = _synthetic_torch_img_state(cfg, rng, state)
+    converted = convert_reference_state_dict(state, cfg)
+
+    batch = graft._synthetic_batch(cfg, 1)
+    batch["images"] = jnp.asarray(
+        rng.normal(size=(1, 2, 64, 96, 3)).astype(np.float32))
+    batch["lidar2img"] = jnp.broadcast_to(
+        jnp.eye(4), (1, 2, 4, 4)).astype(jnp.float32)
+    model = SRFDet(cfg)
+    ref_tree = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), batch, train=False))
+
+    for col in ("params", "batch_stats"):
+        want = _paths(jax.tree_util.tree_map(lambda x: x, dict(ref_tree[col])))
+        got = _paths(converted[col])
+        missing = sorted(set(want) - set(got))
+        extra = sorted(set(got) - set(want))
+        assert not missing, f"{col}: converter missed {missing[:8]}"
+        assert not extra, f"{col}: converter invented {extra[:8]}"
+        for p in want:
+            assert want[p] == got[p], f"{col} {p}: {want[p]} vs {got[p]}"
+
+    variables = jax.tree_util.tree_map(jnp.asarray, converted)
+    logits, boxes = jax.jit(
+        lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    assert np.all(np.isfinite(np.asarray(boxes)))
+
+
+def test_resnet_dcn_conversion_structure():
+    """mmdet ResNet (caffe + DCN stages) conversion is structure-identical
+    to our flax init tree, incl. dcn2 kernels and conv_offset."""
+    from srfdet3d_tpu.models.resnet import ResNet, RESNET_DEPTHS
+    from srfdet3d_tpu.utils.torch_convert import convert_resnet
+    rng = np.random.default_rng(2)
+    st = {}
+
+    def t(key, *shape):
+        st[key] = rng.normal(size=shape).astype(np.float32) * 0.05
+
+    def bn2(prefix, c):
+        t(f"{prefix}.weight", c)
+        t(f"{prefix}.bias", c)
+        st[f"{prefix}.running_mean"] = np.zeros(c, np.float32)
+        st[f"{prefix}.running_var"] = np.ones(c, np.float32)
+
+    depth = 50
+    dcn_stages = (False, False, True, True)
+    _, layers = RESNET_DEPTHS[depth]
+    t("r.conv1.weight", 64, 3, 7, 7)
+    bn2("r.bn1", 64)
+    planes, in_ch = 64, 64
+    for l, n in enumerate(layers, start=1):
+        for i in range(n):
+            tm = f"r.layer{l}.{i}"
+            t(f"{tm}.conv1.weight", planes, in_ch, 1, 1)
+            bn2(f"{tm}.bn1", planes)
+            t(f"{tm}.conv2.weight", planes, planes, 3, 3)
+            bn2(f"{tm}.bn2", planes)
+            if dcn_stages[l - 1]:
+                t(f"{tm}.conv2.conv_offset.weight", 27, planes, 3, 3)
+                t(f"{tm}.conv2.conv_offset.bias", 27)
+            t(f"{tm}.conv3.weight", planes * 4, planes, 1, 1)
+            bn2(f"{tm}.bn3", planes * 4)
+            if i == 0:
+                t(f"{tm}.downsample.0.weight", planes * 4, in_ch, 1, 1)
+                bn2(f"{tm}.downsample.1", planes * 4)
+            in_ch = planes * 4
+        planes *= 2
+
+    params, stats = {}, {}
+    convert_resnet(st, "r", depth, params, stats,
+                   stage_with_dcn=dcn_stages)
+    net = ResNet(depth, style="caffe", stage_with_dcn=dcn_stages)
+    ref = jax.eval_shape(lambda: net.init(jax.random.PRNGKey(0),
+                                          jnp.zeros((1, 64, 96, 3))))
+    for col, tree in (("params", params), ("batch_stats", stats)):
+        want = _paths(jax.tree_util.tree_map(lambda x: x, dict(ref[col])))
+        got = _paths(tree)
+        assert sorted(want) == sorted(got), (
+            sorted(set(want) ^ set(got))[:8])
+        for p in want:
+            assert want[p] == got[p], f"{col} {p}: {want[p]} vs {got[p]}"
