@@ -209,7 +209,12 @@ class SRFDetConfig:
     points_cap: int = 262144
     points_dim: int = 5
     gt_cap: int = 256
-    # voxelization (pts_voxel_layer): max_num_points=-1 => dynamic
+    # voxelization (pts_voxel_layer): max_num_points=-1 => dynamic.
+    # The reference's hard voxelizer takes max_voxels=(120k train, 160k
+    # test) (srfdet_voxel_nusc_L.py:38); we keep ONE static capacity (the
+    # train bound — real nuScenes frames occupy far fewer voxels).  For
+    # eval at the test bound, override per run:
+    #   tools/test.py ... --cfg-options voxels_cap=160000
     max_points_per_voxel: int = 10
     voxels_cap: int = 120000
     vfe: VFEConfig = VFEConfig()

@@ -69,7 +69,12 @@ def _layer_losses(pred_logits: jnp.ndarray,
     cw = jnp.asarray(cfg.code_weights, jnp.float32)
     l1 = jnp.abs(pred_boxes[..., :code].astype(jnp.float32) -
                  tgt_norm[..., :code]) * cw
-    l1 = jnp.where(jnp.isfinite(l1), l1, 0.0)             # nan_to_num guard
+    # reference drops WHOLE rows whose normalized target has any
+    # non-finite element (isnotnan, srfdet_head.py:1190), e.g. log(0)
+    # sizes from degenerate GTs; keep the elementwise guard for preds
+    row_ok = jnp.all(jnp.isfinite(tgt_norm[..., :code]), axis=-1,
+                     keepdims=True)
+    l1 = jnp.where(jnp.isfinite(l1) & row_ok, l1, 0.0)
     l1 = jnp.where(matched[..., None], l1, 0.0)
     loss_bbox = cfg.bbox_weight * jnp.sum(l1) / num_inst
 

@@ -82,16 +82,17 @@ def main():
             (b0,) + tuple(bev[1:]), rois))))
         _time(lambda: g(bev[0]), f"lidar grad patch={p}")
 
-    # ---- image path: 6 cams, cap 320, 4-level FPN of a 448x800 image
+    # ---- image path: 6 cams, cap 320, 4-level FPN of the flagship LC
+    # network input (1600x900 padded to 1600x928, configs/__init__.py)
     n_cam, cap = 6, 320
     img = [jnp.asarray(rng.normal(
-        size=(1, n_cam, 448 // s, 800 // s, c)).astype(np.float32))
+        size=(1, n_cam, 928 // s, 1600 // s, c)).astype(np.float32))
         for s in (4, 8, 16, 32)]
     # mix of on-image, off-image and behind-camera-style huge RoIs
-    x1 = rng.uniform(-900, 800, (1, n_cam, n_p))
-    y1 = rng.uniform(-500, 440, (1, n_cam, n_p))
-    w = rng.uniform(8, 500, (1, n_cam, n_p))
-    h = rng.uniform(8, 400, (1, n_cam, n_p))
+    x1 = rng.uniform(-1800, 1600, (1, n_cam, n_p))
+    y1 = rng.uniform(-1000, 900, (1, n_cam, n_p))
+    w = rng.uniform(12, 1000, (1, n_cam, n_p))
+    h = rng.uniform(12, 800, (1, n_cam, n_p))
     big = rng.random((1, n_cam, n_p)) < 0.03
     w = np.where(big, 1e5, w)
     h = np.where(big, 1e5, h)
