@@ -103,3 +103,44 @@ def test_second_backbone_mapping():
     assert set(params) == {f"ConvBNReLU_{i}" for i in range(4)}
     assert params["ConvBNReLU_0"]["Conv_0"]["kernel"].shape == (3, 3, 4, 8)
     assert stats["ConvBNReLU_3"]["BatchNorm_0"]["var"].shape == (16,)
+
+
+def test_convert_fpn_pool_mode_structure():
+    """extra_convs=False conversion: no extra_{i} entries are produced and
+    the result matches a pool-mode FPN's init tree exactly."""
+    import jax
+    import jax.numpy as jnp
+    from srfdet3d_tpu.models.fpn import FPN
+    from srfdet3d_tpu.utils.torch_convert import convert_fpn
+    rng = np.random.default_rng(0)
+    st = {}
+    for i, cin in enumerate((16, 32)):
+        st[f"pts_neck.lateral_convs.{i}.conv.weight"] = rng.normal(
+            size=(8, cin, 1, 1)).astype(np.float32)
+        st[f"pts_neck.fpn_convs.{i}.conv.weight"] = rng.normal(
+            size=(8, 8, 3, 3)).astype(np.float32)
+        for stat, val in (("weight", 1.0), ("bias", 0.0),
+                          ("running_mean", 0.0), ("running_var", 1.0)):
+            st[f"pts_neck.lateral_convs.{i}.bn.{stat}"] = np.full(
+                8, val, np.float32)
+            st[f"pts_neck.fpn_convs.{i}.bn.{stat}"] = np.full(
+                8, val, np.float32)
+    params, stats = {}, {}
+    convert_fpn(st, "pts_neck", "pts_neck", 2, 4, params, stats,
+                extra_convs=False)
+    fpn = FPN(out_channels=8, num_outs=4, use_norm=True, use_act=True,
+              extra_convs=False)
+    ins = [jnp.zeros((1, 8, 8, 16)), jnp.zeros((1, 4, 4, 32))]
+    ref = jax.eval_shape(lambda: fpn.init(jax.random.PRNGKey(0), ins))
+
+    def paths(tree, p=()):
+        out = set()
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out |= paths(v, p + (k,))
+            else:
+                out.add(p + (k, np.shape(v)))
+        return out
+
+    assert paths(params["pts_neck"]) == paths(dict(ref["params"]))
+    assert paths(stats["pts_neck"]) == paths(dict(ref["batch_stats"]))

