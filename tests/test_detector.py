@@ -133,3 +133,28 @@ def test_fpn_pool_extra_levels_match_mmdet_semantics():
                                   np.asarray(outs[1][:, ::2, ::2, :]))
     np.testing.assert_array_equal(np.asarray(outs[3]),
                                   np.asarray(outs[2][:, ::2, ::2, :]))
+
+
+def test_fusion_detector_no_img_reduce_path():
+    """waymo_LC-style wiring: feat_channels_img == hidden_dim means NO
+    img_convs channel reduce (reference srfdet_head.py:147-158 builds the
+    convs only on mismatch); BN+ReLU img neck."""
+    import dataclasses
+    cfg = tiny_test_config(
+        use_img=True,
+        img=ImgBranchConfig(backbone="vovnet-19-slim", num_cams=2,
+                            neck_out_channels=32, neck_norm=True))
+    cfg = cfg.replace(
+        head=dataclasses.replace(cfg.head, feat_channels_img=32))
+    assert cfg.head.hidden_dim == 32 == cfg.head.feat_channels_img
+    rng = np.random.default_rng(5)
+    batch = _batch(cfg, rng, with_img=True)
+    model = SRFDet(cfg)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        jax.random.PRNGKey(0), batch)
+    assert not any(k.startswith("img_conv_")
+                   for k in variables["params"]["bbox_head"])
+    logits, boxes = jax.jit(
+        lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    assert np.all(np.isfinite(np.asarray(boxes)))
