@@ -52,6 +52,20 @@ def _aligned_iou_1d(s1: np.ndarray, s2: np.ndarray) -> float:
     return float(inter / max(union, 1e-9))
 
 
+def _no_predictions():
+    """Devkit DetectionMetricData.no_predictions: zero precision/
+    confidence, unit errors — used both for classes absent from the GT
+    and for classes with no predictions.  calc_ap -> 0, calc_tp -> 1."""
+    return dict(recall=np.linspace(0, 1, N_RECALL_SAMPLES),
+                precision=np.zeros(N_RECALL_SAMPLES),
+                trans_err=np.ones(N_RECALL_SAMPLES),
+                scale_err=np.ones(N_RECALL_SAMPLES),
+                orient_err=np.ones(N_RECALL_SAMPLES),
+                vel_err=np.ones(N_RECALL_SAMPLES),
+                attr_err=np.ones(N_RECALL_SAMPLES),
+                max_recall_ind=0)
+
+
 def _accumulate(gts: List[Dict], preds: List[Dict], class_name: str,
                 dist_th: float):
     """Devkit `accumulate`: greedy match in score order; returns the
@@ -59,7 +73,9 @@ def _accumulate(gts: List[Dict], preds: List[Dict], class_name: str,
     npos = sum(
         int(np.sum(g["labels_name"] == class_name)) for g in gts)
     if npos == 0:
-        return None
+        # devkit algo.py: missing classes still contribute AP=0 and unit
+        # TP errors to the means — they are NOT skipped
+        return _no_predictions()
 
     rows = []       # (score, sample_idx, box_idx)
     for si, p in enumerate(preds):
@@ -113,14 +129,7 @@ def _accumulate(gts: List[Dict], preds: List[Dict], class_name: str,
             fp.append(1)
 
     if not tp_conf:
-        return dict(recall=np.zeros(N_RECALL_SAMPLES),
-                    precision=np.zeros(N_RECALL_SAMPLES),
-                    trans_err=np.ones(N_RECALL_SAMPLES),
-                    scale_err=np.ones(N_RECALL_SAMPLES),
-                    orient_err=np.ones(N_RECALL_SAMPLES),
-                    vel_err=np.ones(N_RECALL_SAMPLES),
-                    attr_err=np.ones(N_RECALL_SAMPLES),
-                    max_recall_ind=0)
+        return _no_predictions()
 
     conf = [r[0] for r in rows]
     tp = np.cumsum(tp).astype(float)

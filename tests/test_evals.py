@@ -91,3 +91,25 @@ def test_waymo_aph_penalizes_heading():
     res2 = waymo_eval(gts, flipped, ("Car",))
     assert res2["Car_AP_L2"] > 0.6          # still matches by IoU-ish
     assert res2["Car_APH_L2"] < res2["Car_AP_L2"] * 0.75
+
+
+def test_nuscenes_absent_class_counts_as_zero_ap():
+    """Devkit parity: a class in class_names with ZERO ground truth still
+    contributes AP=0 and unit TP errors to the means
+    (DetectionMetricData.no_predictions) — it is not skipped."""
+    import numpy as np
+    from srfdet3d_tpu.evals.nuscenes_eval import nuscenes_eval
+    gt = [{"boxes": np.array([[1.0, 0.0, 0.0, 2.0, 2.0, 1.5, 0.0]]),
+           "labels_name": np.array(["car"])}]
+    pred = [{"boxes": np.array([[1.0, 0.0, 0.0, 2.0, 2.0, 1.5, 0.0]]),
+             "scores": np.array([0.9]),
+             "labels_name": np.array(["car"])}]
+    only_car = nuscenes_eval(gt, pred, ["car"])
+    with_ped = nuscenes_eval(gt, pred, ["car", "pedestrian"])
+    assert "pedestrian" in with_ped["per_class"]
+    assert with_ped["per_class"]["pedestrian"]["AP"] == 0.0
+    # mAP halves when the absent class is included
+    np.testing.assert_allclose(with_ped["mAP"], only_car["mAP"] / 2.0,
+                               rtol=1e-6)
+    # absent class contributes unit TP errors to the means
+    assert with_ped["mATE"] > only_car["mATE"]
