@@ -96,11 +96,30 @@ def stack_layers(entries) -> np.ndarray:
     return np.stack([np.asarray(e) for e in entries], axis=0)
 
 
+def bev_in_perm(depth: int, channels: int) -> np.ndarray:
+    """Input-channel permutation for the FIRST SECOND conv after a sparse
+    middle encoder.
+
+    The reference's SparseConvTensor.dense() reshapes (N, C, D, H, W) ->
+    (N, C*D, H, W), i.e. BEV channel index = c*D + d; our encoder emits
+    z-major d*C + c (models/sparse_encoder.py:284-287).  A converted
+    torch conv must therefore read its input axis through this
+    permutation: new_in[d*C + c] = old_in[c*D + d]."""
+    c_idx = np.arange(channels)[None, :]
+    d_idx = np.arange(depth)[:, None]
+    return (c_idx * depth + d_idx).reshape(-1)
+
+
 def convert_second_backbone(state: Dict, torch_prefix: str,
                             layer_nums, params: Dict,
-                            batch_stats: Dict) -> None:
+                            batch_stats: Dict,
+                            in_perm: "np.ndarray | None" = None) -> None:
     """SECONDCustom blocks.{i} sequential (Conv2d, BN, ReLU)* -> our
-    ConvBNReLU modules (flax auto-names ConvBNReLU_0..)."""
+    ConvBNReLU modules (flax auto-names ConvBNReLU_0..).
+
+    in_perm: optional permutation applied to the FIRST conv's input axis
+    (see bev_in_perm — needed whenever the backbone follows the sparse
+    middle encoder)."""
     mod = 0
     for stage, n_layers in enumerate(layer_nums):
         # torch Sequential indices: conv at 3*j, bn at 3*j+1 (Conv,BN,ReLU)
@@ -108,8 +127,10 @@ def convert_second_backbone(state: Dict, torch_prefix: str,
             conv_key = f"{torch_prefix}.blocks.{stage}.{3 * j}.weight"
             bn_prefix = f"{torch_prefix}.blocks.{stage}.{3 * j + 1}"
             name = f"ConvBNReLU_{mod}"
-            params.setdefault(name, {})["Conv_0"] = {
-                "kernel": conv2d_w(state[conv_key])}
+            kernel = conv2d_w(state[conv_key])        # (kh, kw, in, out)
+            if mod == 0 and in_perm is not None:
+                kernel = kernel[:, :, in_perm, :]
+            params.setdefault(name, {})["Conv_0"] = {"kernel": kernel}
             s, st = bn(state, bn_prefix)
             params[name]["BatchNorm_0"] = s
             batch_stats.setdefault(name, {})["BatchNorm_0"] = st
@@ -445,6 +466,28 @@ def convert_head(state: Dict, cfg, params: Dict, stats: Dict) -> None:
         stats["bbox_head"] = hs
 
 
+def _encoder_out_depth(cfg) -> int:
+    """z depth of the sparse encoder's dense BEV output (e.g. nuScenes
+    41 -> 21 -> 11 -> 5 -> conv_out -> 2), replicating
+    SparseEncoder._down_pads + the strided z chain."""
+    mc = cfg.middle
+    d = cfg.voxelization.sparse_shape[0]
+    pads = []
+    if mc.block_type == "conv_module":
+        for i, _blocks in enumerate(mc.encoder_channels):
+            if i != 0:
+                pads.append(mc.encoder_paddings[i][0])
+    else:
+        n = len(mc.encoder_channels)
+        for i, blocks in enumerate(mc.encoder_channels):
+            if i != n - 1:
+                pads.append(mc.encoder_paddings[i][len(blocks) - 1])
+    for pad in pads:
+        pz = pad[0] if isinstance(pad, (tuple, list)) else pad
+        d = (d + 2 * pz - 3) // 2 + 1
+    return (d - 3) // 2 + 1
+
+
 def convert_reference_state_dict(state: Dict, cfg,
                                  spconv_layout: str = "KIO") -> Dict:
     """Full conversion of a reference checkpoint to our variable tree.
@@ -467,8 +510,13 @@ def convert_reference_state_dict(state: Dict, cfg,
     if any(k.startswith("pts_backbone.") for k in state):
         bb_p: Dict = {}
         bb_s: Dict = {}
+        perm = None
+        if cfg.middle.kind == "sparse":
+            perm = bev_in_perm(_encoder_out_depth(cfg),
+                               cfg.middle.output_channels)
         convert_second_backbone(state, "pts_backbone",
-                                cfg.backbone.layer_nums, bb_p, bb_s)
+                                cfg.backbone.layer_nums, bb_p, bb_s,
+                                in_perm=perm)
         params["pts_backbone"] = bb_p
         batch_stats["pts_backbone"] = bb_s
     if any(k.startswith("pts_neck.") for k in state):

@@ -144,3 +144,46 @@ def test_convert_fpn_pool_mode_structure():
 
     assert paths(params["pts_neck"]) == paths(dict(ref["params"]))
     assert paths(stats["pts_neck"]) == paths(dict(ref["batch_stats"]))
+
+
+def test_bev_in_perm_numeric():
+    """A torch conv reading the reference's (C*D)-grouped BEV channels and
+    our converted conv reading the z-major (D*C) grouping must produce the
+    same output once bev_in_perm reorders the kernel's input axis."""
+    import jax
+    import jax.numpy as jnp
+    from srfdet3d_tpu.utils.torch_convert import bev_in_perm, conv2d_w
+    rng = np.random.default_rng(0)
+    D, C, H, W, OUT = 2, 3, 5, 6, 4
+    x = rng.normal(size=(1, D, H, W, C)).astype(np.float32)  # our dense
+    # our BEV: (B, H, W, D*C) z-major (sparse_encoder.py:284-287)
+    bev_ours = np.transpose(x, (0, 2, 3, 1, 4)).reshape(1, H, W, D * C)
+    # reference BEV: (N, C, D, H, W) -> (N, C*D, H, W) -> NHWC
+    bev_ref = np.transpose(x, (0, 4, 1, 2, 3)).reshape(1, C * D, H, W)
+    bev_ref = np.transpose(bev_ref, (0, 2, 3, 1))
+
+    w_torch = rng.normal(size=(OUT, C * D, 3, 3)).astype(np.float32)
+
+    def conv(inp, hwio):
+        return jax.lax.conv_general_dilated(
+            inp, hwio, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    want = conv(bev_ref, conv2d_w(w_torch))
+    perm = bev_in_perm(D, C)
+    got = conv(bev_ours, conv2d_w(w_torch)[:, :, perm, :])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_encoder_out_depth_matches_reference_second_in_channels():
+    """The computed BEV depth must reproduce the reference's SECOND
+    in_channels=256 (= output_channels * D) for every sparse config
+    (e.g. srfdet_voxel_nusc_L.py:45,57: C=128, z chain 41->...->2)."""
+    from srfdet3d_tpu.configs import get_config
+    from srfdet3d_tpu.utils.torch_convert import _encoder_out_depth
+    for name in ("srfdet_voxel_nusc_L", "srfdet_voxel_kitti_L",
+                 "srfdet_dvoxel_waymo_L", "srfdet_dvoxel_nusc_L"):
+        cfg = get_config(name)
+        d = _encoder_out_depth(cfg)
+        assert d * cfg.middle.output_channels == 256, (name, d)
