@@ -143,6 +143,10 @@ class HeadConfig:
     # measured misfit count (tools/bench_roi.py).
     roi_patch: int = 0
     roi_patch_fallback: int = -1
+    # rematerialize the refinement iterations in backward (jax.checkpoint)
+    # — trades one extra decoder forward for O(num_heads) activation
+    # memory; off by default (models/head.py SRFDetHead.remat)
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

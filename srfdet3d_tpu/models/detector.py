@@ -227,6 +227,7 @@ class SRFDet(nn.Module):
             img_roi_cap=h.img_roi_cap,
             roi_patch=h.roi_patch,
             roi_patch_fallback=h.roi_patch_fallback,
+            remat=h.remat,
             dtype=self.dtype,
             name="bbox_head")(
             point_feats, img_feats, lidar2img, train=train)

@@ -420,6 +420,12 @@ class SRFDetHead(nn.Module):
     img_roi_cap: int = 0
     roi_patch: int = 0
     roi_patch_fallback: int = -1
+    # rematerialize each refinement iteration in the backward pass: the
+    # scan keeps only the (boxes, prop_feats) carry per iteration and
+    # recomputes RoI gathers/attention instead of storing them — trades
+    # ~1 extra forward of the decoder for O(num_heads) activation memory
+    # (jax.checkpoint; useful for large train batches on real chips)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def _dpg_weights(self, feats: Sequence[jnp.ndarray], tag: str,
@@ -581,8 +587,10 @@ class SRFDetHead(nn.Module):
                 return (jax.lax.stop_gradient(pred), prop_feats), \
                     (logits, pred)
 
+        body = nn.remat(_ScanBody, prevent_cse=False) if self.remat \
+            else _ScanBody
         scan = nn.scan(
-            _ScanBody,
+            body,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=self.num_heads,

@@ -167,3 +167,43 @@ def test_dp_matches_single_device_numerically():
     for a, b in zip(l1, l8):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_remat_head_grads_identical():
+    """head.remat=True (jax.checkpoint on each refinement iteration) must
+    be a pure memory/FLOPs trade: identical loss and gradients."""
+    import dataclasses
+    from srfdet3d_tpu.models.detector import SRFDet
+    from srfdet3d_tpu.models.losses import srfdet_losses
+    base = tiny_test_config(points_cap=256, voxels_cap=256, gt_cap=4)
+    base = base.replace(
+        middle=dataclasses.replace(base.middle,
+                                   capacities=(128, 64, 32, 32)),
+        head=dataclasses.replace(base.head, num_proposals=8, dropout=0.0))
+    batch = graft._synthetic_batch(base, 1, with_gt=True)
+
+    def loss_and_grads(cfg):
+        model = SRFDet(cfg)
+        variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+            jax.random.PRNGKey(0), batch)
+
+        def loss_fn(params):
+            (lg, bx), _ = model.apply(
+                {"params": params, "batch_stats": variables["batch_stats"]},
+                batch, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(1)})
+            return sum(srfdet_losses(
+                lg, bx, batch["gt_boxes"], batch["gt_labels"],
+                batch["gt_mask"], cfg.loss, cfg.ota).values())
+
+        return jax.jit(jax.value_and_grad(loss_fn))(variables["params"])
+
+    l0, g0 = loss_and_grads(base)
+    l1, g1 = loss_and_grads(base.replace(
+        head=dataclasses.replace(base.head, remat=True)))
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    # recomputation reassociates fp ops — equality holds to recompute noise
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)
