@@ -24,12 +24,16 @@ from srfdet3d_tpu.train.trainer import make_train_step, TrainState  # noqa
 
 def main():
     print("device:", jax.devices()[0], flush=True)
+    import dataclasses
     cfg = srfdet_voxel_nusc_L()
     rulebook = sys.argv[1] if len(sys.argv) > 1 else cfg.middle.rulebook
     if rulebook != cfg.middle.rulebook:
-        import dataclasses
         cfg = dataclasses.replace(
             cfg, middle=dataclasses.replace(cfg.middle, rulebook=rulebook))
+    if os.environ.get("SRFDET_REMAT", "0") == "1":
+        cfg = dataclasses.replace(
+            cfg, head=dataclasses.replace(cfg.head, remat=True))
+        print("head.remat: ON", flush=True)
     combos = ((("xla", "xla"), ("onehot", "onehot")) if len(sys.argv) <= 2
               else tuple((c, c) for c in sys.argv[2].split(",")))
     print("rulebook:", rulebook, "combos:", combos, flush=True)

@@ -13,6 +13,7 @@ run() { echo "=== $(date +%H:%M:%S) $* ==="; timeout 3600 "$@" 2>&1 | grep -v WA
 
 run python bench.py
 run python tools/bench_train.py bitmap onehot
+run env SRFDET_REMAT=1 python tools/bench_train.py bitmap onehot
 run python tools/bench_roi.py
 run python tools/bench_encoder_grad_parts.py bitmap onehot
 bash tools/bench_matrix.sh
