@@ -315,6 +315,34 @@ def tiny_kitti_test_config(**overrides) -> SRFDetConfig:
 CONFIGS["tiny_kitti"] = lambda: tiny_kitti_test_config()
 
 
+def tiny_pillar_test_config(**overrides) -> SRFDetConfig:
+    """Miniature pillar config: PillarFeatureNet -> pillar scatter ->
+    stride-2 SECOND -> pool-extras FPN, lidar strides (2, 4, 8, 16) —
+    exercises the srfdet_pillar_nusc_L code path end-to-end."""
+    pc = (-10.0, -10.0, -5.0, 10.0, 10.0, 3.0)
+    cfg = tiny_test_config().replace(
+        name="tiny_pillar",
+        pc_range=pc,
+        voxel_size=(0.25, 0.25, 8.0),     # 80 x 80 x 1 grid
+        out_size_factor=2,
+        max_points_per_voxel=8,
+        voxels_cap=1024,
+        vfe=VFEConfig(kind="pillar", in_channels=5, feat_channels=(32,)),
+        middle=MiddleConfig(kind="pillar_scatter", in_channels=32),
+        backbone=BackboneConfig(out_channels=(32, 32, 64),
+                                layer_nums=(1, 1, 1),
+                                layer_strides=(2, 2, 2)),
+        neck_extra_convs=False,           # pillar family: max-pool extras
+        neck_out_channels=32,
+        head=dataclasses.replace(tiny_test_config().head,
+                                 lidar_strides=(2, 4, 8, 16)),
+        ota=OTAConfig(pc_range=pc))
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+CONFIGS["tiny_pillar"] = lambda: tiny_pillar_test_config()
+
+
 def get_config(name: str) -> SRFDetConfig:
     return CONFIGS[name]()
 
