@@ -207,3 +207,38 @@ def test_remat_head_grads_identical():
                     jax.tree_util.tree_leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_train_step_mesh_sharded_fusion():
+    """DP over the FUSION path: images/lidar2img shard on the batch axis
+    with everything else; one step on the 8-device mesh, finite loss.
+    Slow-marked (fresh fusion+mesh compile ~4 min); the default suite
+    certifies DP via the two lidar mesh tests above."""
+    import dataclasses
+    cfg = tiny_test_config(points_cap=256, voxels_cap=256, gt_cap=4)
+    cfg = cfg.replace(
+        use_img=True,
+        img=ImgBranchConfig(backbone="vovnet-19-slim", num_cams=1,
+                            neck_out_channels=32),
+        middle=dataclasses.replace(cfg.middle,
+                                   capacities=(128, 64, 32, 32)),
+        head=dataclasses.replace(cfg.head, num_proposals=8,
+                                 feat_channels_img=32))
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    batch = graft._synthetic_batch(cfg, n_dev, with_gt=True)
+    rng = np.random.default_rng(0)
+    batch["images"] = jnp.asarray(
+        rng.normal(size=(n_dev, 1, 32, 32, 3)).astype(np.float32))
+    batch["lidar2img"] = jnp.broadcast_to(
+        jnp.eye(4), (n_dev, 1, 4, 4)).astype(jnp.float32)
+
+    model, state, tx = create_train_state(
+        cfg, jax.random.PRNGKey(0), batch, total_steps=10)
+    step_fn = make_train_step(model, tx, cfg)
+    state = replicate(state, mesh)
+    batch = shard_batch(batch, mesh)
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
