@@ -15,6 +15,7 @@ run python bench.py
 run python tools/bench_train.py bitmap onehot
 run env SRFDET_REMAT=1 python tools/bench_train.py bitmap onehot
 run python tools/bench_roi.py
+run python tools/bench_img_branch.py
 run python tools/bench_encoder_grad_parts.py bitmap onehot
 bash tools/bench_matrix.sh
 echo "=== campaign done ==="
