@@ -81,6 +81,12 @@ class ImgBranchConfig:
     # only the waymo_LC img_neck carries BN+ReLU ConvModules
     # (dvoxel_waymo_LC.py:74-76); the other img_necks are plain
     neck_norm: bool = False
+    # image-branch compute dtype ('float32' | 'bfloat16' | '' = inherit
+    # the model dtype).  The backbone/FPN are conv-heavy (MXU-bound,
+    # unlike the gather-bound lidar path), so bf16 here is a near-2x
+    # latency lever; features are cast back to the model dtype before
+    # the head consumes them.
+    compute_dtype: str = ""
     # mmdet ResNet knobs (ignored by VoVNet): 'pytorch' puts the
     # bottleneck stride on the 3x3 conv, 'caffe' on the first 1x1
     # (waymo_LC R101 is caffe, dvoxel_waymo_LC.py:66); stage_with_dcn

@@ -146,19 +146,24 @@ class SRFDet(nn.Module):
         """(B, n_cam, H, W, 3) -> 4 levels of (B, n_cam, h, w, C)
         (reference extract_img_feat, srfdet.py:175-204)."""
         icfg = self.cfg.img
+        # per-branch dtype: the conv-heavy image stack is MXU-bound so
+        # bf16 pays here even when the gather-bound lidar path stays fp32
+        br_dtype = self.dtype if not icfg.compute_dtype else (
+            jnp.bfloat16 if icfg.compute_dtype == "bfloat16"
+            else jnp.float32)
         b, n_cam, h, w, c = images.shape
-        x = images.reshape(b * n_cam, h, w, c).astype(self.dtype)
+        x = images.reshape(b * n_cam, h, w, c).astype(br_dtype)
         if train and icfg.use_grid_mask:
             x = grid_mask(self.make_rng("grid_mask"), x)
         bb_train = train and not icfg.norm_eval
         if icfg.backbone.startswith("vovnet"):
-            stages = VoVNet(icfg.backbone, dtype=self.dtype,
+            stages = VoVNet(icfg.backbone, dtype=br_dtype,
                             name="img_backbone")(x, train=bb_train)
         else:
             depth = int(icfg.backbone.split("-")[1])
             stages = ResNet(depth, style=icfg.resnet_style,
                             stage_with_dcn=tuple(icfg.stage_with_dcn),
-                            dtype=self.dtype,
+                            dtype=br_dtype,
                             name="img_backbone")(x, train=bb_train)
         if train and self.cfg.optim.freeze_img:
             # reference freeze_img freezes ONLY the backbone (srfdet.py:
@@ -170,9 +175,11 @@ class SRFDet(nn.Module):
                     num_outs=icfg.neck_num_outs,
                     relu_before_extra_convs=icfg.relu_before_extra_convs,
                     use_norm=icfg.neck_norm, use_act=icfg.neck_norm,
-                    dtype=self.dtype, name="img_neck")(stages, train=train)
+                    dtype=br_dtype, name="img_neck")(stages, train=train)
+        # hand the head model-dtype features regardless of branch dtype
         return tuple(
-            f.reshape((b, n_cam) + f.shape[1:]) for f in feats)
+            f.reshape((b, n_cam) + f.shape[1:]).astype(self.dtype)
+            for f in feats)
 
     @nn.compact
     def __call__(self, batch: Dict[str, jnp.ndarray], train: bool = False):

@@ -38,7 +38,12 @@ def main():
     dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
     occ = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
     cfg = getattr(configs, name)()
-    if dtype != "float32":
+    if dtype == "img_bf16":
+        # bf16 on the image branch only (MXU-bound convs); lidar fp32
+        cfg = dataclasses.replace(
+            cfg, img=dataclasses.replace(cfg.img,
+                                         compute_dtype="bfloat16"))
+    elif dtype != "float32":
         cfg = dataclasses.replace(cfg, compute_dtype=dtype)
     print(f"config {name} bs={bs} {dtype} occ={occ}; "
           f"device {jax.devices()[0]}", flush=True)

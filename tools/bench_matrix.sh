@@ -15,6 +15,7 @@ run tools/bench_config.py srfdet_voxel_nusc_L 1 float32 0.25
 run tools/bench_config.py srfdet_voxel_nusc_L 1 bfloat16 0.5
 run tools/bench_config.py srfdet_voxel_nusc_LC 1 float32 0.5
 run tools/bench_config.py srfdet_voxel_nusc_LC 1 bfloat16 0.5
+run tools/bench_config.py srfdet_voxel_nusc_LC 1 img_bf16 0.5
 run tools/bench_config.py srfdet_pillar_nusc_L 1 float32 0.5
 run tools/bench_config.py srfdet_voxel_kitti_L 1 float32 0.5
 run tools/bench_config.py srfdet_dvoxel_waymo_L 1 float32 0.5
