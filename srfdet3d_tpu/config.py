@@ -81,6 +81,10 @@ class ImgBranchConfig:
     # only the waymo_LC img_neck carries BN+ReLU ConvModules
     # (dvoxel_waymo_LC.py:74-76); the other img_necks are plain
     neck_norm: bool = False
+    # freeze ALL image-backbone BN scale/bias (mmdet norm_cfg
+    # requires_grad=False — only the waymo_LC R101 sets it,
+    # dvoxel_waymo_LC.py:65)
+    norm_frozen: bool = False
     # image-branch compute dtype ('float32' | 'bfloat16' | '' = inherit
     # the model dtype).  The backbone/FPN are conv-heavy (MXU-bound,
     # unlike the gather-bound lidar path), so bf16 here is a near-2x

@@ -237,9 +237,12 @@ def srfdet_dvoxel_waymo_LC() -> SRFDetConfig:
                             # (dvoxel_waymo_LC.py:74-76)
                             neck_norm=True,
                             # caffe-style R101 with DCNv2 in stages 3-4
-                            # (dvoxel_waymo_LC.py:66-67)
+                            # (dvoxel_waymo_LC.py:66-67); BN affine
+                            # frozen backbone-wide (norm_cfg
+                            # requires_grad=False, :65)
                             resnet_style="caffe",
-                            stage_with_dcn=(False, False, True, True)),
+                            stage_with_dcn=(False, False, True, True),
+                            norm_frozen=True),
         # feat_channels_img == hidden_dim == 128 -> no img_convs reduce
         # (dvoxel_waymo_LC.py:148-149)
         head=dataclasses.replace(base.head, feat_channels_img=128),

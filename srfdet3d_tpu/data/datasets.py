@@ -373,8 +373,9 @@ class KittiDataset(SRFDetDataset):
         return boxes[keep], labels[keep]
 
     def _load_view(self, path: str, p_mat: np.ndarray, calib: Dict):
-        """One camera: image resized to cfg.img.img_shape + rescaled
-        lidar2img (projection @ R0_rect @ Tr_velo_to_cam)."""
+        """One camera: image padded or resized to cfg.img.img_shape (see
+        _prep_image — KITTI LC pads; Waymo LC resizes, rescaling the
+        lidar2img projection @ R0_rect @ Tr_velo_to_cam)."""
         if path and not os.path.isabs(path):
             path = os.path.join(self.data_root, path)
         img = _load_image(path)

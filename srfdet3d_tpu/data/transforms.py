@@ -178,14 +178,16 @@ def object_noise(points: np.ndarray, boxes: Optional[np.ndarray],
     srfdet_voxel_kitti_L.py:247-251): each GT box gets an independent
     random yaw rotation about its OWN center plus a gaussian translation,
     applied to the box and to the points inside it.  A candidate noise is
-    rejected (up to num_try draws) if the moved box would collide with any
-    other current box in BEV — the same coarse circle test the DBSampler
-    uses.  Point membership is computed once up front, like mmdet3d's
-    noise_per_object_v3_.
+    rejected (up to num_try draws) if the moved box would overlap any
+    other current box in BEV — an EXACT separating-axis test (mmdet3d's
+    box_collision_test role; a coarse circle test would reject every
+    candidate for objects with nearby neighbors and silently disable the
+    aug in cluttered scenes).  Point membership is computed once up
+    front, like mmdet3d's noise_per_object_v3_.
     """
     if boxes is None or len(boxes) == 0:
         return points, boxes
-    from .box_np import points_in_boxes_3d
+    from .box_np import bev_overlap_exact, points_in_boxes_3d
     boxes = boxes.copy()
     points = points.copy()
     inside = points_in_boxes_3d(points[:, :3], boxes)      # (N, M)
@@ -197,7 +199,7 @@ def object_noise(points: np.ndarray, boxes: Optional[np.ndarray],
             cand = boxes[i].copy()
             cand[:3] += trans
             cand[6] += ang
-            if DBSampler._bev_iou(cand[None, :7], others[:, :7]).any():
+            if bev_overlap_exact(cand, others).any():
                 continue
             m = inside[:, i]
             c, s = np.cos(ang), np.sin(ang)
@@ -305,16 +307,13 @@ class DBSampler:
                 it.get("difficulty", 0) != -1]
 
     @staticmethod
-    def _bev_iou(b1: np.ndarray, b2: np.ndarray) -> np.ndarray:
-        """Axis-aligned BEV overlap test (coarse but matches the purpose of
-        mmdet3d's box_collision_test)."""
-        if len(b1) == 0 or len(b2) == 0:
-            return np.zeros((len(b1), len(b2)), bool)
-        r1 = np.hypot(b1[:, 3], b1[:, 4]) / 2
-        r2 = np.hypot(b2[:, 3], b2[:, 4]) / 2
-        d = np.hypot(b1[:, None, 0] - b2[None, :, 0],
-                     b1[:, None, 1] - b2[None, :, 1])
-        return d < (r1[:, None] + r2[None, :]) * 0.7
+    def _collides(box: np.ndarray, others: np.ndarray) -> bool:
+        """Exact rotated-BEV overlap vs any existing box (mmdet3d's
+        box_collision_test semantics; see box_np.bev_overlap_exact)."""
+        from .box_np import bev_overlap_exact
+        if len(others) == 0:
+            return False
+        return bool(bev_overlap_exact(box, others).any())
 
     def sample(self, gt_boxes: np.ndarray, gt_labels: np.ndarray,
                rng: np.random.Generator):
@@ -333,7 +332,7 @@ class DBSampler:
             for i in idxs:
                 item = pool[i]
                 box = np.asarray(item["box3d_lidar"], np.float32)
-                if self._bev_iou(box[None, :7], all_boxes[:, :7]).any():
+                if self._collides(box, all_boxes):
                     continue
                 path = os.path.join(self.data_root, item["path"])
                 try:

@@ -152,6 +152,25 @@ class _BitmapRulebooks:
                                        self.cs.shape)
 
 
+def down_pads(block_type: str, encoder_channels, encoder_paddings) -> List:
+    """Padding of each strided downsample conv, in stage order — the ONE
+    definition of where the downsamples sit in each layout (conv_module:
+    first conv of stages 1..; basicblock: last conv of all but the last
+    stage).  Shared by the encoder, the bitmap-support check and the
+    torch converter's BEV depth chain."""
+    pads = []
+    if block_type == "conv_module":
+        for i, _blocks in enumerate(encoder_channels):
+            if i != 0:
+                pads.append(encoder_paddings[i][0])
+    else:
+        n = len(encoder_channels)
+        for i, blocks in enumerate(encoder_channels):
+            if i != n - 1:
+                pads.append(encoder_paddings[i][len(blocks) - 1])
+    return pads
+
+
 def _bitmap_supported(shape, down_pads: List, block_type: str) -> bool:
     """The bitmap backend needs the z-depth chain to fit its bit words:
     input depth <= 64, every downsample output depth in (0, 32], and a
@@ -187,17 +206,8 @@ class SparseEncoder(nn.Module):
     dtype: Any = jnp.float32
 
     def _down_pads(self) -> List:
-        pads = []
-        if self.block_type == "conv_module":
-            for i, blocks in enumerate(self.encoder_channels):
-                if i != 0:
-                    pads.append(self.encoder_paddings[i][0])
-        else:
-            n = len(self.encoder_channels)
-            for i, blocks in enumerate(self.encoder_channels):
-                if i != n - 1:
-                    pads.append(self.encoder_paddings[i][len(blocks) - 1])
-        return pads
+        return down_pads(self.block_type, self.encoder_channels,
+                         self.encoder_paddings)
 
     @nn.compact
     def __call__(self, voxel_feats: jnp.ndarray, voxel_coords: jnp.ndarray,

@@ -88,6 +88,11 @@ def freeze_mask(params, cfg: SRFDetConfig):
             stage_prefixes.append(("img_backbone", f"stage{s + 1}_"))
             stage_prefixes.append(("img_backbone", f"layer{s}_"))
 
+    # norm_frozen: every BN scale/bias in the image backbone stays fixed
+    # (mmdet norm_cfg requires_grad=False — waymo_LC R101,
+    # dvoxel_waymo_LC.py:65), independent of frozen_stages
+    bn_frozen = bool(cfg.img and cfg.img.norm_frozen)
+
     def trainable(path, _):
         keys = tuple(p.key for p in path if hasattr(p, "key"))
         for pre in frozen_prefixes:
@@ -98,6 +103,9 @@ def freeze_mask(params, cfg: SRFDetConfig):
                     keys[:len(pre) - 1] == pre[:-1] and \
                     keys[len(pre) - 1].startswith(pre[-1]):
                 return False
+        if bn_frozen and keys[:1] == ("img_backbone",) and \
+                any(k.startswith("BatchNorm") for k in keys):
+            return False
         return True
 
     return jax.tree_util.tree_map_with_path(trainable, params)
@@ -110,7 +118,8 @@ def make_optimizer(cfg: SRFDetConfig, total_steps: int
         optax.clip_by_global_norm(cfg.optim.grad_clip),
         optax.adamw(schedule, weight_decay=cfg.optim.weight_decay))
     needs_mask = cfg.optim.freeze_img or cfg.optim.freeze_lidar or \
-        (cfg.img is not None and cfg.img.frozen_stages > 0)
+        (cfg.img is not None and
+         (cfg.img.frozen_stages > 0 or cfg.img.norm_frozen))
     if needs_mask:
         tx = optax.multi_transform(
             {"train": tx, "freeze": optax.set_to_zero()},

@@ -468,21 +468,13 @@ def convert_head(state: Dict, cfg, params: Dict, stats: Dict) -> None:
 
 def _encoder_out_depth(cfg) -> int:
     """z depth of the sparse encoder's dense BEV output (e.g. nuScenes
-    41 -> 21 -> 11 -> 5 -> conv_out -> 2), replicating
-    SparseEncoder._down_pads + the strided z chain."""
+    41 -> 21 -> 11 -> 5 -> conv_out -> 2): the strided z chain over the
+    encoder's own downsample-padding list."""
+    from ..models.sparse_encoder import down_pads
     mc = cfg.middle
     d = cfg.voxelization.sparse_shape[0]
-    pads = []
-    if mc.block_type == "conv_module":
-        for i, _blocks in enumerate(mc.encoder_channels):
-            if i != 0:
-                pads.append(mc.encoder_paddings[i][0])
-    else:
-        n = len(mc.encoder_channels)
-        for i, blocks in enumerate(mc.encoder_channels):
-            if i != n - 1:
-                pads.append(mc.encoder_paddings[i][len(blocks) - 1])
-    for pad in pads:
+    for pad in down_pads(mc.block_type, mc.encoder_channels,
+                         mc.encoder_paddings):
         pz = pad[0] if isinstance(pad, (tuple, list)) else pad
         d = (d + 2 * pz - 3) // 2 + 1
     return (d - 3) // 2 + 1

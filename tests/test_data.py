@@ -248,3 +248,55 @@ def test_prep_image_resize_fallback():
     out, sx, sy = _prep_image(img, icfg)
     assert out.shape == (10, 20, 3)
     assert sx == 0.5 and sy == 0.5
+
+
+def test_bev_overlap_exact_matches_iou_oracle():
+    """SAT overlap test agrees with the rotated-IoU oracle (overlap iff
+    IoU > 0) on random pairs, and accepts the clearance the old circle
+    test wrongly rejected (two parked cars 2 m apart)."""
+    import jax.numpy as jnp
+    from srfdet3d_tpu.data.box_np import bev_overlap_exact
+    from srfdet3d_tpu.geometry.iou import iou_3d
+    rng = np.random.default_rng(0)
+    n = 200
+    boxes = np.zeros((n, 2, 7), np.float32)
+    boxes[..., 0:2] = rng.uniform(-4, 4, (n, 2, 2))
+    boxes[..., 2] = 0.0
+    boxes[..., 3:5] = rng.uniform(0.5, 5.0, (n, 2, 2))
+    boxes[..., 5] = 2.0
+    boxes[..., 6] = rng.uniform(-np.pi, np.pi, (n, 2))
+    a = boxes[:, 0].copy()
+    c = boxes[:, 1].copy()
+    # gravity-center IoU oracle (boxes here are z-centered already)
+    ious = np.array([float(iou_3d(jnp.asarray(a[i:i + 1]),
+                                  jnp.asarray(c[i:i + 1]))[0, 0])
+                     for i in range(n)])
+    got = np.array([bool(bev_overlap_exact(a[i], c[i:i + 1])[0])
+                    for i in range(n)])
+    clear = np.abs(ious) > 1e-5          # skip knife-edge touching cases
+    np.testing.assert_array_equal(got[clear], ious[clear] > 0)
+
+    # two parked cars, 2 m apart laterally: NOT overlapping
+    car1 = np.array([0.0, 0.0, 0.0, 1.9, 4.5, 1.5, 0.0], np.float32)
+    car2 = np.array([2.0, 0.0, 0.0, 1.9, 4.5, 1.5, 0.0], np.float32)
+    assert not bev_overlap_exact(car1, car2[None])[0]
+    # and genuinely intersecting ones ARE
+    car3 = np.array([1.0, 0.5, 0.0, 1.9, 4.5, 1.5, 0.4], np.float32)
+    assert bev_overlap_exact(car1, car3[None])[0]
+
+
+def test_object_noise_survives_clutter():
+    """With an exact collision test, neighbors 2 m apart still receive
+    noise (the circle test rejected every candidate here)."""
+    from srfdet3d_tpu.data.transforms import object_noise
+    rng = np.random.default_rng(0)
+    boxes = np.array([
+        [0.0, 0.0, 0.0, 1.9, 4.5, 1.5, 0.0],
+        [2.2, 0.0, 0.0, 1.9, 4.5, 1.5, 0.0],
+        [4.4, 0.0, 0.0, 1.9, 4.5, 1.5, 0.0],
+    ], np.float32)
+    pts = np.zeros((1, 4), np.float32)
+    _, new_boxes = object_noise(pts, boxes, rng,
+                                trans_std=(0.3, 0.3, 0.2))
+    moved = ~np.all(np.isclose(new_boxes, boxes), axis=1)
+    assert moved.any(), "no box received noise in a routine parking row"

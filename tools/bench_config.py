@@ -40,6 +40,10 @@ def main():
     cfg = getattr(configs, name)()
     if dtype == "img_bf16":
         # bf16 on the image branch only (MXU-bound convs); lidar fp32
+        if cfg.img is None:
+            print(f"{name} has no image branch; img_bf16 is meaningless",
+                  flush=True)
+            return 2
         cfg = dataclasses.replace(
             cfg, img=dataclasses.replace(cfg.img,
                                          compute_dtype="bfloat16"))

@@ -59,7 +59,7 @@ def main():
     neck = FPN(out_channels=cfg.img.neck_out_channels,
                num_outs=cfg.img.neck_num_outs,
                relu_before_extra_convs=cfg.img.relu_before_extra_convs)
-    stages = jax.jit(lambda v, xx: bb.apply(v, xx))(vb, x)
+    stages = bb_fwd(vb, x)        # reuse the compiled backbone program
     vn = jax.jit(lambda s: neck.init(jax.random.PRNGKey(1), s))(stages)
 
     full = jax.jit(lambda v_b, v_n, xx: neck.apply(
