@@ -116,14 +116,19 @@ def main():
                           trailer=6, barrier=2, motorcycle=6, bicycle=6,
                           pedestrian=2, traffic_cone=2)
         kitti_groups = dict(Car=12, Pedestrian=6, Cyclist=6)
+        # filter_by_min_points: nuScenes uses 5 for every class
+        # (srfdet_voxel_nusc_L.py:217-227); KITTI 5/10/10
+        # (srfdet_voxel_kitti_L.py:230)
+        kitti_min_points = dict(Car=5, Pedestrian=10, Cyclist=10)
         db_sampler = None
         if args.db_info:
+            nus = cfg.dataset == "nuscenes"
             db_sampler = DBSampler(
                 info_path=args.db_info, data_root=args.data_root,
                 classes=cfg.class_names,
-                sample_groups=(nus_groups if cfg.dataset == "nuscenes"
-                               else kitti_groups),
-                min_points={c: 5 for c in cfg.class_names},
+                sample_groups=nus_groups if nus else kitti_groups,
+                min_points=({c: 5 for c in cfg.class_names} if nus
+                            else kitti_min_points),
                 points_load_dim=cfg.points_dim,
                 points_use_dim=tuple(range(cfg.points_dim)))
         ds_cls = {"nuscenes": NuScenesDataset, "kitti": KittiDataset,
