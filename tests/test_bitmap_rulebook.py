@@ -295,3 +295,56 @@ def test_strided_no_phantom_zero_site_columns():
     assert np.all(counts[cm] >= 1), "phantom zero-site output column"
     # the z=2 voxel (oz in {0,1}) still produces its sites
     assert int(vm_o.sum()) > 0
+
+
+def test_strided_bitmap_fuzz_shapes_and_pads():
+    """Randomized shapes, paddings and occupancies: the bitmap strided
+    conv must equal a dense lax conv masked to the active output sites
+    (spconv semantics) for every draw."""
+    rng = np.random.RandomState(7)
+    for trial in range(6):
+        d = int(rng.randint(5, 42))
+        h = int(rng.randint(5, 20))
+        w = int(rng.randint(5, 20))
+        pad = tuple(int(p) for p in rng.randint(0, 2, size=3))
+        od = (d + 2 * pad[0] - 3) // 2 + 1
+        if od <= 0 or od > 32 or (h + 2 * pad[1] - 3) // 2 + 1 <= 0 \
+                or (w + 2 * pad[2] - 3) // 2 + 1 <= 0:
+            continue
+        shape = (d, h, w)
+        n = int(rng.randint(1, min(100, d * h * w)))
+        lin = np.sort(rng.choice(d * h * w, size=n, replace=False))
+        c = np.stack([lin // (h * w), (lin // w) % h, lin % w],
+                     -1).astype(np.int32)
+        v_cap = 128
+        coords = np.zeros((1, v_cap, 3), np.int32)
+        coords[0, :n] = c
+        mask = np.zeros((1, v_cap), bool)
+        mask[0, :n] = True
+        feats = rng.randn(1, v_cap, 3).astype(np.float32)
+        feats[~mask] = 0.0
+
+        f2, c2, m2 = sort_plan_major(jnp.array(feats), jnp.array(coords),
+                                     jnp.array(mask), shape)
+        cs, vcol, vz = build_columns(c2, m2, shape)
+        cap = 256
+        cs_o, vcol_o, vz_o, vm_o = strided_sites_bitmap(cs, pad, cap)
+        gidx = strided_rulebook_bitmap(cs, cs_o, vcol_o, vz_o, vm_o, pad)
+        wk = rng.randn(27, 3, 2).astype(np.float32)
+        from srfdet3d_tpu.ops.sparse_conv import \
+            gathered_conv_apply_batched
+        out = gathered_conv_apply_batched(f2, gidx, jnp.array(wk))
+        out = jnp.where(vm_o[..., None], out, 0.0)
+        site_coords = _site_coords(cs_o, vcol_o, vz_o)
+        dense_out = sparse_to_dense_batched(out, site_coords, vm_o,
+                                            cs_o.shape)
+
+        x = sparse_to_dense_batched(f2, c2, m2, shape)
+        want = _dense_conv(x, jnp.array(wk), (3, 3, 3), (2, 2, 2), pad)
+        site_occ = _dense_conv(
+            _occ(c2, m2, shape)[..., None].astype(jnp.float32),
+            jnp.ones((27, 1, 1)), (3, 3, 3), (2, 2, 2), pad)[..., 0] > 0
+        want = jnp.where(site_occ[..., None], want, 0.0)
+        np.testing.assert_allclose(
+            np.asarray(dense_out), np.asarray(want), rtol=1e-4, atol=1e-4,
+            err_msg=f"trial {trial}: shape={shape} pad={pad} n={n}")
