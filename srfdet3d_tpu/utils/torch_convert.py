@@ -226,6 +226,48 @@ def convert_fpn(state: Dict, torch_prefix: str, our_prefix: str,
             one(f"{torch_prefix}.fpn_convs.{num_ins + e}", f"extra_{e}")
 
 
+def convert_vfe(state: Dict, cfg, params: Dict, stats: Dict) -> None:
+    """pts_voxel_encoder -> our VFE module names.
+
+    torch (mmdet3d): DynamicVFECustom stores vfe_layers.{i}.linear/.norm
+    (voxel_encoder.py:92-97) plus the optional centroid pos-enc Sequential
+    cen2point_pos_enc.{0,1,3,4} (:108-116); PillarFeatureNetCustom stores
+    pfn_layers.{i}.linear/.norm.  HardSimpleVFE has no parameters.
+    ours: DynamicVFELayer_{i}/PFNLayer_{i} with Dense_0 +
+    MaskedBatchNorm_0; the pos-enc is Dense_0/1 + MaskedBatchNorm_0/1 at
+    the VFE top level (models/vfe.py DynamicVFE)."""
+    tp = "pts_voxel_encoder"
+    if not any(k.startswith(tp + ".") for k in state):
+        return
+    vp: Dict = {}
+    vs_: Dict = {}
+
+    def layer(tmod: str, our: str) -> None:
+        _set(vp, (our, "Dense_0"),
+             {"kernel": linear_w(state[f"{tmod}.linear.weight"])})
+        s, st = bn(state, f"{tmod}.norm")
+        _set(vp, (our, "MaskedBatchNorm_0"), s)
+        _set(vs_, (our, "MaskedBatchNorm_0"), st)
+
+    kind = cfg.vfe.kind
+    if kind == "dynamic":
+        for i in range(len(cfg.vfe.feat_channels)):
+            layer(f"{tp}.vfe_layers.{i}", f"DynamicVFELayer_{i}")
+        if cfg.vfe.with_centroid_aware:
+            for k, (li, bi) in enumerate(((0, 1), (3, 4))):
+                vp[f"Dense_{k}"] = {"kernel": linear_w(
+                    state[f"{tp}.cen2point_pos_enc.{li}.weight"])}
+                s, st = bn(state, f"{tp}.cen2point_pos_enc.{bi}")
+                vp[f"MaskedBatchNorm_{k}"] = s
+                vs_[f"MaskedBatchNorm_{k}"] = st
+    elif kind == "pillar":
+        for i in range(len(cfg.vfe.feat_channels)):
+            layer(f"{tp}.pfn_layers.{i}", f"PFNLayer_{i}")
+    if vp:
+        params[tp] = vp
+        stats[tp] = vs_
+
+
 def convert_vovnet(state: Dict, torch_prefix: str, spec_name: str,
                    params: Dict, stats: Dict) -> None:
     """VoVNet -> our flax names.
@@ -496,6 +538,7 @@ def convert_reference_state_dict(state: Dict, cfg,
     """
     params: Dict = {}
     batch_stats: Dict = {}
+    convert_vfe(state, cfg, params, batch_stats)
     if any(k.startswith("pts_middle_encoder.") for k in state):
         convert_sparse_encoder(state, cfg, params, batch_stats,
                                layout=spconv_layout)

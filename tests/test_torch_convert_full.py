@@ -46,7 +46,23 @@ def _synthetic_torch_state(cfg, rng):
         st[f"{prefix}.running_var"] = np.ones(c, np.float32)
         st[f"{prefix}.num_batches_tracked"] = np.asarray(1)
 
-    # ---- pts_middle_encoder (basicblock layout; mmcv.ops sparse convs
+    # ---- pts_voxel_encoder (DynamicVFECustom vfe_layers.{i}.linear/.norm;
+    # HardSimpleVFE has no parameters)
+    if cfg.vfe.kind == "dynamic":
+        in_dim = cfg.vfe.in_channels
+        if cfg.vfe.with_cluster_center:
+            in_dim += 32 if cfg.vfe.with_centroid_aware else 3
+        if cfg.vfe.with_voxel_center:
+            in_dim += 3
+        if cfg.vfe.with_distance:
+            in_dim += 1
+        for i, out_c in enumerate(cfg.vfe.feat_channels):
+            t(f"pts_voxel_encoder.vfe_layers.{i}.linear.weight",
+              out_c, in_dim)
+            bn1d(f"pts_voxel_encoder.vfe_layers.{i}.norm", out_c)
+            in_dim = 2 * out_c          # [x, gathered-back] concat
+
+    # ---- pts_middle_encoder (both block layouts; mmcv.ops sparse convs
     # store (kz, ky, kx, in, out))
     mc = cfg.middle
     te = "pts_middle_encoder"
@@ -57,7 +73,11 @@ def _synthetic_torch_state(cfg, rng):
     for i, blocks in enumerate(mc.encoder_channels):
         for j, out_ch in enumerate(blocks):
             tm = f"{te}.encoder_layers.encoder_layer{i + 1}.{j}"
-            if j == len(blocks) - 1 and i != n_stages - 1:   # downsample
+            if mc.block_type == "conv_module":
+                # every block is SparseSequential(conv .0, BN .1)
+                t(f"{tm}.0.weight", 3, 3, 3, in_ch, out_ch)
+                bn1d(f"{tm}.1", out_ch)
+            elif j == len(blocks) - 1 and i != n_stages - 1:  # downsample
                 t(f"{tm}.0.weight", 3, 3, 3, in_ch, out_ch)
                 bn1d(f"{tm}.1", out_ch)
             else:                                            # SparseBasicBlock
@@ -80,16 +100,17 @@ def _synthetic_torch_state(cfg, rng):
             bn1d(f"pts_backbone.blocks.{i}.{3 * j + 1}", out_c)
 
     # ---- pts_neck (mmdet FPN with BN: conv no bias)
-    oc = 128
+    oc = cfg.neck_out_channels
     for i, c_in in enumerate(cfg.backbone.out_channels):
         t(f"pts_neck.lateral_convs.{i}.conv.weight", oc, c_in, 1, 1)
         bn1d(f"pts_neck.lateral_convs.{i}.bn", oc)
         t(f"pts_neck.fpn_convs.{i}.conv.weight", oc, oc, 3, 3)
         bn1d(f"pts_neck.fpn_convs.{i}.bn", oc)
-    for e in range(cfg.neck_num_outs - len(cfg.backbone.out_channels)):
-        i = len(cfg.backbone.out_channels) + e
-        t(f"pts_neck.fpn_convs.{i}.conv.weight", oc, oc, 3, 3)
-        bn1d(f"pts_neck.fpn_convs.{i}.bn", oc)
+    if cfg.neck_extra_convs:
+        for e in range(cfg.neck_num_outs - len(cfg.backbone.out_channels)):
+            i = len(cfg.backbone.out_channels) + e
+            t(f"pts_neck.fpn_convs.{i}.conv.weight", oc, oc, 3, 3)
+            bn1d(f"pts_neck.fpn_convs.{i}.bn", oc)
 
     # ---- bbox_head
     hc = cfg.head
@@ -101,9 +122,10 @@ def _synthetic_torch_state(cfg, rng):
         ch = c * (lvl + 1)
         t(f"bbox_head.dpg_dw_convs_lidar.{lvl}.conv.weight", ch, 1, 3, 3)
         bn1d(f"bbox_head.dpg_dw_convs_lidar.{lvl}.bn", ch)
-    grid = int(round((cfg.pc_range[3] - cfg.pc_range[0]) / cfg.voxel_size[0]))
-    last = grid // (cfg.out_size_factor * 2 ** (hc.lidar_feat_lvls - 1))
-    t("bbox_head.dpg_fc1_lidar.weight", 1024, last * last)
+    gx = int(round((cfg.pc_range[3] - cfg.pc_range[0]) / cfg.voxel_size[0]))
+    gy = int(round((cfg.pc_range[4] - cfg.pc_range[1]) / cfg.voxel_size[1]))
+    div = cfg.out_size_factor * 2 ** (hc.lidar_feat_lvls - 1)
+    t("bbox_head.dpg_fc1_lidar.weight", 1024, (gy // div) * (gx // div))
     t("bbox_head.dpg_fc1_lidar.bias", 1024)
     t("bbox_head.dpg_fc2_lidar.weight", n_exp, 1024)
     t("bbox_head.dpg_fc2_lidar.bias", n_exp)
@@ -364,3 +386,40 @@ def test_resnet_dcn_conversion_structure():
             sorted(set(want) ^ set(got))[:8])
         for p in want:
             assert want[p] == got[p], f"{col} {p}: {want[p]} vs {got[p]}"
+
+
+def test_torch_convert_full_model_kitti():
+    """KITTI flagship tree (conv_module encoder, code_size 8, 1024/64 head
+    dims, pool-extras FPN, non-square grid): converter output is
+    structure-identical to the model's own init, loads, runs finite."""
+    import dataclasses as dc
+    from srfdet3d_tpu.configs import srfdet_voxel_kitti_L
+    cfg = srfdet_voxel_kitti_L()
+    cfg = cfg.replace(
+        points_cap=1024, voxels_cap=512,
+        middle=dc.replace(cfg.middle, capacities=(256, 128, 64, 64)),
+        head=dc.replace(cfg.head, num_proposals=32))
+    rng = np.random.default_rng(2)
+    state = _synthetic_torch_state(cfg, rng)
+    converted = convert_reference_state_dict(state, cfg)
+
+    batch = graft._synthetic_batch(cfg, 1)
+    model = SRFDet(cfg)
+    ref_tree = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), batch, train=False))
+    for col in ("params", "batch_stats"):
+        want = _paths(jax.tree_util.tree_map(lambda x: x, dict(ref_tree[col])))
+        got = _paths(converted[col])
+        missing = sorted(set(want) - set(got))
+        extra = sorted(set(got) - set(want))
+        assert not missing, f"{col}: converter missed {missing[:8]}"
+        assert not extra, f"{col}: converter invented {extra[:8]}"
+        for p in want:
+            assert want[p] == got[p], f"{col} {p}: {want[p]} vs {got[p]}"
+
+    variables = jax.tree_util.tree_map(jnp.asarray, converted)
+    logits, boxes = jax.jit(
+        lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    assert boxes.shape[-1] == 8
+    assert np.all(np.isfinite(np.asarray(logits)))
+    assert np.all(np.isfinite(np.asarray(boxes)))
