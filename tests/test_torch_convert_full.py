@@ -423,3 +423,85 @@ def test_torch_convert_full_model_kitti():
     assert boxes.shape[-1] == 8
     assert np.all(np.isfinite(np.asarray(logits)))
     assert np.all(np.isfinite(np.asarray(boxes)))
+
+
+def test_torch_convert_full_model_pillar():
+    """Pillar tree: PFNLayer VFE + (parameter-free) pillar scatter +
+    stride-2 SECOND + pool-extras FPN."""
+    import dataclasses as dc
+    from srfdet3d_tpu.configs import srfdet_pillar_nusc_L
+    cfg = srfdet_pillar_nusc_L()
+    cfg = cfg.replace(
+        points_cap=1024, voxels_cap=256,
+        head=dc.replace(cfg.head, num_proposals=32))
+    rng = np.random.default_rng(3)
+    state = _synthetic_torch_state_pillar(cfg, rng)
+    converted = convert_reference_state_dict(state, cfg)
+
+    batch = graft._synthetic_batch(cfg, 1)
+    model = SRFDet(cfg)
+    ref_tree = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), batch, train=False))
+    for col in ("params", "batch_stats"):
+        want = _paths(jax.tree_util.tree_map(lambda x: x, dict(ref_tree[col])))
+        got = _paths(converted[col])
+        missing = sorted(set(want) - set(got))
+        extra = sorted(set(got) - set(want))
+        assert not missing, f"{col}: converter missed {missing[:8]}"
+        assert not extra, f"{col}: converter invented {extra[:8]}"
+        for p in want:
+            assert want[p] == got[p], f"{col} {p}: {want[p]} vs {got[p]}"
+
+    variables = jax.tree_util.tree_map(jnp.asarray, converted)
+    logits, boxes = jax.jit(
+        lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    assert np.all(np.isfinite(np.asarray(logits)))
+    assert np.all(np.isfinite(np.asarray(boxes)))
+
+
+def _synthetic_torch_state_pillar(cfg, rng):
+    """Pillar variant: pfn_layers VFE, NO middle encoder params, SECOND
+    fed by the 64-ch pillar canvas."""
+    st = {}
+
+    def t(key, *shape):
+        st[key] = rng.normal(size=shape).astype(np.float32) * 0.05
+
+    def bn1d(prefix, c):
+        t(f"{prefix}.weight", c)
+        t(f"{prefix}.bias", c)
+        st[f"{prefix}.running_mean"] = np.zeros(c, np.float32)
+        st[f"{prefix}.running_var"] = np.ones(c, np.float32)
+
+    in_dim = cfg.vfe.in_channels + 3 + 3      # cluster + center decorations
+    for i, out_c in enumerate(cfg.vfe.feat_channels):
+        last = i == len(cfg.vfe.feat_channels) - 1
+        units = out_c if last else out_c // 2
+        t(f"pts_voxel_encoder.pfn_layers.{i}.linear.weight", units, in_dim)
+        bn1d(f"pts_voxel_encoder.pfn_layers.{i}.norm", units)
+        in_dim = 2 * units
+
+    bb_in = cfg.middle.in_channels
+    for i, (n_layers, out_c) in enumerate(
+            zip(cfg.backbone.layer_nums, cfg.backbone.out_channels)):
+        c_in = bb_in if i == 0 else cfg.backbone.out_channels[i - 1]
+        for j in range(n_layers + 1):
+            t(f"pts_backbone.blocks.{i}.{3 * j}.weight",
+              out_c, c_in if j == 0 else out_c, 3, 3)
+            bn1d(f"pts_backbone.blocks.{i}.{3 * j + 1}", out_c)
+
+    oc = cfg.neck_out_channels
+    for i, c_in in enumerate(cfg.backbone.out_channels):
+        t(f"pts_neck.lateral_convs.{i}.conv.weight", oc, c_in, 1, 1)
+        bn1d(f"pts_neck.lateral_convs.{i}.bn", oc)
+        t(f"pts_neck.fpn_convs.{i}.conv.weight", oc, oc, 3, 3)
+        bn1d(f"pts_neck.fpn_convs.{i}.bn", oc)
+    # pillar pts_neck: pool extras, no extra conv weights
+
+    # head: reuse the shared builder by cloning its bbox_head entries
+    full = _synthetic_torch_state(
+        cfg.replace(middle=cfg.middle), rng)
+    for k, v in full.items():
+        if k.startswith("bbox_head."):
+            st[k] = v
+    return st
