@@ -225,3 +225,93 @@ def test_vovnet_conversion_numeric_oracle():
         np.testing.assert_allclose(got, want[name].numpy(),
                                    rtol=2e-3, atol=2e-4,
                                    err_msg=name)
+
+
+REF_SECOND = ("/root/reference/mmdet3d_plugin/models/backbones/"
+              "second_custom.py")
+
+
+def test_second_conversion_numeric_oracle():
+    """NUMERIC BEV-backbone parity: run the reference's own torch
+    SECONDCustom (eval mode, randomized BN stats), convert its
+    state_dict with convert_second_backbone, and assert our flax SECOND
+    reproduces every stage output (second_custom.py:24-91: stride-2
+    entry conv + N 3x3 convs per stage, BN eps=1e-3)."""
+    torch = pytest.importorskip("torch")
+    import sys
+    import types
+    import jax.numpy as jnp
+    from srfdet3d_tpu.models.second import SECOND
+    from srfdet3d_tpu.utils.torch_convert import convert_second_backbone
+
+    nn = torch.nn
+    mods = {}
+    for name in ("mmcv", "mmcv.cnn", "mmcv.runner",
+                 "mmdet", "mmdet.models"):
+        mods[name] = types.ModuleType(name)
+
+    def build_conv_layer(cfg, in_c, out_c, k, stride=1, padding=0):
+        return nn.Conv2d(in_c, out_c, k, stride=stride, padding=padding,
+                         bias=cfg.get("bias", True))
+
+    def build_norm_layer(cfg, c):
+        return "bn", nn.BatchNorm2d(c, eps=cfg["eps"],
+                                    momentum=cfg["momentum"])
+
+    class BaseModule(nn.Module):
+        def __init__(self, init_cfg=None):
+            super().__init__()
+
+    mods["mmcv.cnn"].build_conv_layer = build_conv_layer
+    mods["mmcv.cnn"].build_norm_layer = build_norm_layer
+    mods["mmcv.runner"].BaseModule = BaseModule
+    mods["mmdet.models"].BACKBONES = types.SimpleNamespace(
+        register_module=lambda *a, **k: (lambda cls: cls))
+    saved = {k: sys.modules.get(k) for k in mods}
+    sys.modules.update(mods)
+    try:
+        spec = importlib.util.spec_from_file_location("ref_second",
+                                                      REF_SECOND)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                sys.modules.pop(k, None)
+            else:
+                sys.modules[k] = v
+
+    torch.manual_seed(0)
+    layer_nums = [2, 3, 3]
+    out_channels = [16, 32, 64]
+    net_t = mod.SECONDCustom(in_channels=8, out_channels=out_channels,
+                             layer_nums=layer_nums,
+                             layer_strides=[2, 2, 2])
+    net_t.eval()
+    with torch.no_grad():
+        for m in net_t.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+
+    state = {f"pts_backbone.{k}": v.detach().numpy()
+             for k, v in net_t.state_dict().items()}
+    params, stats = {}, {}
+    convert_second_backbone(state, "pts_backbone", layer_nums, params,
+                            stats)
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 8, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = net_t(torch.from_numpy(x))
+
+    ours = SECOND(out_channels=tuple(out_channels),
+                  layer_nums=tuple(layer_nums), layer_strides=(2, 2, 2))
+    outs = ours.apply({"params": params, "batch_stats": stats},
+                      jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                      train=False)
+    for i in range(3):
+        got = np.transpose(np.asarray(outs[i]), (0, 3, 1, 2))
+        np.testing.assert_allclose(got, want[i].numpy(),
+                                   rtol=1e-4, atol=1e-4,
+                                   err_msg=f"stage{i}")
