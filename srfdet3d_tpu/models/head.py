@@ -32,6 +32,7 @@ from flax import linen as nn
 from ..geometry.boxes import boxes3d_to_corners3d, denormalize_bbox
 from ..geometry.iou import multiclass_nms_3d
 from ..ops.roi_align import multilevel_roi_align
+from ..parallel.mesh import shard_proposal_axis
 from .layers import ConvBNReLU
 
 _DEFAULT_SCALE_CLAMP = math.log(100000.0 / 16)
@@ -310,6 +311,9 @@ class SingleSRFDetHead(nn.Module):
         else:
             roi_feats = pts_roi if pts_roi is not None else img_roi
         roi_feats = roi_feats.reshape(bs, n_p, res * res, c)
+        # optional proposal-axis model parallelism (no-op outside a
+        # parallel.proposal_sharding(mesh) trace — see parallel/mesh.py)
+        roi_feats = shard_proposal_axis(roi_feats)
 
         if prop_feats is None:
             prop_feats = jnp.mean(roi_feats, axis=2)            # (B, n_p, C)
@@ -545,8 +549,8 @@ class SRFDetHead(nn.Module):
         # box buffers are fp32 always (see apply_deltas)
         boxes = jnp.concatenate(
             [jax.nn.sigmoid(boxes0[..., :3]), boxes0[..., 3:]], axis=-1)
-        boxes = boxes.astype(jnp.float32)
-        prop_feats = feats0.astype(self.dtype)
+        boxes = shard_proposal_axis(boxes.astype(jnp.float32))
+        prop_feats = shard_proposal_axis(feats0.astype(self.dtype))
 
         # The refinement iterations share structure with per-iteration
         # weights, so they compile as ONE scanned program (5x smaller HLO
@@ -583,6 +587,10 @@ class SRFDetHead(nn.Module):
                     **single_kwargs, name="single_head")(
                     point_feats, img_feats, boxes, prop_feats, lidar2img,
                     train=self.train)
+                # keep the carry proposal-sharded across iterations so the
+                # scan body stays partitioned (no-op without a model mesh)
+                pred = shard_proposal_axis(pred)
+                prop_feats = shard_proposal_axis(prop_feats)
                 # boxes detached between iterations (reference :441,458)
                 return (jax.lax.stop_gradient(pred), prop_feats), \
                     (logits, pred)

@@ -1,4 +1,4 @@
-"""Device-mesh utilities: GSPMD data parallelism over ICI/DCN.
+"""Device-mesh utilities: GSPMD data (+ optional model) parallelism.
 
 The reference's parallelism inventory is exactly data parallelism (SURVEY
 §2.3): torch.distributed.launch + NCCL DDP (dist_train.sh:8-9), all-gather
@@ -9,17 +9,34 @@ replicated.  Under jit, global-batch reductions inside the loss ARE the
 cross-replica collectives (XLA inserts psums), so DDP/SyncBN/reduce_mean all
 collapse into ordinary jnp reductions — no explicit communication code.
 
+Beyond the reference, a second optional `model` mesh axis shards the
+decoder's PROPOSAL dimension (the detection analogue of sequence
+parallelism): every per-proposal computation — RoI gathers, DynamicConv,
+FFN, cls/reg towers — partitions cleanly over proposals, and the one
+cross-proposal op (self-attention) becomes a K/V all-gather that GSPMD
+inserts from the `with_sharding_constraint` annotations in models/head.py.
+Activate by tracing the jitted step inside `proposal_sharding(mesh)` with a
+mesh that has a "model" axis (see `make_mesh_2d`).  Constraints bake in at
+TRACE time — use a fresh function per mesh, never re-jit one traced without
+the context (jit caches on the function object, PERF.md).
+
 Multi-host: `jax.distributed.initialize()` before `make_mesh()`; the same
 code then spans slices (DCN) transparently.
 """
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+MODEL_AXIS = "model"
+DATA_AXIS = "data"
+
+_active_model_mesh: Optional[Mesh] = None
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -29,6 +46,62 @@ def make_mesh(n_devices: Optional[int] = None,
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.asarray(devs), (axis_name,))
+
+
+def make_mesh_2d(n_data: int, n_model: int) -> Mesh:
+    """2-D (data, model) mesh over the first n_data*n_model devices.
+
+    The model axis is the fast (adjacent-device) axis so proposal-axis
+    collectives (attention K/V all-gathers) ride the shortest ICI hops.
+    """
+    devs = jax.devices()[:n_data * n_model]
+    if len(devs) < n_data * n_model:
+        raise ValueError(f"need {n_data * n_model} devices, "
+                         f"have {len(jax.devices())}")
+    return Mesh(np.asarray(devs).reshape(n_data, n_model),
+                (DATA_AXIS, MODEL_AXIS))
+
+
+@contextlib.contextmanager
+def proposal_sharding(mesh: Mesh):
+    """Trace-time context: `shard_proposal_axis` constraints target `mesh`.
+
+    Wrap the FIRST call of a jitted step (tracing happens then); outside
+    the context the constraints are no-ops, keeping single-device and
+    pure-DP programs annotation-free.
+    """
+    global _active_model_mesh
+    if MODEL_AXIS not in mesh.axis_names:
+        raise ValueError(f"mesh {mesh.axis_names} has no '{MODEL_AXIS}' axis")
+    prev = _active_model_mesh
+    _active_model_mesh = mesh
+    try:
+        yield
+    finally:
+        _active_model_mesh = prev
+
+
+def shard_proposal_axis(x: jax.Array, axis: int = 1) -> jax.Array:
+    """Constrain `x` to shard dim `axis` over the model mesh axis.
+
+    No-op unless tracing inside `proposal_sharding(mesh)`; silently skips
+    tensors whose axis size does not divide the mesh (e.g. tiny test
+    configs), mirroring the capacity discipline used everywhere else.
+    Also shards the leading batch dim over `data` when divisible.
+    """
+    mesh = _active_model_mesh
+    if mesh is None:
+        return x
+    n_model = mesh.shape[MODEL_AXIS]
+    if x.ndim <= axis or x.shape[axis] % n_model:
+        return x
+    spec = [None] * x.ndim
+    spec[axis] = MODEL_AXIS
+    if (DATA_AXIS in mesh.axis_names and axis != 0
+            and x.shape[0] % mesh.shape[DATA_AXIS] == 0):
+        spec[0] = DATA_AXIS
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
