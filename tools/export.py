@@ -36,10 +36,9 @@ def build_predict(cfg, variables=None, bake_params: bool = False,
 
     batch = graft._synthetic_batch(cfg, batch_size=batch_size, seed=rng_seed)
     if cfg.use_img and "images" not in batch:
-        import numpy as np
         import jax.numpy as jnp
         n_cam = cfg.img.num_cams
-        h, w = cfg.img.input_size
+        h, w = cfg.img.img_shape
         batch["images"] = jnp.zeros((batch_size, n_cam, h, w, 3),
                                     jnp.float32)
         batch["lidar2img"] = jnp.broadcast_to(
