@@ -104,15 +104,26 @@ def shard_proposal_axis(x: jax.Array, axis: int = 1) -> jax.Array:
         x, NamedSharding(mesh, P(*spec)))
 
 
+def _put(x: Any, sharding: NamedSharding) -> jax.Array:
+    """device_put, or — when the mesh spans non-addressable devices
+    (multi-host: jax.distributed across processes) — assemble the global
+    array from this process's addressable shards.  Callers pass the same
+    GLOBAL host value on every process (identical seeds / batches), the
+    multi-controller contract of tools/dist_train.sh."""
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx])
+
+
 def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
     """Shard every leaf's leading (batch) dim across the mesh."""
     sharding = NamedSharding(mesh, P(axis_name))
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), batch)
+    return jax.tree_util.tree_map(lambda x: _put(x, sharding), batch)
 
 
 def replicate(tree: Any, mesh: Mesh) -> Any:
     """Fully replicate a pytree (parameters, optimizer state)."""
     sharding = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree_util.tree_map(lambda x: _put(x, sharding), tree)

@@ -21,7 +21,9 @@ def _make_keys(rng, n_valid, cells, n_total):
     return keys.astype(np.int32)
 
 
-@pytest.mark.parametrize("k,group", [(27, True), (3, False)])
+@pytest.mark.parametrize(
+    "k,group",
+    [pytest.param(27, True, marks=pytest.mark.slow), (3, False)])
 def test_matches_searchsorted(k, group):
     rng = np.random.default_rng(0)
     cells = 100_000

@@ -169,9 +169,12 @@ def test_dp_matches_single_device_numerically():
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_remat_head_grads_identical():
     """head.remat=True (jax.checkpoint on each refinement iteration) must
-    be a pure memory/FLOPs trade: identical loss and gradients."""
+    be a pure memory/FLOPs trade: identical loss and gradients.
+    Slow-marked (~2 min of CPU compile): remat is an off-by-default
+    option; the default suite certifies the non-remat step."""
     import dataclasses
     from srfdet3d_tpu.models.detector import SRFDet
     from srfdet3d_tpu.models.losses import srfdet_losses
