@@ -172,6 +172,11 @@ class OptimConfig:
     epochs: int = 20
     freeze_img: bool = False           # freeze_img (detector __init__)
     freeze_lidar: bool = False         # freeze_lidar_components (train.py:221)
+    # >1: split each global batch into accum_steps microbatches and
+    # accumulate gradients under one jitted lax.scan (train/trainer.py) —
+    # reproduces the reference's 8-GPU global batch (2 x 8, dist_train.sh)
+    # on fewer chips at 1/accum_steps the activation memory
+    accum_steps: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

@@ -161,26 +161,88 @@ def _frozen_top_keys(cfg: SRFDetConfig):
 def make_train_step(model: SRFDet, tx: optax.GradientTransformation,
                     cfg: SRFDetConfig) -> Callable:
     """One SGD step. batch must contain points(+mask), optional images, and
-    gt_boxes (B, G, 7|9) / gt_labels (B, G) / gt_mask (B, G)."""
+    gt_boxes (B, G, 7|9) / gt_labels (B, G) / gt_mask (B, G).
+
+    cfg.optim.accum_steps > 1 splits the batch into that many microbatches
+    and accumulates gradients under a single jitted `lax.scan` before the
+    one optimizer update — peak activation memory drops ~accum_steps-fold,
+    reproducing the reference's 8-GPU global batch (dist_train.sh, 2
+    samples/GPU) on fewer chips.  The split is STRIDED on the batch axis
+    (microbatch i takes rows i, a+i, 2a+i, ...) so each microbatch spans
+    every device of a data mesh evenly.  Semantics match DDP-without-
+    avg_factor-sync: each microbatch normalizes its losses by its own
+    positives, and BN batch stats update once per microbatch (sequential,
+    like consecutive steps)."""
     frozen_keys = _frozen_top_keys(cfg)
+    accum = max(int(cfg.optim.accum_steps), 1)
+
+    def loss_fn(params, batch_stats, batch, rngs):
+        (logits, boxes), updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch, train=True, mutable=["batch_stats"], rngs=rngs)
+        losses = srfdet_losses(
+            logits, boxes, batch["gt_boxes"], batch["gt_labels"],
+            batch["gt_mask"], cfg.loss, cfg.ota)
+        total = sum(losses.values())
+        return total, (losses, updates.get("batch_stats", FrozenDict()))
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def _rngs(rng):
+        return {"dropout": jax.random.fold_in(rng, 0),
+                "grid_mask": jax.random.fold_in(rng, 1)}
+
+    def _grads_single(state, batch, rng):
+        (total, (losses, new_bs)), grads = grad_fn(
+            state.params, state.batch_stats, batch, _rngs(rng))
+        return total, losses, new_bs, grads
+
+    def _grads_accum(state, batch, rng):
+        def split(x):
+            b = x.shape[0]
+            if b % accum:
+                raise ValueError(
+                    f"batch dim {b} not divisible by accum_steps={accum}")
+            # strided: microbatch i = rows i, a+i, ... (device-spanning)
+            return jnp.swapaxes(
+                x.reshape((b // accum, accum) + x.shape[1:]), 0, 1)
+
+        micro = jax.tree_util.tree_map(split, batch)
+        rng_seq = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+            jnp.arange(accum, dtype=jnp.uint32))
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+        def body(carry, xs):
+            bs, gsum, tsum, lsum = carry
+            mb, r = xs
+            (total, (losses, new_bs)), grads = grad_fn(
+                state.params, bs, mb, _rngs(r))
+            gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
+            lsum = jax.tree_util.tree_map(jnp.add, lsum, losses)
+            return (new_bs, gsum, tsum + total, lsum), None
+
+        # abstract-trace one microbatch to learn the loss-dict keys
+        _, (probe_losses, _) = jax.eval_shape(
+            lambda p, bs: loss_fn(
+                p, bs, jax.tree_util.tree_map(lambda x: x[0], micro),
+                _rngs(rng)),
+            state.params, state.batch_stats)
+        zero_losses = jax.tree_util.tree_map(
+            lambda v: jnp.zeros(v.shape, v.dtype), probe_losses)
+        (new_bs, grads, total, losses), _ = jax.lax.scan(
+            body, (state.batch_stats, zeros, jnp.zeros(()), zero_losses),
+            (micro, rng_seq))
+        inv = 1.0 / accum
+        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+        losses = jax.tree_util.tree_map(lambda l: l * inv, losses)
+        return total * inv, losses, new_bs, grads
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):
-        rngs = {"dropout": jax.random.fold_in(rng, 0),
-                "grid_mask": jax.random.fold_in(rng, 1)}
-
-        def loss_fn(params):
-            (logits, boxes), updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch, train=True, mutable=["batch_stats"], rngs=rngs)
-            losses = srfdet_losses(
-                logits, boxes, batch["gt_boxes"], batch["gt_labels"],
-                batch["gt_mask"], cfg.loss, cfg.ota)
-            total = sum(losses.values())
-            return total, (losses, updates.get("batch_stats", FrozenDict()))
-
-        (total, (losses, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        if accum == 1:
+            total, losses, new_bs, grads = _grads_single(state, batch, rng)
+        else:
+            total, losses, new_bs, grads = _grads_accum(state, batch, rng)
         # frozen branches keep their pretrained BN running stats
         # (reference fix_bn in freeze_lidar_components, tools/train.py:245;
         # the forward also runs them in eval mode — detector.py pts_train)

@@ -77,6 +77,63 @@ def test_train_step_mesh_sharded_fast():
     assert int(state.step) == 2
 
 
+def test_grad_accum_matches_single_step():
+    """optim.accum_steps=2 must reproduce the plain step when its two
+    microbatches are identical: with dropout 0, train-mode BN normalizes by
+    the CURRENT microbatch's stats (identical data -> identical forwards)
+    and the per-micro loss normalizers equal the full-batch ones, so the
+    averaged grads — and the updated params — match the accum=1 step.
+    (batch_stats intentionally differ: sequential per-micro updates.)"""
+    import dataclasses
+    cfg = tiny_test_config(points_cap=256, voxels_cap=256, gt_cap=4)
+    cfg = cfg.replace(
+        middle=dataclasses.replace(cfg.middle, capacities=(128, 64, 32, 32)),
+        head=dataclasses.replace(cfg.head, num_proposals=8, dropout=0.0))
+
+    one = graft._synthetic_batch(cfg, 1, with_gt=True, seed=3)
+    batch = jax.tree_util.tree_map(
+        lambda x: jnp.tile(x, (4,) + (1,) * (x.ndim - 1)), one)
+
+    model, state, _ = create_train_state(
+        cfg, jax.random.PRNGKey(0), one, total_steps=10)
+    # SGD, not Adam: adam's g/sqrt(g^2) turns fp-reassociation noise in
+    # near-zero grad elements into full-size sign-flipped updates; with
+    # SGD the param delta is LINEAR in the grads, so the comparison tests
+    # the accumulation, not the optimizer's noise amplification
+    import optax
+    from srfdet3d_tpu.train.trainer import TrainState
+    tx = optax.sgd(1e-2)
+    state = TrainState(step=state.step, params=state.params,
+                       batch_stats=state.batch_stats,
+                       opt_state=tx.init(state.params))
+    rng = jax.random.PRNGKey(7)
+
+    # the train step donates its state arg — give each step its own copy
+    state_b = jax.tree_util.tree_map(jnp.copy, state)
+    step1 = make_train_step(model, tx, cfg)
+    new1, m1 = step1(state, batch, rng)
+
+    cfg2 = cfg.replace(optim=dataclasses.replace(cfg.optim, accum_steps=2))
+    step2 = make_train_step(model, tx, cfg2)
+    new2, m2 = step2(state_b, batch, rng)
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]),
+                               rtol=1e-5)
+    np.testing.assert_allclose(float(m2["grad_norm"]),
+                               float(m1["grad_norm"]), rtol=1e-4)
+    for (p1, l1), (p2, l2) in zip(
+            jax.tree_util.tree_leaves_with_path(new1.params),
+            jax.tree_util.tree_leaves_with_path(new2.params)):
+        # atol 1e-6 vs the -lr*grad deltas (~1e-5..1e-3): BN-reassociation
+        # noise (batch of 4 vs microbatch of 2 sums) measures ~2e-7, while
+        # an averaging bug (e.g. sum instead of mean) would show at delta
+        # scale — still two orders above the tolerance
+        np.testing.assert_allclose(np.asarray(l2), np.asarray(l1),
+                                   rtol=2e-3, atol=1e-6,
+                                   err_msg=jax.tree_util.keystr(p1))
+    assert int(new2.step) == 1
+
+
 @pytest.mark.slow
 def test_train_step_loss_decreases_dp():
     cfg = tiny_test_config()

@@ -102,7 +102,10 @@ def main():
 
     n_dev = len(jax.devices())
     batch_size = args.batch_size or cfg.optim.batch_size_per_device * n_dev
-    batch_size = max(batch_size - batch_size % n_dev, n_dev)
+    # each microbatch of a grad-accumulation step must span every device
+    # evenly (trainer.py strided split) -> batch % (n_dev * accum) == 0
+    quantum = n_dev * max(cfg.optim.accum_steps, 1)
+    batch_size = max(batch_size - batch_size % quantum, quantum)
 
     if args.synthetic:
         dataset = SyntheticDataset(cfg, length=args.synthetic_length,
