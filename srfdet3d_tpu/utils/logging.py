@@ -42,3 +42,17 @@ class MetricLogger:
                     tf.summary.scalar(k, float(v), step=step)
                 if lr is not None:
                     tf.summary.scalar("lr", lr, step=step)
+
+    def log_eval(self, step: int, metrics: Dict[str, float]) -> None:
+        """Validation metrics (mmcv EvalHook lines) — always printed,
+        scalars land under val/ in TensorBoard."""
+        scalars = {k: float(v) for k, v in metrics.items()
+                   if isinstance(v, (int, float))}
+        parts = [f"eval @ iter {step}"]
+        parts += [f"{k} {v:.4f}" for k, v in sorted(scalars.items())]
+        print("  ".join(parts), flush=True)
+        if self._writer is not None:
+            import tensorflow as tf
+            with self._writer.as_default():
+                for k, v in scalars.items():
+                    tf.summary.scalar(f"val/{k}", v, step=step)

@@ -40,6 +40,50 @@ def evaluate(cfg, gts, preds, protocol: str = "auto"):
     raise SystemExit(f"unknown --eval protocol {protocol!r}")
 
 
+def run_inference_eval(cfg, dataset, state, eval_step, batch_size: int,
+                       protocol: str = "auto", out: str | None = None):
+    """Inference over `dataset` + native metric evaluation.
+
+    Shared by this CLI and tools/train.py's --eval-interval hook (the
+    reference's mmcv EvalHook, cfg evaluation=dict(interval=1),
+    srfdet_voxel_nusc_L.py:370).  Returns the metric dict; optionally
+    dumps {gts, preds} to `out` (reference --out pickle)."""
+    import jax.numpy as jnp
+
+    from srfdet3d_tpu.data import data_loader
+
+    names = np.asarray(cfg.class_names)
+    gts, preds = [], []
+    # drop_last=False: every validation frame scores (the ragged tail
+    # batch costs one extra jit specialization)
+    for batch in data_loader(dataset, batch_size, shuffle=False,
+                             num_workers=2, drop_last=False):
+        out_b = eval_step(state, {k: jnp.asarray(v)
+                                  for k, v in batch.items()
+                                  if k not in ("gt_boxes", "gt_labels",
+                                               "gt_mask")})
+        boxes = np.asarray(out_b["boxes"])
+        scores = np.asarray(out_b["scores"])
+        labels = np.asarray(out_b["labels"])
+        valid = np.asarray(out_b["valid"])
+        for i in range(boxes.shape[0]):
+            v = valid[i]
+            pb = boxes[i][v].copy()
+            pb[:, 2] += 0.5 * pb[:, 5]       # bottom -> gravity center
+            preds.append({"boxes": pb, "scores": scores[i][v],
+                          "labels_name": names[labels[i][v]]})
+            gm = np.asarray(batch["gt_mask"][i])
+            gb = np.asarray(batch["gt_boxes"][i])[gm]
+            gl = np.asarray(batch["gt_labels"][i])[gm]
+            gts.append({"boxes": gb, "labels_name": names[gl]})
+
+    if out:
+        with open(out, "wb") as f:
+            pickle.dump({"gts": gts, "preds": preds}, f)
+        print(f"dumped {len(preds)} frames to {out}", flush=True)
+    return evaluate(cfg, gts, preds, protocol)
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("config")
@@ -100,36 +144,8 @@ def main():
               flush=True)
     eval_step = make_eval_step(model)
 
-    names = np.asarray(cfg.class_names)
-    gts, preds = [], []
-    # drop_last=False: every validation frame scores (the ragged tail
-    # batch costs one extra jit specialization)
-    for batch in data_loader(dataset, args.batch_size, shuffle=False,
-                             num_workers=2, drop_last=False):
-        out = eval_step(state, {k: jnp.asarray(v) for k, v in batch.items()
-                                if k not in ("gt_boxes", "gt_labels",
-                                             "gt_mask")})
-        boxes = np.asarray(out["boxes"])
-        scores = np.asarray(out["scores"])
-        labels = np.asarray(out["labels"])
-        valid = np.asarray(out["valid"])
-        for i in range(boxes.shape[0]):
-            v = valid[i]
-            pb = boxes[i][v].copy()
-            pb[:, 2] += 0.5 * pb[:, 5]       # bottom -> gravity center
-            preds.append({"boxes": pb, "scores": scores[i][v],
-                          "labels_name": names[labels[i][v]]})
-            gm = np.asarray(batch["gt_mask"][i])
-            gb = np.asarray(batch["gt_boxes"][i])[gm]
-            gl = np.asarray(batch["gt_labels"][i])[gm]
-            gts.append({"boxes": gb, "labels_name": names[gl]})
-
-    if args.out:
-        with open(args.out, "wb") as f:
-            pickle.dump({"gts": gts, "preds": preds}, f)
-        print(f"dumped {len(preds)} frames to {args.out}", flush=True)
-
-    res = evaluate(cfg, gts, preds, args.eval)
+    res = run_inference_eval(cfg, dataset, state, eval_step,
+                             args.batch_size, args.eval, out=args.out)
     print({k: (round(v, 4) if isinstance(v, float) else v)
            for k, v in res.items() if not isinstance(v, dict)})
 

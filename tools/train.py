@@ -64,6 +64,10 @@ def main():
                          "augmentation (e.g. nuscenes_dbinfos_train.pkl)")
     ap.add_argument("--log-interval", type=int, default=50)
     ap.add_argument("--ckpt-interval", type=int, default=1)
+    ap.add_argument("--eval-interval", type=int, default=0,
+                    help="run validation eval every N epochs (mmcv "
+                         "EvalHook; reference configs use interval=1, "
+                         "e.g. srfdet_voxel_nusc_L.py:370). 0 = off")
     ap.add_argument("--no-cbgs", action="store_true")
     ap.add_argument("--debug-nans", action="store_true",
                     help="jax nan debugging (reference "
@@ -99,6 +103,16 @@ def main():
     epochs = args.epochs or cfg.optim.epochs
     work_dir = os.path.join(args.work_dir, cfg.name)
     os.makedirs(work_dir, exist_ok=True)
+    # reproducibility capture (reference train.py:174-212: cfg.dump +
+    # collect_env + seed/exp meta)
+    with open(os.path.join(work_dir, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=1, default=str)
+    with open(os.path.join(work_dir, "env.json"), "w") as f:
+        json.dump({"jax": jax.__version__,
+                   "backend": jax.default_backend(),
+                   "devices": [str(d) for d in jax.devices()],
+                   "process_count": jax.process_count(),
+                   "seed": args.seed, "argv": sys.argv}, f, indent=1)
 
     n_dev = len(jax.devices())
     batch_size = args.batch_size or cfg.optim.batch_size_per_device * n_dev
@@ -170,6 +184,21 @@ def main():
     logger = MetricLogger(args.log_interval,
                           log_dir=os.path.join(work_dir, "tb"))
 
+    val_dataset = eval_step = None
+    if args.eval_interval > 0:
+        from srfdet3d_tpu.train import make_eval_step
+        if args.synthetic:
+            val_dataset = SyntheticDataset(
+                cfg, length=max(args.synthetic_length // 4, 2),
+                seed=args.seed + 999, augment=False)
+        else:
+            val_ann = os.path.join(args.data_root,
+                                   f"{cfg.dataset}_infos_val.pkl")
+            val_dataset = ds_cls(cfg, info_path=val_ann,
+                                 data_root=args.data_root,
+                                 test_mode=False, augment=False)
+        eval_step = make_eval_step(model)
+
     # host-side step counter: int(state.step)/float(metric) every
     # iteration would block on the just-dispatched device step, defeating
     # async dispatch (host preprocessing could no longer overlap compute)
@@ -196,6 +225,12 @@ def main():
                 "config": cfg.name, "classes": cfg.class_names,
                 "epoch": epoch + 1, "step": int(state.step)})
             print(f"saved {path}", flush=True)
+        if eval_step is not None and (epoch + 1) % args.eval_interval == 0:
+            from tools.test import run_inference_eval
+            res = run_inference_eval(cfg, val_dataset, state, eval_step,
+                                     batch_size=max(n_dev, 1))
+            logger.log_eval(host_step, {k: v for k, v in res.items()
+                                        if not isinstance(v, dict)})
     print("training done", flush=True)
 
 
