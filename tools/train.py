@@ -205,6 +205,30 @@ def main():
     host_step = int(state.step)
     base_key = jax.random.PRNGKey(args.seed)
     start_epoch = host_step // steps_per_epoch
+
+    # preemption-safe shutdown (beyond the reference, which has no
+    # preemption handling — SURVEY §5): SIGTERM/SIGINT set a flag; the
+    # loop drains the in-flight step, saves `preempt_<step>` and exits 0,
+    # so `--resume-from` continues on the next allocation.  On multi-host
+    # every process receives the platform's preemption signal and saves
+    # its own process-local view (orbax handles addressable shards).
+    import signal
+    preempted = {"sig": None}
+
+    def _on_preempt(signum, frame):
+        preempted["sig"] = signum
+
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _on_preempt)
+
+    def preempt_save():
+        path = os.path.join(work_dir, f"preempt_{host_step}")
+        save_checkpoint(path, jax.device_get(state), meta={
+            "config": cfg.name, "classes": cfg.class_names,
+            "step": host_step, "preempted": True})
+        print(f"preemption signal {preempted['sig']}: saved {path}",
+              flush=True)
+
     for epoch in range(start_epoch, epochs):
         if hasattr(dataset, "epoch"):      # vary per-index aug draws
             dataset.epoch = epoch
@@ -215,6 +239,9 @@ def main():
             state, metrics = train_step(
                 state, batch, jax.random.fold_in(base_key, host_step))
             host_step += 1
+            if preempted["sig"] is not None:
+                preempt_save()
+                return
             if host_step % args.log_interval == 0:
                 logger.log(host_step,
                            {k: float(v) for k, v in metrics.items()},
