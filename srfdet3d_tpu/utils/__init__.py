@@ -1,6 +1,8 @@
 from .checkpoint import (save_checkpoint, restore_checkpoint,
-                         load_partial, torch_to_jax_array)
+                         load_partial, load_pretrained, load_for_eval,
+                         torch_to_jax_array)
 from .logging import MetricLogger
 
 __all__ = ["save_checkpoint", "restore_checkpoint", "load_partial",
-           "torch_to_jax_array", "MetricLogger"]
+           "load_pretrained", "load_for_eval", "torch_to_jax_array",
+           "MetricLogger"]

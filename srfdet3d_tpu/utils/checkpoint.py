@@ -51,6 +51,32 @@ def restore_checkpoint(path: str, state):
                          step=jax.numpy.asarray(tree["step"]))
 
 
+def _merge_into(dst: Dict, src: Dict, path: str = "") -> tuple:
+    """Recursively overwrite dst's leaves with src's matching ones
+    (shape-guarded). Returns (merged, n_hit)."""
+    n_hit = 0
+
+    def merge(d, s, p):
+        nonlocal n_hit
+        out = dict(d)
+        for k, v in s.items():
+            if k in out and isinstance(v, dict) and isinstance(out[k], dict):
+                out[k] = merge(out[k], v, f"{p}/{k}")
+            elif k in out:
+                dshape = getattr(out[k], "shape", None)
+                sshape = getattr(v, "shape", None)
+                if dshape is not None and sshape is not None \
+                        and tuple(dshape) != tuple(sshape):
+                    raise ValueError(
+                        f"partial load: shape mismatch at {p}/{k}: "
+                        f"model {tuple(dshape)} vs ckpt {tuple(sshape)}")
+                out[k] = v
+                n_hit += 1
+        return out
+
+    return merge(dict(dst), dict(src), path), n_hit
+
+
 def load_partial(params: Any, ckpt_path: str, prefix: str = "") -> Any:
     """Prefix-filtered partial restore (the reference's Pretrained-prefix
     mechanism): overwrite every leaf of `params` under top-level key
@@ -58,32 +84,13 @@ def load_partial(params: Any, ckpt_path: str, prefix: str = "") -> Any:
     its fresh initialization."""
     ckpt = _checkpointer().restore(os.path.abspath(ckpt_path))
     src = ckpt.get("params", ckpt)
-    params = jax.tree_util.tree_map(lambda x: x, params)   # shallow copy
-    n_hit = 0
-
-    def merge(dst, s, path=""):
-        nonlocal n_hit
-        out = dict(dst)
-        for k, v in s.items():
-            if k in out and isinstance(v, dict) and isinstance(out[k], dict):
-                out[k] = merge(out[k], v, f"{path}/{k}")
-            elif k in out:
-                dshape = getattr(out[k], "shape", None)
-                sshape = getattr(v, "shape", None)
-                if dshape is not None and sshape is not None \
-                        and tuple(dshape) != tuple(sshape):
-                    raise ValueError(
-                        f"load_partial: shape mismatch at {path}/{k}: "
-                        f"model {tuple(dshape)} vs ckpt {tuple(sshape)}")
-                out[k] = v
-                n_hit += 1
-        return out
 
     if not prefix:
-        out = merge(dict(params), dict(src))
+        out, n_hit = _merge_into(dict(params), dict(src))
     elif prefix in src and prefix in params:
         out = dict(params)
-        out[prefix] = merge(dict(params[prefix]), dict(src[prefix]))
+        out[prefix], n_hit = _merge_into(dict(params[prefix]),
+                                         dict(src[prefix]), prefix)
     else:
         raise KeyError(
             f"load_partial: prefix {prefix!r} not found in "
@@ -98,6 +105,40 @@ def load_partial(params: Any, ckpt_path: str, prefix: str = "") -> Any:
     print(f"load_partial: restored {n_hit} leaves from {ckpt_path}"
           + (f" under {prefix!r}" if prefix else ""), flush=True)
     return out
+
+
+def load_pretrained(state, ckpt_path: str):
+    """Partial-load params AND batch_stats (when the checkpoint carries
+    them) into a TrainState — the load path for converted reference
+    checkpoints (tools/convert_checkpoint.py): frozen-BN fine-tuning and
+    eval fidelity both need the torch RUNNING STATS, not just weights."""
+    ckpt = _checkpointer().restore(os.path.abspath(ckpt_path))
+    src = ckpt.get("params", ckpt)
+    params, n_hit = _merge_into(dict(state.params), dict(src))
+    if n_hit == 0:
+        raise KeyError(
+            f"load_pretrained: ZERO param leaves matched from {ckpt_path} "
+            f"(ckpt top-level keys: {sorted(src)[:8]})")
+    state = state.replace(params=params)
+    n_bs = 0
+    if isinstance(ckpt, dict) and isinstance(ckpt.get("batch_stats"), dict) \
+            and ckpt["batch_stats"]:
+        bs, n_bs = _merge_into(dict(state.batch_stats),
+                               dict(ckpt["batch_stats"]))
+        state = state.replace(batch_stats=bs)
+    print(f"load_pretrained: restored {n_hit} param + {n_bs} batch-stat "
+          f"leaves from {ckpt_path}", flush=True)
+    return state
+
+
+def load_for_eval(path: str, state):
+    """Restore for inference: a full TrainState checkpoint when present
+    (training saves), else a params(+batch_stats) checkpoint (converted
+    reference weights)."""
+    raw = _checkpointer().restore(os.path.abspath(path))
+    if isinstance(raw, dict) and "opt_state" in raw:
+        return restore_checkpoint(path, state)
+    return load_pretrained(state, path)
 
 
 def torch_to_jax_array(t) -> np.ndarray:

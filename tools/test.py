@@ -118,7 +118,7 @@ def main():
                                    data_loader)
     from srfdet3d_tpu.models.detector import SRFDet
     from srfdet3d_tpu.train import create_train_state, make_eval_step
-    from srfdet3d_tpu.utils import restore_checkpoint
+    from srfdet3d_tpu.utils import load_for_eval
 
     if args.synthetic:
         # keep GTs for eval but run the DETERMINISTIC protocol: no
@@ -139,7 +139,7 @@ def main():
     model, state, _ = create_train_state(
         cfg, jax.random.PRNGKey(0), sample_j, total_steps=1)
     if args.checkpoint:
-        state = restore_checkpoint(args.checkpoint, state)
+        state = load_for_eval(args.checkpoint, state)
         print(f"loaded {args.checkpoint} @ step {int(state.step)}",
               flush=True)
     eval_step = make_eval_step(model)

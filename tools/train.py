@@ -95,7 +95,7 @@ def main():
     from srfdet3d_tpu.parallel import make_mesh, replicate, shard_batch
     from srfdet3d_tpu.train import (create_train_state, make_lr_schedule,
                                     make_train_step)
-    from srfdet3d_tpu.utils import (MetricLogger, load_partial,
+    from srfdet3d_tpu.utils import (MetricLogger, load_pretrained,
                                     restore_checkpoint, save_checkpoint)
 
     cfg = get_config(args.config)
@@ -171,9 +171,9 @@ def main():
     schedule = make_lr_schedule(cfg.optim, total_steps)
 
     if args.load_from:
-        state = state.replace(
-            params=load_partial(state.params, args.load_from))
-        print(f"loaded pretrained params from {args.load_from}", flush=True)
+        # params AND batch_stats (converted reference checkpoints carry
+        # torch running stats frozen-BN fine-tuning must keep)
+        state = load_pretrained(state, args.load_from)
     if args.resume_from:
         state = restore_checkpoint(args.resume_from, state)
         print(f"resumed from {args.resume_from} @ step {int(state.step)}",
