@@ -213,29 +213,19 @@ def make_train_step(model: SRFDet, tx: optax.GradientTransformation,
         zeros = jax.tree_util.tree_map(jnp.zeros_like, state.params)
 
         def body(carry, xs):
-            bs, gsum, tsum, lsum = carry
+            bs, gsum = carry
             mb, r = xs
             (total, (losses, new_bs)), grads = grad_fn(
                 state.params, bs, mb, _rngs(r))
             gsum = jax.tree_util.tree_map(jnp.add, gsum, grads)
-            lsum = jax.tree_util.tree_map(jnp.add, lsum, losses)
-            return (new_bs, gsum, tsum + total, lsum), None
+            return (new_bs, gsum), (total, losses)
 
-        # abstract-trace one microbatch to learn the loss-dict keys
-        _, (probe_losses, _) = jax.eval_shape(
-            lambda p, bs: loss_fn(
-                p, bs, jax.tree_util.tree_map(lambda x: x[0], micro),
-                _rngs(rng)),
-            state.params, state.batch_stats)
-        zero_losses = jax.tree_util.tree_map(
-            lambda v: jnp.zeros(v.shape, v.dtype), probe_losses)
-        (new_bs, grads, total, losses), _ = jax.lax.scan(
-            body, (state.batch_stats, zeros, jnp.zeros(()), zero_losses),
-            (micro, rng_seq))
-        inv = 1.0 / accum
-        grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
-        losses = jax.tree_util.tree_map(lambda l: l * inv, losses)
-        return total * inv, losses, new_bs, grads
+        (new_bs, gsum), (totals, losses_seq) = jax.lax.scan(
+            body, (state.batch_stats, zeros), (micro, rng_seq))
+        grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+        losses = jax.tree_util.tree_map(lambda l: jnp.mean(l, axis=0),
+                                        losses_seq)
+        return jnp.mean(totals), losses, new_bs, grads
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array):

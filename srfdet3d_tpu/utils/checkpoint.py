@@ -134,9 +134,16 @@ def load_pretrained(state, ckpt_path: str):
 def load_for_eval(path: str, state):
     """Restore for inference: a full TrainState checkpoint when present
     (training saves), else a params(+batch_stats) checkpoint (converted
-    reference weights)."""
-    raw = _checkpointer().restore(os.path.abspath(path))
-    if isinstance(raw, dict) and "opt_state" in raw:
+    reference weights).  The dispatch sniffs the top-level keys from
+    checkpoint METADATA (no array reads) when orbax supports it."""
+    path = os.path.abspath(path)
+    try:
+        md = _checkpointer().metadata(path)
+        keys = set(md.keys() if hasattr(md, "keys") else
+                   getattr(md, "tree", {}).keys())
+    except Exception:
+        keys = set(_checkpointer().restore(path))
+    if "opt_state" in keys:
         return restore_checkpoint(path, state)
     return load_pretrained(state, path)
 

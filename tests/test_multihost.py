@@ -45,9 +45,17 @@ def test_two_process_distributed_train_step():
         env=env, cwd=os.path.join(here, ".."))
         for i in range(2)]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        # a rendezvous deadlock must not leak two live jax.distributed
+        # workers (one holds the coordinator port) into later sessions
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
 

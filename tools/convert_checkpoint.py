@@ -74,6 +74,11 @@ def main(argv=None):
                                         spconv_layout=args.spconv_layout)
     n_p = len(jax_leaves(tree.get("params", {})))
     n_s = len(jax_leaves(tree.get("batch_stats", {})))
+    if n_p == 0:
+        raise SystemExit(
+            f"conversion produced ZERO parameter leaves — the checkpoint's "
+            f"module names do not match config {cfg.name!r} (sample keys: "
+            f"{sorted(state)[:6]}). Not writing an artifact.")
     out = os.path.abspath(args.output)
     _checkpointer().save(out, tree, force=True)
     with open(out + ".meta.json", "w") as f:

@@ -207,57 +207,89 @@ def main():
     start_epoch = host_step // steps_per_epoch
 
     # preemption-safe shutdown (beyond the reference, which has no
-    # preemption handling — SURVEY §5): SIGTERM/SIGINT set a flag; the
-    # loop drains the in-flight step, saves `preempt_<step>` and exits 0,
-    # so `--resume-from` continues on the next allocation.  On multi-host
-    # every process receives the platform's preemption signal and saves
-    # its own process-local view (orbax handles addressable shards).
+    # preemption handling — SURVEY §5): the FIRST SIGTERM/SIGINT sets a
+    # flag checked after every step, batch fetch, checkpoint and eval; the
+    # loop drains, saves `preempt_<step>` and exits 0 so `--resume-from`
+    # continues on the next allocation.  The handler restores the default
+    # disposition, so a SECOND signal (impatient Ctrl-C, platform SIGKILL
+    # escalation) terminates immediately.
     import signal
     preempted = {"sig": None}
 
     def _on_preempt(signum, frame):
         preempted["sig"] = signum
+        signal.signal(signum, signal.SIG_DFL)
 
     for sig in (signal.SIGTERM, signal.SIGINT):
         signal.signal(sig, _on_preempt)
 
-    def preempt_save():
-        path = os.path.join(work_dir, f"preempt_{host_step}")
-        save_checkpoint(path, jax.device_get(state), meta={
-            "config": cfg.name, "classes": cfg.class_names,
-            "step": host_step, "preempted": True})
-        print(f"preemption signal {preempted['sig']}: saved {path}",
-              flush=True)
+    is_primary = jax.process_index() == 0
+
+    def preempt_save() -> bool:
+        if preempted["sig"] is None:
+            return False
+        # the state is fully replicated: process 0's copy is complete,
+        # and a single writer avoids racing orbax save(force=True) from
+        # every host into the same work_dir
+        if is_primary:
+            path = os.path.join(work_dir, f"preempt_{host_step}")
+            save_checkpoint(path, jax.device_get(state), meta={
+                "config": cfg.name, "classes": cfg.class_names,
+                "step": host_step, "preempted": True})
+            print(f"preemption signal {preempted['sig']}: saved {path}",
+                  flush=True)
+        return True
 
     for epoch in range(start_epoch, epochs):
         if hasattr(dataset, "epoch"):      # vary per-index aug draws
             dataset.epoch = epoch
-        for batch in data_loader(dataset, batch_size, shuffle=True,
-                                 seed=args.seed + epoch):
+        # mid-epoch resume (preempt_<step> checkpoints): the loader's
+        # order is seed-deterministic per epoch, so skipping the first
+        # host_step-offset batches continues exactly where training left
+        # off instead of replaying (and over-training) the epoch prefix
+        skip = max(host_step - epoch * steps_per_epoch, 0)
+        for bi, batch in enumerate(data_loader(dataset, batch_size,
+                                               shuffle=True,
+                                               seed=args.seed + epoch)):
+            if bi < skip:
+                continue
+            if preempt_save():               # signal during a data stall
+                return
             batch = shard_batch(
                 {k: jnp.asarray(v) for k, v in batch.items()}, mesh)
             state, metrics = train_step(
                 state, batch, jax.random.fold_in(base_key, host_step))
             host_step += 1
-            if preempted["sig"] is not None:
-                preempt_save()
+            if preempt_save():
                 return
             if host_step % args.log_interval == 0:
                 logger.log(host_step,
                            {k: float(v) for k, v in metrics.items()},
                            lr=float(schedule(host_step)))
         if (epoch + 1) % args.ckpt_interval == 0 or epoch == epochs - 1:
-            path = os.path.join(work_dir, f"epoch_{epoch + 1}")
-            save_checkpoint(path, jax.device_get(state), meta={
-                "config": cfg.name, "classes": cfg.class_names,
-                "epoch": epoch + 1, "step": int(state.step)})
-            print(f"saved {path}", flush=True)
+            if is_primary:                   # single writer (see above)
+                path = os.path.join(work_dir, f"epoch_{epoch + 1}")
+                save_checkpoint(path, jax.device_get(state), meta={
+                    "config": cfg.name, "classes": cfg.class_names,
+                    "epoch": epoch + 1, "step": int(state.step)})
+                print(f"saved {path}", flush=True)
+        if preempt_save():
+            return
         if eval_step is not None and (epoch + 1) % args.eval_interval == 0:
-            from tools.test import run_inference_eval
-            res = run_inference_eval(cfg, val_dataset, state, eval_step,
-                                     batch_size=max(n_dev, 1))
-            logger.log_eval(host_step, {k: v for k, v in res.items()
-                                        if not isinstance(v, dict)})
+            if jax.process_count() > 1:
+                # run_inference_eval places batches process-locally,
+                # incompatible with the cross-process replicated state —
+                # evaluate multi-host runs offline via tools/test.py
+                print("eval-interval: skipped under multi-host training",
+                      flush=True)
+            else:
+                from tools.test import run_inference_eval
+                res = run_inference_eval(cfg, val_dataset, state, eval_step,
+                                         batch_size=max(n_dev, 1))
+                logger.log_eval(host_step, {k: v for k, v in res.items()
+                                            if not isinstance(v, dict)})
+            if preempt_save():               # signal during the eval pass
+                return
     print("training done", flush=True)
 
 
