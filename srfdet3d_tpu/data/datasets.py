@@ -291,9 +291,15 @@ class NuScenesDataset(SRFDetDataset):
         if not os.path.isabs(path):
             path = os.path.join(self.data_root, path)
         points = T.load_points_bin(path, 5, (0, 1, 2, 3, 4))
+        # sweep paths get the same data_root treatment as lidar_path
+        # (infos may store either absolute or data_root-relative paths)
+        sweeps = [s if os.path.isabs(s["data_path"]) else
+                  dict(s, data_path=os.path.join(self.data_root,
+                                                 s["data_path"]))
+                  for s in info.get("sweeps", [])]
         # rng=None (eval/test): deterministic first-N sweep selection
         return T.multi_sweep_aggregate(
-            points, info.get("sweeps", []), self.sweeps_num,
+            points, sweeps, self.sweeps_num,
             rng=rng, test_mode=rng is None,
             key_timestamp_us=float(info.get("timestamp", 0.0)))
 
