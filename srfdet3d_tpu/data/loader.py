@@ -23,18 +23,25 @@ def data_loader(dataset,
                 seed: int = 0,
                 num_workers: int = 4,
                 prefetch: int = 2,
-                drop_last: bool = True) -> Iterator[Dict[str, np.ndarray]]:
-    """Yields collated numpy batches; runs one epoch."""
+                drop_last: bool = True,
+                skip_batches: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """Yields collated numpy batches; runs one epoch.
+
+    skip_batches: start at that batch of the (seed-deterministic) order
+    WITHOUT materializing the skipped samples — mid-epoch resume
+    (tools/train.py preemption) must not reprocess the epoch prefix
+    through the augmentation pipeline."""
     n = len(dataset)
     order = np.arange(n)
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
     n_batches = n // batch_size if drop_last else -(-n // batch_size)
-    if n_batches == 0:
+    first = min(max(skip_batches, 0), n_batches)
+    if n_batches == first:
         return
 
     if num_workers <= 0:
-        for b in range(n_batches):
+        for b in range(first, n_batches):
             idxs = order[b * batch_size:(b + 1) * batch_size]
             yield collate_batch([dataset[int(i)] for i in idxs])
         return
@@ -57,7 +64,7 @@ def data_loader(dataset,
         try:
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(num_workers) as pool:
-                for b in range(n_batches):
+                for b in range(first, n_batches):
                     if stop.is_set():
                         return
                     idxs = order[b * batch_size:(b + 1) * batch_size]

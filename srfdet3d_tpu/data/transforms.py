@@ -339,6 +339,14 @@ class DBSampler:
                     pts = load_points_bin(path, self.points_load_dim,
                                           self.points_use_dim)
                 except (FileNotFoundError, ValueError):
+                    # a wrong data_root would otherwise silently disable
+                    # the whole paste augmentation
+                    if not getattr(self, "_warned_missing", False):
+                        self._warned_missing = True
+                        print(f"DBSampler: cannot load {path} — check "
+                              f"data_root vs the dbinfos' gt_database "
+                              f"location (warning printed once)",
+                              flush=True)
                     continue
                 pts = pts.copy()
                 pts[:, :3] += box[:3]          # db points are box-relative

@@ -137,12 +137,17 @@ def load_for_eval(path: str, state):
     reference weights).  The dispatch sniffs the top-level keys from
     checkpoint METADATA (no array reads) when orbax supports it."""
     path = os.path.abspath(path)
+    keys: set = set()
     try:
         md = _checkpointer().metadata(path)
-        keys = set(md.keys() if hasattr(md, "keys") else
-                   getattr(md, "tree", {}).keys())
+        item = getattr(md, "item_metadata", md)   # StepMetadata wrapper
+        if hasattr(item, "keys"):
+            keys = set(item.keys())
     except Exception:
-        keys = set(_checkpointer().restore(path))
+        pass
+    if not keys:                                  # metadata API mismatch
+        raw = _checkpointer().restore(path)
+        keys = set(raw) if isinstance(raw, dict) else set()
     if "opt_state" in keys:
         return restore_checkpoint(path, state)
     return load_pretrained(state, path)

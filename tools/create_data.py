@@ -171,7 +171,10 @@ def _create_gt_database(data_root: str, out_dir: str, dataset_name: str,
     from srfdet3d_tpu.data.box_np import points_in_boxes_3d
     from srfdet3d_tpu.data.transforms import load_points_bin
 
-    db_dir = os.path.join(out_dir, "gt_database")
+    # bins live under DATA_ROOT (mmdet3d layout): DBSampler resolves db
+    # paths against data_root, so an --out-dir elsewhere must not orphan
+    # them into a directory the sampler never looks at
+    db_dir = os.path.join(data_root, "gt_database")
     os.makedirs(db_dir, exist_ok=True)
     db: dict = {}
     for info in infos:
@@ -202,7 +205,7 @@ def _create_gt_database(data_root: str, out_dir: str, dataset_name: str,
             obj = points[inside[:, i]].copy()
             obj[:, :3] -= boxes[i, :3]
             rel = os.path.join("gt_database", f"{frame}_{name}_{i}.bin")
-            obj.astype(np.float32).tofile(os.path.join(out_dir, rel))
+            obj.astype(np.float32).tofile(os.path.join(data_root, rel))
             db.setdefault(str(name), []).append({
                 "name": str(name), "path": rel,
                 "image_idx": frame, "gt_idx": i,
@@ -264,7 +267,8 @@ NUS_NAME_MAP = {
 def create_nuscenes_infos(root: str, out_dir: str,
                           version: str = "v1.0-trainval",
                           max_sweeps: int = 10, with_db: bool = False,
-                          val_scene_frac: float = 0.15):
+                          val_scene_frac: float = 0.15,
+                          val_scene_names=None):
     """Raw nuScenes JSON tables -> mmdet3d-style infos.
 
     Boxes transform global -> ego -> lidar; z converts to GRAVITY center
@@ -312,8 +316,19 @@ def create_nuscenes_infos(root: str, out_dir: str,
         return ego @ sens                       # sensor -> global
 
     names = sorted(scene.values(), key=lambda s: s["name"])
-    n_val = max(int(len(names) * val_scene_frac), 1) if len(names) > 1 else 0
-    val_scenes = {s["token"] for s in names[len(names) - n_val:]}
+    if val_scene_names is not None:
+        # the official devkit split (nuscenes.utils.splits.val) — pass
+        # its scene-name list for metrics comparable to published ones
+        wanted = set(val_scene_names)
+        val_scenes = {s["token"] for s in names if s["name"] in wanted}
+        missing = wanted - {s["name"] for s in names}
+        if missing:
+            print(f"warning: {len(missing)} --val-scenes names not in "
+                  f"{version}: {sorted(missing)[:5]}...", flush=True)
+    else:
+        n_val = max(int(len(names) * val_scene_frac), 1) \
+            if len(names) > 1 else 0
+        val_scenes = {s["token"] for s in names[len(names) - n_val:]}
 
     infos = {"train": [], "val": []}
     for sc in names:
@@ -388,8 +403,13 @@ def create_nuscenes_infos(root: str, out_dir: str,
                     n_pos = np.asarray(na["translation"], np.float64)
                     p_t = sample[pa["sample_token"]]["timestamp"]
                     n_t = sample[na["sample_token"]]["timestamp"]
-                    if n_t > p_t:
-                        v_g = (n_pos - p_pos) / ((n_t - p_t) / 1e6)
+                    dt = (n_t - p_t) / 1e6
+                    if dt <= 0 or dt > 1.5:
+                        # devkit box_velocity max_time_diff=1.5 s -> nan
+                        # (the dataset nan_to_nums it to 0, like mmdet3d)
+                        vel = np.full(2, np.nan)
+                    else:
+                        v_g = (n_pos - p_pos) / dt
                         vel = (g2l[:3, :3] @ v_g)[:2]
                 vels.append(vel)
                 valid.append(int(a["num_lidar_pts"]) +
@@ -435,6 +455,11 @@ def main(argv=None):
     n.add_argument("--version", default="v1.0-trainval")
     n.add_argument("--max-sweeps", type=int, default=10)
     n.add_argument("--val-scene-frac", type=float, default=0.15)
+    n.add_argument("--val-scenes", default=None,
+                   help="comma-separated scene names OR a text file (one "
+                        "name per line) fixing the val split — use the "
+                        "devkit's official list for published-comparable "
+                        "metrics")
     n.add_argument("--with-db", action="store_true")
     args = ap.parse_args(argv)
 
@@ -444,10 +469,19 @@ def main(argv=None):
                            dataset_name=args.dataset_name,
                            with_db=args.with_db)
     else:
+        val_names = None
+        if args.val_scenes:
+            if os.path.exists(args.val_scenes):
+                with open(args.val_scenes) as f:
+                    val_names = [line.strip() for line in f
+                                 if line.strip()]
+            else:
+                val_names = [s for s in args.val_scenes.split(",") if s]
         create_nuscenes_infos(args.root, out_dir, version=args.version,
                               max_sweeps=args.max_sweeps,
                               with_db=args.with_db,
-                              val_scene_frac=args.val_scene_frac)
+                              val_scene_frac=args.val_scene_frac,
+                              val_scene_names=val_names)
 
 
 if __name__ == "__main__":

@@ -75,6 +75,12 @@ def run_inference_eval(cfg, dataset, state, eval_step, batch_size: int,
 
     n_proc = jax.process_count()
     if n_proc > 1:
+        if len(dataset) < n_proc:
+            # decided identically on EVERY process (global length) —
+            # aborting one-sided later would strand the others at the
+            # pre-gather barrier
+            raise SystemExit(f"dataset has {len(dataset)} frames < "
+                             f"{n_proc} processes")
         dataset = _ProcessShard(dataset, jax.process_index(), n_proc)
 
     rows = []                                   # fixed-shape per frame

@@ -223,36 +223,31 @@ def main():
     for sig in (signal.SIGTERM, signal.SIGINT):
         signal.signal(sig, _on_preempt)
 
-    is_primary = jax.process_index() == 0
-
     def preempt_save() -> bool:
         if preempted["sig"] is None:
             return False
-        # the state is fully replicated: process 0's copy is complete,
-        # and a single writer avoids racing orbax save(force=True) from
-        # every host into the same work_dir
-        if is_primary:
-            path = os.path.join(work_dir, f"preempt_{host_step}")
-            save_checkpoint(path, jax.device_get(state), meta={
-                "config": cfg.name, "classes": cfg.class_names,
-                "step": host_step, "preempted": True})
-            print(f"preemption signal {preempted['sig']}: saved {path}",
-                  flush=True)
+        # orbax save is a cross-process collective (it syncs all hosts
+        # and writes from its own primary) — EVERY process must call it
+        path = os.path.join(work_dir, f"preempt_{host_step}")
+        save_checkpoint(path, jax.device_get(state), meta={
+            "config": cfg.name, "classes": cfg.class_names,
+            "step": host_step, "preempted": True})
+        print(f"preemption signal {preempted['sig']}: saved {path}",
+              flush=True)
         return True
 
     for epoch in range(start_epoch, epochs):
         if hasattr(dataset, "epoch"):      # vary per-index aug draws
             dataset.epoch = epoch
         # mid-epoch resume (preempt_<step> checkpoints): the loader's
-        # order is seed-deterministic per epoch, so skipping the first
-        # host_step-offset batches continues exactly where training left
-        # off instead of replaying (and over-training) the epoch prefix
+        # order is seed-deterministic per epoch, so starting at the
+        # host_step-offset batch continues exactly where training left
+        # off — skipped samples are never materialized (no replayed
+        # augmentation pipeline, no over-training)
         skip = max(host_step - epoch * steps_per_epoch, 0)
-        for bi, batch in enumerate(data_loader(dataset, batch_size,
-                                               shuffle=True,
-                                               seed=args.seed + epoch)):
-            if bi < skip:
-                continue
+        for batch in data_loader(dataset, batch_size, shuffle=True,
+                                 seed=args.seed + epoch,
+                                 skip_batches=skip):
             if preempt_save():               # signal during a data stall
                 return
             batch = shard_batch(
@@ -267,12 +262,12 @@ def main():
                            {k: float(v) for k, v in metrics.items()},
                            lr=float(schedule(host_step)))
         if (epoch + 1) % args.ckpt_interval == 0 or epoch == epochs - 1:
-            if is_primary:                   # single writer (see above)
-                path = os.path.join(work_dir, f"epoch_{epoch + 1}")
-                save_checkpoint(path, jax.device_get(state), meta={
-                    "config": cfg.name, "classes": cfg.class_names,
-                    "epoch": epoch + 1, "step": int(state.step)})
-                print(f"saved {path}", flush=True)
+            # all processes participate (orbax collective save)
+            path = os.path.join(work_dir, f"epoch_{epoch + 1}")
+            save_checkpoint(path, jax.device_get(state), meta={
+                "config": cfg.name, "classes": cfg.class_names,
+                "epoch": epoch + 1, "step": int(state.step)})
+            print(f"saved {path}", flush=True)
         if preempt_save():
             return
         if eval_step is not None and (epoch + 1) % args.eval_interval == 0:
