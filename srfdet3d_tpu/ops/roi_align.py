@@ -21,10 +21,14 @@ Two gather strategies (`patch` parameter):
     bilinear sample as two small separable matmuls (wy @ patch @ wx^T) —
     ~12x fewer slice-gathers for ~1.3x more bytes; the RoI path is
     slice-count bound (PERF.md).  mmdet's level mapping bounds a mapped
-    RoI at <2*finest_scale/stride+2 = 30 cells, so P=32 covers every
-    properly-mapped RoI; oversized RoIs (clamped at the top level, e.g.
-    behind-camera projections) are compacted into a `patch_fallback`-slot
-    buffer and take the pairs path — exact whenever they fit the buffer.
+    RoI's sqrt(w*h) at <30 cells — but only the GEOMETRIC MEAN: an
+    aspect-ratio-a RoI spans up to ~30*sqrt(a) cells on its long axis,
+    so elongated boxes misfit P=32 at ordinary levels, not just
+    top-level-clamped ones (see config.py roi_patch_fallback sizing
+    notes).  Misfits are compacted into a `patch_fallback`-slot buffer
+    and take the pairs path — exact whenever they fit the buffer; size
+    the buffer from measured misfit counts (tools/bench_roi.py prints
+    them), never 0 on real data.
 
 Everything is static-shape; RoIs are never filtered, invalid RoIs simply
 produce garbage rows the caller masks.
@@ -84,8 +88,8 @@ def _pair_gather_rows(table: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
 def _level_geometry(feats, rois, strides, finest_scale):
     """Per-RoI level mapping shared by both gather strategies.
 
-    Returns (lvl (R,), scale s (R,), h_l, w_l, off (R,) all float32,
-    sizes list, offsets array)."""
+    Returns (lvl (R,), scale s (R,), h_l, w_l, off (R,)) — all float32
+    per-RoI vectors."""
     num_levels = len(feats)
     hs = jnp.array([f.shape[0] for f in feats], jnp.float32)
     ws = jnp.array([f.shape[1] for f in feats], jnp.float32)
@@ -98,7 +102,7 @@ def _level_geometry(feats, rois, strides, finest_scale):
     scale = jnp.sqrt(jnp.maximum(x2 - x1, 0) * jnp.maximum(y2 - y1, 0))
     lvl = jnp.floor(jnp.log2(scale / finest_scale + 1e-6))
     lvl = jnp.clip(lvl, 0, num_levels - 1).astype(jnp.int32)     # (R,)
-    return lvl, scales[lvl], hs[lvl], ws[lvl], offsets[lvl], sizes
+    return lvl, scales[lvl], hs[lvl], ws[lvl], offsets[lvl]
 
 
 def _sample_grid(rois, s, out_size, sampling_ratio):
@@ -126,8 +130,8 @@ def _mla_pairs(feats: Sequence[jnp.ndarray],
                finest_scale: float) -> jnp.ndarray:
     """Corner-pair gather strategy (see module docstring)."""
     c = feats[0].shape[-1]
-    _, s, h_l, w_l, off, _ = _level_geometry(feats, rois, strides,
-                                             finest_scale)
+    _, s, h_l, w_l, off = _level_geometry(feats, rois, strides,
+                                          finest_scale)
     table = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
     # one zero pad row for out-of-bounds samples
     table = jnp.concatenate([table, jnp.zeros((1, c), table.dtype)], axis=0)
@@ -148,6 +152,10 @@ def _mla_pairs(feats: Sequence[jnp.ndarray],
         (identical to gathering the clamped pixel twice)."""
         hh = h_l[:, None, None]
         wwl = w_l[:, None, None]
+        # index math in int32: float32 loses integers past 2^24, which a
+        # future high-res single-level table would silently hit
+        wli = wwl.astype(jnp.int32)
+        offi = off.astype(jnp.int32)
         oob_y = (y < -1.0) | (y > hh)
         oob_x = (x < -1.0) | (x > wwl)
         y = jnp.clip(y, 0.0, hh - 1.0)
@@ -161,13 +169,14 @@ def _mla_pairs(feats: Sequence[jnp.ndarray],
 
         def flat(yy, oy):
             # start index of the (x0, x0+1) pair: (R, oh, sr, ow, sr)
-            idx = (off[:, None, None, None, None] +
-                   yy[:, :, :, None, None] * wwl[..., None, None] +
-                   x0[:, None, None, :, :])
+            idx = (offi[:, None, None, None, None] +
+                   yy.astype(jnp.int32)[:, :, :, None, None] *
+                   wli[..., None, None] +
+                   x0.astype(jnp.int32)[:, None, None, :, :])
             oob = oy[:, :, :, None, None] | oob_x[:, None, None, :, :]
             # pad_idx - 1: the pair (pad-1, pad) lands inside the table;
             # both lanes get zero weight for fully-oob samples
-            return jnp.where(oob, pad_idx - 1, idx.astype(jnp.int32))
+            return jnp.where(oob, pad_idx - 1, idx)
 
         def pair_gather(starts):
             shp = starts.shape
@@ -218,7 +227,11 @@ def _axis_weights(pos, size_l, size_i, patch):
     c1i = c1.astype(jnp.int32)
     big = jnp.int32(1 << 30)
     cmin = jnp.min(jnp.where(oob, big, c0i), axis=1)
-    cmax = jnp.max(jnp.where(oob, -1, c1i), axis=1)
+    # a sample landing exactly on a cell center has w1 == 0: its c1 cell
+    # is unweighted and must not widen the span (else an exactly-fitting
+    # window spuriously fails the fit test)
+    chi = jnp.where(w1 > 0, c1i, c0i)
+    cmax = jnp.max(jnp.where(oob, -1, chi), axis=1)
     anchor = jnp.clip(cmin, 0, jnp.maximum(size_i - patch, 0))
     fits = (cmax - anchor) <= patch - 1   # all-oob: cmax=-1 -> fits, w=0
     iota = jnp.arange(patch, dtype=jnp.int32)
@@ -241,8 +254,8 @@ def _mla_patch(feats: Sequence[jnp.ndarray],
     """Patch-gather strategy (see module docstring)."""
     r = rois.shape[0]
     c = feats[0].shape[-1]
-    _, s, h_l, w_l, off, _ = _level_geometry(feats, rois, strides,
-                                             finest_scale)
+    _, s, h_l, w_l, off = _level_geometry(feats, rois, strides,
+                                          finest_scale)
     table = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
     # `patch` zero pad rows: a weighted window row never starts past the
     # table end (see anchor bound below), but its P-cell slice may run
@@ -266,8 +279,9 @@ def _mla_patch(feats: Sequence[jnp.ndarray],
               (ay[:, None] + jnp.arange(patch, dtype=jnp.int32)[None, :]) *
               wi[:, None] + ax[:, None])               # (R, P)
 
-    chunk = min(patch_chunk, r) if patch_chunk > 0 else r
-    n_chunks = -(-r // chunk)
+    # max(..., 1): R=0 RoIs must not divide by zero at trace time
+    chunk = max(min(patch_chunk, r) if patch_chunk > 0 else r, 1)
+    n_chunks = -(-r // chunk) if r else 0
     rp = n_chunks * chunk
 
     def pad0(a):

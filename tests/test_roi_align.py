@@ -309,3 +309,14 @@ def test_patch_path_bf16_features():
                                np.asarray(ref, np.float32),
                                rtol=1e-2, atol=1e-2)
     assert np.isfinite(np.asarray(got, np.float32)).all()
+
+
+def test_patch_path_zero_rois():
+    """R=0 must trace on both strategies (the patch path's chunking once
+    divided by zero here)."""
+    feats = tuple(jnp.ones((8 // s, 8 // s, 4)) for s in (1, 2))
+    rois = jnp.zeros((0, 4))
+    for patch in (0, 8):
+        out = multilevel_roi_align(feats, rois, (1, 2), out_size=3,
+                                   patch=patch)
+        assert out.shape == (0, 3, 3, 4)

@@ -30,7 +30,7 @@ from srfdet3d_tpu.models.head import pooled_img_roi  # noqa: E402
 
 def _misfit_count(feats, rois, strides, patch=32):
     """How many RoIs would take the pairs fallback at this patch size."""
-    _, s, h_l, w_l, _, _ = _level_geometry(feats, rois, strides, 56.0)
+    _, s, h_l, w_l, _ = _level_geometry(feats, rois, strides, 56.0)
     sx, sy = _sample_grid(rois, s, 7, 2)
     _, _, fx = _axis_weights(sx, w_l, w_l.astype(jnp.int32), patch)
     _, _, fy = _axis_weights(sy, h_l, h_l.astype(jnp.int32), patch)
