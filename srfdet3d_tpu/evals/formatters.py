@@ -89,6 +89,7 @@ def format_kitti_results(frames: List[Dict], out_dir: Optional[str] = None
         lines = []
         l2c = fr["lidar2cam"]
         p2 = fr["P2"]
+        img_hw = fr.get("img_shape")           # optional (H, W) clip
         for i in range(len(fr["boxes"])):
             b = fr["boxes"][i]
             # lidar bottom-center -> camera frame
@@ -96,26 +97,44 @@ def format_kitti_results(frames: List[Dict], out_dir: Optional[str] = None
             # lidar yaw -> camera ry (camera y is down, x right, z forward)
             ry = -b[6] - np.pi / 2
             ry = float((ry + np.pi) % (2 * np.pi) - np.pi)
+            # observation angle (KITTI devkit: alpha = ry - atan2(x, z))
+            alpha = ry - np.arctan2(float(ctr[0]), float(ctr[2]))
+            alpha = float((alpha + np.pi) % (2 * np.pi) - np.pi)
             h, w, l = float(b[5]), float(b[3]), float(b[4])
-            # project 3D corners for the 2D bbox
+            # project 3D corners for the 2D bbox; corners BEHIND the image
+            # plane are culled (a 1e-3 depth clamp would blow uv up ~1000x
+            # into absurd label boxes) — a fully-behind box projects to a
+            # degenerate zero-area bbox
             bev = box_corners_bev(b[None, :7])[0]              # (4, 2)
             zs = np.array([b[2], b[2] + b[5]])
             corners = np.array([[x, y, z, 1.0] for (x, y) in bev
                                 for z in zs])
             cam = corners @ l2c.T
-            uvw = cam @ p2.T
-            uv = uvw[:, :2] / np.maximum(uvw[:, 2:3], 1e-3)
-            x1, y1 = uv.min(axis=0)
-            x2, y2 = uv.max(axis=0)
+            uvw = (cam @ p2.T)
+            front = uvw[:, 2] > 1e-3
+            if front.any():
+                uv = uvw[front, :2] / uvw[front, 2:3]
+                x1, y1 = uv.min(axis=0)
+                x2, y2 = uv.max(axis=0)
+                if img_hw is not None:
+                    x1 = float(np.clip(x1, 0, img_hw[1] - 1))
+                    x2 = float(np.clip(x2, 0, img_hw[1] - 1))
+                    y1 = float(np.clip(y1, 0, img_hw[0] - 1))
+                    y2 = float(np.clip(y2, 0, img_hw[0] - 1))
+            else:
+                x1 = y1 = x2 = y2 = 0.0
             name = str(fr["labels_name"][i])
             lines.append(
-                f"{name} 0.0 0 0.0 {x1:.2f} {y1:.2f} {x2:.2f} {y2:.2f} "
+                f"{name} 0.0 0 {alpha:.2f} "
+                f"{x1:.2f} {y1:.2f} {x2:.2f} {y2:.2f} "
                 f"{h:.2f} {w:.2f} {l:.2f} {ctr[0]:.2f} {ctr[1]:.2f} "
                 f"{ctr[2]:.2f} {ry:.2f} {float(fr['scores'][i]):.4f}")
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
-            with open(os.path.join(
-                    out_dir, f"{fr['frame_id']:06d}.txt"), "w") as f:
+            fid = fr["frame_id"]
+            fname = f"{fid:06d}.txt" if isinstance(fid, (int, np.integer)) \
+                else f"{fid}.txt"
+            with open(os.path.join(out_dir, fname), "w") as f:
                 f.write("\n".join(lines))
         all_lines.append(lines)
     return all_lines

@@ -11,12 +11,18 @@ Replaces the mmdet3d kitti eval the reference reaches via
   - AP_R40: precision interpolated at the 40 recall points 1/40 .. 1,
   - like the official eval, a detection prefers a VALID (in-bucket) GT
     over an ignored harder-bucket one: ignored GTs only absorb detections
-    no valid GT claims (absorbed detections count as neither TP nor FP).
+    no valid GT claims (absorbed detections count as neither TP nor FP),
+  - neighboring-class absorption: "Van" GTs absorb Car detections and
+    "Person_sitting" GTs absorb Pedestrian detections when such names
+    appear in the GT frames (the official eval's ignored classes); the
+    in-repo pipeline maps labels to the 3 eval classes before padding, so
+    this only engages for eval-from-pkl consumers carrying raw names.
 
-Deviation from the official devkit, documented: matching is one global
+Deviations from the official devkit, documented: matching is one global
 greedy pass over score-sorted detections (like the nuScenes protocol)
-instead of re-matching per score threshold; for well-separated scores the
-two coincide.
+instead of re-matching per score threshold (coincides for well-separated
+scores); DontCare 2D regions and the minimum-2D-height detection ignore
+are not applied (no 2D detection boxes exist in this 3D-only pipeline).
 """
 
 from __future__ import annotations
@@ -30,6 +36,8 @@ import jax.numpy as jnp
 from ..geometry.iou import iou_3d
 
 IOU_THRESHOLDS = {"Car": 0.7, "Pedestrian": 0.5, "Cyclist": 0.5}
+# official eval's ignored neighboring classes (absorb, never FP/TP)
+NEIGHBOR_IGNORED = {"Car": ("Van",), "Pedestrian": ("Person_sitting",)}
 # (min bbox height px, max occlusion, max truncation)
 DIFFICULTY = {
     "easy": (40, 0, 0.15),
@@ -78,9 +86,11 @@ def _ap_r40(tp_flags: np.ndarray, scores: np.ndarray, npos: int) -> float:
 def kitti_eval(gts: List[Dict], preds: List[Dict],
                class_names: Sequence[str] = ("Pedestrian", "Cyclist",
                                              "Car")) -> Dict:
-    """gts/preds: per-frame dicts with "boxes" (N, 7) bottom- or
-    gravity-center (must be consistent between the two), "labels_name";
-    preds add "scores"; gts may add "bbox_heights"/"occluded"/"truncated".
+    """gts/preds: per-frame dicts with "boxes" (N, 7) with GRAVITY-center
+    z — iou_3d derives z extents as cz -/+ h/2, so bottom-center inputs
+    get wrong z overlaps whenever pred and GT heights differ (consistency
+    between the two is NOT sufficient); "labels_name"; preds add
+    "scores"; gts may add "bbox_heights"/"occluded"/"truncated".
 
     Returns {"{cls}_3d_{difficulty}": AP_R40, ..., "mAP_3d_moderate": ...}.
     """
@@ -90,6 +100,7 @@ def kitti_eval(gts: List[Dict], preds: List[Dict],
         # the IoU matrix depends only on (frame, class): compute it once
         # and reuse it across the three difficulty buckets (one eager JAX
         # dispatch per frame — tripling it tripled eval wall time)
+        ign_names = NEIGHBOR_IGNORED.get(cls, ())
         frames = []
         for g, p in zip(gts, preds):
             g_sel = np.nonzero(g["labels_name"] == cls)[0]
@@ -98,11 +109,16 @@ def kitti_eval(gts: List[Dict], preds: List[Dict],
             ious = _iou3d_np(p["boxes"][p_order], g["boxes"][g_sel]) \
                 if len(g_sel) and len(p_order) else \
                 np.zeros((len(p_order), len(g_sel)))
-            frames.append((g, p, g_sel, p_order, ious))
+            g_ign = np.nonzero(np.isin(g["labels_name"], ign_names))[0] \
+                if ign_names else np.zeros(0, np.int64)
+            ious_ign = _iou3d_np(p["boxes"][p_order], g["boxes"][g_ign]) \
+                if len(g_ign) and len(p_order) else \
+                np.zeros((len(p_order), len(g_ign)))
+            frames.append((g, p, g_sel, p_order, ious, ious_ign))
         for diff in DIFFICULTY:
             tp_flags, scores = [], []
             npos = 0
-            for g, p, g_sel, p_order, ious in frames:
+            for g, p, g_sel, p_order, ious, ious_ign in frames:
                 g_valid = _gt_difficulty_mask(g, diff)
                 g_count = g_sel[g_valid[g_sel]] if len(g_sel) else g_sel
                 npos += len(g_count)
@@ -133,6 +149,8 @@ def kitti_eval(gts: List[Dict], preds: List[Dict],
                     if gi >= 0:         # ignored GT absorbs the detection
                         taken[gi] = True
                         continue
+                    if ious_ign.shape[1] and ious_ign[pi].max() >= thr:
+                        continue        # neighboring-class absorption
                     tp_flags.append(False)
                     scores.append(float(p["scores"][p_order[pi]]))
             results[f"{cls}_3d_{diff}"] = _ap_r40(

@@ -66,42 +66,56 @@ def _no_predictions():
                 max_recall_ind=0)
 
 
-def _accumulate(gts: List[Dict], preds: List[Dict], class_name: str,
-                dist_th: float):
-    """Devkit `accumulate`: greedy match in score order; returns the
-    101-point metric curves for one (class, threshold)."""
+def _class_match_cache(gts: List[Dict], preds: List[Dict],
+                       class_name: str):
+    """Per-class precomputation shared by all 4 distance thresholds:
+    global score-ordered prediction rows and per-frame center-distance
+    matrices (the devkit recomputes these per threshold; at real-data
+    scale the O(P*G) python inner loop dominated eval wall time)."""
     npos = sum(
         int(np.sum(g["labels_name"] == class_name)) for g in gts)
+    rows = []       # (score, sample_idx, box_idx, local pred row)
+    dmats = []      # per frame: (gsel, (n_pred_sel, n_gt_sel) dists)
+    for si, (g, p) in enumerate(zip(gts, preds)):
+        psel = np.nonzero(p["labels_name"] == class_name)[0]
+        gsel = np.nonzero(g["labels_name"] == class_name)[0]
+        d = np.hypot(
+            p["boxes"][psel, 0][:, None] - g["boxes"][gsel, 0][None, :],
+            p["boxes"][psel, 1][:, None] - g["boxes"][gsel, 1][None, :])             if len(psel) and len(gsel) else np.zeros((len(psel), 0))
+        dmats.append((gsel, d))
+        for row, bi in enumerate(psel):
+            rows.append((float(p["scores"][bi]), si, int(bi), row))
+    rows.sort(key=lambda r: -r[0])
+    return npos, rows, dmats
+
+
+def _accumulate(gts: List[Dict], preds: List[Dict], class_name: str,
+                dist_th: float, cache=None):
+    """Devkit `accumulate`: greedy match in score order; returns the
+    101-point metric curves for one (class, threshold)."""
+    npos, rows, dmats = cache if cache is not None else         _class_match_cache(gts, preds, class_name)
     if npos == 0:
         # devkit algo.py: missing classes still contribute AP=0 and unit
         # TP errors to the means — they are NOT skipped
         return _no_predictions()
 
-    rows = []       # (score, sample_idx, box_idx)
-    for si, p in enumerate(preds):
-        sel = np.nonzero(p["labels_name"] == class_name)[0]
-        for bi in sel:
-            rows.append((float(p["scores"][bi]), si, int(bi)))
-    rows.sort(key=lambda r: -r[0])
-
-    taken = set()
+    taken_mask = [np.zeros(len(gsel), bool) for gsel, _ in dmats]
     tp, fp = [], []
     tp_conf = []
     err_trans, err_scale, err_orient, err_vel, err_attr = [], [], [], [], []
-    for score, si, bi in rows:
+    for score, si, bi, row in rows:
         pb = preds[si]["boxes"][bi]
         g = gts[si]
-        gsel = np.nonzero(g["labels_name"] == class_name)[0]
-        best, best_gi = np.inf, None
-        for gi in gsel:
-            if (si, int(gi)) in taken:
-                continue
-            d = np.hypot(pb[0] - g["boxes"][gi][0],
-                         pb[1] - g["boxes"][gi][1])
-            if d < best:
-                best, best_gi = d, int(gi)
+        gsel, dmat = dmats[si]
+        free = ~taken_mask[si]
+        if free.any():
+            d = np.where(free, dmat[row], np.inf)
+            j = int(np.argmin(d))
+            best, best_gi = float(d[j]), int(gsel[j])
+        else:
+            best, best_gi, j = np.inf, None, -1
         if best < dist_th:
-            taken.add((si, best_gi))
+            taken_mask[si][j] = True
             tp.append(1)
             fp.append(0)
             tp_conf.append(score)
@@ -120,7 +134,9 @@ def _accumulate(gts: List[Dict], preds: List[Dict], class_name: str,
             else:
                 pa = preds[si].get("attrs")
                 ga = g.get("attrs")
-                if pa is None or ga is None:
+                if pa is None or ga is None or str(ga[best_gi]) == "":
+                    # devkit attr_acc: GTs without an annotated attribute
+                    # return nan and are EXCLUDED from AAE, not errors
                     err_attr.append(np.nan)
                 else:
                     err_attr.append(0.0 if pa[bi] == ga[best_gi] else 1.0)
@@ -214,22 +230,17 @@ def nuscenes_eval(gts: List[Dict], preds: List[Dict],
     tp_fields = ("trans_err", "scale_err", "orient_err", "vel_err",
                  "attr_err")
     for cls in class_names:
+        cache = _class_match_cache(gts, preds, cls)
         aps = []
         mds = {}
         for th in DIST_THRESHOLDS:
-            md = _accumulate(gts, preds, cls, th)
-            if md is None:
-                continue
+            md = _accumulate(gts, preds, cls, th, cache=cache)
             aps.append(_calc_ap(md))
             if th == TP_THRESHOLD:
                 mds = md
-        if not aps:
-            continue
         entry = {"AP": float(np.mean(aps))}
         for f in tp_fields:
-            if not mds:
-                entry[f] = 1.0
-            elif (f == "vel_err" and cls in NO_VELOCITY) or \
+            if (f == "vel_err" and cls in NO_VELOCITY) or \
                     (f == "attr_err" and cls in NO_ATTRIBUTE) or \
                     (f == "orient_err" and cls == "traffic_cone"):
                 entry[f] = np.nan
@@ -238,7 +249,8 @@ def nuscenes_eval(gts: List[Dict], preds: List[Dict],
         per_class[cls] = entry
 
     if not per_class:
-        return {"mAP": 0.0, "NDS": 0.0, "per_class": {}}
+        return {"mAP": 0.0, "NDS": 0.0, "per_class": {}, "mATE": 1.0,
+                "mASE": 1.0, "mAOE": 1.0, "mAVE": 1.0, "mAAE": 1.0}
 
     mAP = float(np.mean([e["AP"] for e in per_class.values()]))
     tp_means = {}

@@ -54,7 +54,8 @@ def _pr_area(weights: np.ndarray, is_tp: np.ndarray, scores: np.ndarray,
 def waymo_eval(gts: List[Dict], preds: List[Dict],
                class_names: Sequence[str] = ("Car", "Pedestrian",
                                              "Cyclist")) -> Dict:
-    """gts: {"boxes" (N, 7), "labels_name", optional "num_points" (N,),
+    """gts: {"boxes" (N, 7) with GRAVITY-center z (iou_3d derives z
+    extents as cz -/+ h/2), "labels_name", optional "num_points" (N,),
     optional "difficulty" (N,)}; preds add "scores".
 
     Returns {"{cls}_AP_L1", "{cls}_APH_L1", "{cls}_AP_L2", "{cls}_APH_L2",
@@ -93,26 +94,36 @@ def waymo_eval(gts: List[Dict], preds: List[Dict],
                 if len(p_order) == 0:
                     continue
                 taken = np.zeros(len(g_sel), bool)
-                for pi in range(len(p_order)):
-                    best_gi, best_iou = -1, thr
+
+                def best(pi, want_valid):
+                    bi, bv = -1, thr
                     for gi in range(len(g_sel)):
-                        if taken[gi]:
+                        if taken[gi] or \
+                                bool(lvl_ok[g_sel[gi]]) != want_valid:
                             continue
-                        if ious[pi, gi] >= best_iou:
-                            best_iou, best_gi = ious[pi, gi], gi
-                    scores.append(float(p["scores"][p_order[pi]]))
-                    if best_gi >= 0:
-                        taken[best_gi] = True
-                        if not lvl_ok[g_sel[best_gi]]:
-                            scores.pop()         # ignored GT: drop the det
-                            continue
+                        if ious[pi, gi] >= bv:
+                            bv, bi = ious[pi, gi], gi
+                    return bi
+
+                for pi in range(len(p_order)):
+                    # valid (in-level) GTs first: an out-of-level GT must
+                    # not steal a detection a counted GT can claim
+                    gi = best(pi, True)
+                    if gi >= 0:
+                        taken[gi] = True
                         is_tp.append(True)
+                        scores.append(float(p["scores"][p_order[pi]]))
                         weights.append(_heading_acc(
                             float(p["boxes"][p_order[pi]][6]),
-                            float(g["boxes"][g_sel[best_gi]][6])))
-                    else:
-                        is_tp.append(False)
-                        weights.append(0.0)
+                            float(g["boxes"][g_sel[gi]][6])))
+                        continue
+                    gi = best(pi, False)
+                    if gi >= 0:          # ignored GT absorbs the det
+                        taken[gi] = True
+                        continue
+                    is_tp.append(False)
+                    weights.append(0.0)
+                    scores.append(float(p["scores"][p_order[pi]]))
             is_tp_a = np.asarray(is_tp, bool)
             w_a = np.asarray(weights)
             s_a = np.asarray(scores)
