@@ -164,12 +164,21 @@ class SRFDetDataset:
         return len(self.infos)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        return self.getitem(idx)
+
+    def getitem(self, idx: int, salt: int = 0) -> Dict[str, np.ndarray]:
+        """salt: extra rng-key element for wrappers that repeat an inner
+        index within one epoch (CBGS oversampling) — without it every
+        duplicate of a rare-class frame would draw byte-identical
+        augmentations, defeating the oversampling."""
         cfg = self.cfg
         info = self.infos[idx]
         # per-call generator: the loader maps __getitem__ over a thread
         # pool and numpy Generators are NOT thread-safe — a shared one
         # races its state (correlated aug draws, irreproducible runs)
-        rng = np.random.default_rng((self.seed, self.epoch, idx))
+        key = (self.seed, self.epoch, idx) if salt == 0 else \
+            (self.seed, self.epoch, idx, salt)
+        rng = np.random.default_rng(key)
         points = self.load_points(info, rng=rng if self.augment else None)
 
         sample: Dict[str, np.ndarray] = {}
@@ -267,10 +276,10 @@ def _prep_image(img: np.ndarray, icfg) -> "tuple[np.ndarray, float, float]":
         out[:h0, :w0] = norm
         sx = sy = 1.0
     else:
-        from PIL import Image
-        img = np.asarray(
-            Image.fromarray(img.astype(np.uint8)).resize((w_t, h_t)),
-            np.float32)
+        # bilinear like mmcv imresize (cv2 INTER_LINEAR); PIL's default
+        # resample is bicubic, a per-pixel drift vs the reference
+        from .img_transforms import _resize
+        img = _resize(img.astype(np.float32), (h_t, w_t))
         out = (img - IMAGENET_MEAN) / IMAGENET_STD
         sx, sy = w_t / w0, h_t / h0
     if icfg.bgr:
@@ -319,8 +328,15 @@ class NuScenesDataset(SRFDetDataset):
         labels = np.array(
             [self.cfg.class_names.index(n) if n in self.cfg.class_names
              else -1 for n in names], np.int64)
-        valid = np.asarray(
-            info.get("valid_flag", np.ones(len(boxes), bool)), bool)
+        # reference parity: CustomNuScenesDataset leaves mmdet3d's
+        # use_valid_flag=False, so the GT filter is num_lidar_pts > 0;
+        # valid_flag ((lidar+radar) pts > 0) keeps radar-only boxes the
+        # reference drops.  Fall back to valid_flag, then to all-true.
+        if "num_lidar_pts" in info:
+            valid = np.asarray(info["num_lidar_pts"])[:len(boxes)] > 0
+        else:
+            valid = np.asarray(
+                info.get("valid_flag", np.ones(len(boxes), bool)), bool)
         return boxes[valid], labels[valid]
 
     def load_images(self, info: Dict):
@@ -371,7 +387,12 @@ class KittiDataset(SRFDetDataset):
             boxes = np.asarray(ann["gt_boxes_lidar"], np.float32)
         else:
             boxes = np.asarray(ann.get("gt_bboxes_3d", []), np.float32)
-        names = ann.get("name", ann.get("gt_names", []))
+        names = np.asarray(ann.get("name", ann.get("gt_names", [])))
+        if len(names) > len(boxes):
+            # stock mmdet3d kitti infos keep trailing DontCare rows in
+            # 'name' while gt_boxes_lidar holds only the leading non-
+            # DontCare objects — align to the box count
+            names = names[:len(boxes)]
         labels = np.array(
             [self.cfg.class_names.index(n) if n in self.cfg.class_names
              else -1 for n in names], np.int64)
@@ -519,11 +540,25 @@ class CBGSWrapper:
         return len(self.indices)
 
     def __getitem__(self, idx):
-        return self.dataset[self.indices[idx]]
+        # outer index as rng salt: duplicates of an oversampled frame
+        # must draw DIFFERENT augmentations (mmdet3d's fresh-randomness
+        # behavior), and the epoch key still varies draws across epochs
+        return self.dataset.getitem(self.indices[idx], salt=1 + idx)
 
     @property
     def cfg(self):
         return self.dataset.cfg
+
+    @property
+    def epoch(self):
+        return self.dataset.epoch
+
+    @epoch.setter
+    def epoch(self, value):
+        # tools/train.py sets dataset.epoch each epoch; without this
+        # passthrough the hasattr gate silently left the inner dataset
+        # at epoch 0 forever (identical augs every epoch)
+        self.dataset.epoch = value
 
 
 def collate_batch(samples: Sequence[Dict[str, np.ndarray]]

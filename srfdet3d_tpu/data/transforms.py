@@ -54,7 +54,8 @@ def multi_sweep_aggregate(points: np.ndarray,
                           rng: Optional[np.random.Generator] = None,
                           test_mode: bool = False,
                           load_dim: int = 5,
-                          key_timestamp_us: float = 0.0) -> np.ndarray:
+                          key_timestamp_us: float = 0.0,
+                          remove_close_sweeps: bool = False) -> np.ndarray:
     """LoadPointsFromMultiSweeps: concat transformed past sweeps.
 
     Each sweep dict: {"data_path", "sensor2lidar_rotation" (3,3),
@@ -63,6 +64,11 @@ def multi_sweep_aggregate(points: np.ndarray,
     their lag in seconds relative to `key_timestamp_us` (the key frame's
     microsecond timestamp, mmdet3d convention).  Train mode samples
     sweeps_num without replacement; test mode takes the first sweeps_num.
+    remove_close_sweeps mirrors mmdet3d's LoadPointsFromMultiSweeps
+    remove_close flag, default False — no shipped reference config
+    enables it (srfdet_voxel_nusc_LC.py even comments it out), so
+    applying it unconditionally would drop every sweep point within 1 m
+    of the sensor and diverge the point composition.
     """
     use_dim = list(use_dim)
     if points.shape[1] != len(use_dim):
@@ -89,7 +95,8 @@ def multi_sweep_aggregate(points: np.ndarray,
             sweep = sweeps[idx]
             pts = load_points_bin(sweep["data_path"], load_dim,
                                   list(range(load_dim)))
-            pts = remove_close(pts)
+            if remove_close_sweeps:
+                pts = remove_close(pts)
             xyz = pts[:, :3] @ np.asarray(
                 sweep["sensor2lidar_rotation"]).T + np.asarray(
                 sweep["sensor2lidar_translation"])

@@ -300,3 +300,31 @@ def test_object_noise_survives_clutter():
                                 trans_std=(0.3, 0.3, 0.2))
     moved = ~np.all(np.isclose(new_boxes, boxes), axis=1)
     assert moved.any(), "no box received noise in a routine parking row"
+
+
+def test_cbgs_epoch_propagation_and_duplicate_decorrelation():
+    """CBGSWrapper must forward the train loop's epoch bumps to the inner
+    dataset (the hasattr gate silently skipped it before) and give
+    DUPLICATE occurrences of an oversampled frame different augmentation
+    draws (they were byte-identical: the rng was keyed only on the inner
+    index)."""
+    from collections import Counter
+
+    from srfdet3d_tpu.configs import tiny_test_config
+    from srfdet3d_tpu.data import CBGSWrapper, SyntheticDataset
+
+    cfg = tiny_test_config()
+    ds = SyntheticDataset(cfg, length=6, augment=True)
+    w = CBGSWrapper(ds)
+    w.epoch = 3
+    assert ds.epoch == 3
+
+    counts = Counter(w.indices)
+    inner, n = counts.most_common(1)[0]
+    if n >= 2:
+        outer = [i for i, v in enumerate(w.indices) if v == inner][:2]
+        a, b = w[outer[0]], w[outer[1]]
+        assert not np.array_equal(a["points"], b["points"])
+    # same outer index twice -> deterministic
+    c, d = w[0], w[0]
+    np.testing.assert_array_equal(c["points"], d["points"])

@@ -198,6 +198,12 @@ def _create_gt_database(data_root: str, out_dir: str, dataset_name: str,
             pts_path = os.path.join(data_root, pts_path)
         points = load_points_bin(pts_path, load_dim,
                                  tuple(range(load_dim)))
+        if box_key == "nuscenes" and points.shape[1] > 4:
+            # raw column 4 is the RING INDEX (0-31); the pipeline's 5th
+            # channel is the sweep time-lag (0 for key frames) — pasted
+            # db points must carry lag semantics, not ring values
+            points = points.copy()
+            points[:, 4] = 0.0
         if len(boxes) == 0:
             continue
         inside = points_in_boxes_3d(points[:, :3], boxes)
@@ -371,7 +377,7 @@ def create_nuscenes_infos(root: str, out_dir: str,
                 })
                 sd_prev = sample_data.get(sd_prev["prev"] or "")
 
-            boxes, nm, vels, valid = [], [], [], []
+            boxes, nm, vels, valid, npts = [], [], [], [], []
             for atok in s["anns"]:
                 a = ann_t[atok]
                 raw = cat[inst[a["instance_token"]]["category_token"]
@@ -412,6 +418,7 @@ def create_nuscenes_infos(root: str, out_dir: str,
                         v_g = (n_pos - p_pos) / dt
                         vel = (g2l[:3, :3] @ v_g)[:2]
                 vels.append(vel)
+                npts.append(int(a["num_lidar_pts"]))
                 valid.append(int(a["num_lidar_pts"]) +
                              int(a["num_radar_pts"]) > 0)
 
@@ -425,6 +432,9 @@ def create_nuscenes_infos(root: str, out_dir: str,
                 "gt_names": np.asarray(nm),
                 "gt_velocity": np.asarray(vels, np.float32).reshape(-1, 2),
                 "valid_flag": np.asarray(valid, bool),
+                # the dataset's GT filter (reference use_valid_flag=False
+                # semantics) reads this: num_lidar_pts > 0
+                "num_lidar_pts": np.asarray(npts, np.int32),
             })
             stoken = s["next"]
 
