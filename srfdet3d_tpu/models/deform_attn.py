@@ -131,7 +131,8 @@ class PositionEmbeddingLearned(nn.Module):
     def __call__(self, xyz: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         x = nn.Dense(self.num_pos_feats, kernel_init=_XAVIER,
                      dtype=self.dtype)(xyz)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+        # torch BatchNorm1d default momentum 0.1 == flax momentum 0.9
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
         return nn.Dense(self.num_pos_feats, kernel_init=_XAVIER,
@@ -156,21 +157,31 @@ class LidarBEVEncoder(nn.Module):
         level_embed = self.param("level_embed", nn.initializers.normal(1.0),
                                  (nl, c), jnp.float32)
 
-        # flattened queries + positions for every level
-        queries, refs, shapes = [], [], []
+        # flattened features, positional embeddings and reference points.
+        # mmcv DetrTransformerEncoder semantics: the residual stream holds
+        # FEATURES ONLY; query_pos (+ level embed) is re-added to the
+        # QUERY in every layer, and values are sampled from the raw
+        # stream — baking pos into the stream once would pollute the
+        # sampled values and starve later layers of a fresh pos term.
+        feats, poss, refs, shapes = [], [], [], []
         for li, lv in enumerate(levels):
             h, w = lv.shape[1], lv.shape[2]
             shapes.append((h, w))
             ys, xs = jnp.meshgrid(jnp.arange(h) + 0.5, jnp.arange(w) + 0.5,
                                   indexing="ij")
-            pos = jnp.stack([xs / w, ys / h], -1).reshape(1, -1, 2)
-            pos = jnp.broadcast_to(pos, (b, h * w, 2)).astype(self.dtype)
+            # the reference's PositionEmbeddingLearned consumes RAW pixel
+            # coordinates (srfdet_head.py:657-757), not [0,1]-normalized
+            pix = jnp.stack([xs, ys], -1).reshape(1, -1, 2)
+            pix = jnp.broadcast_to(pix, (b, h * w, 2)).astype(self.dtype)
             emb = PositionEmbeddingLearned(c, dtype=self.dtype,
-                                           name=f"pos_{li}")(pos, train)
-            queries.append(lv.reshape(b, -1, c) + emb +
-                           level_embed[li].astype(self.dtype))
-            refs.append(pos)
-        x = jnp.concatenate(queries, axis=1)
+                                           name=f"pos_{li}")(pix, train)
+            feats.append(lv.reshape(b, -1, c))
+            poss.append(emb + level_embed[li].astype(self.dtype))
+            ref_n = jnp.stack([xs / w, ys / h], -1).reshape(1, -1, 2)
+            refs.append(jnp.broadcast_to(
+                ref_n, (b, h * w, 2)).astype(self.dtype))
+        x = jnp.concatenate(feats, axis=1)
+        pos_cat = jnp.concatenate(poss, axis=1)
         ref = jnp.concatenate(refs, axis=1)
 
         for layer in range(self.num_layers):
@@ -181,8 +192,8 @@ class LidarBEVEncoder(nn.Module):
                     x[:, start:start + h * w].reshape(b, h, w, c))
                 start += h * w
             attn = MSDeformAttention(c, dtype=self.dtype,
-                                     name=f"attn_{layer}")(x, out_levels,
-                                                           ref)
+                                     name=f"attn_{layer}")(x + pos_cat,
+                                                           out_levels, ref)
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(
                 x + nn.Dropout(self.dropout, deterministic=not train)(attn))
             y = nn.Dense(self.ffn_dim, kernel_init=_XAVIER,

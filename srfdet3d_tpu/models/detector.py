@@ -18,7 +18,7 @@ explicit.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,8 +26,7 @@ from flax import linen as nn
 from flax import struct
 
 from ..config import SRFDetConfig
-from ..ops.voxelize import (VoxelizedPoints, voxelize_points,
-                            voxelize_points_batched)
+from ..ops.voxelize import VoxelizedPoints, voxelize_points_batched
 from .fpn import FPN
 from .grid_mask import grid_mask
 from .head import SRFDetHead, decode_boxes

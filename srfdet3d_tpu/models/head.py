@@ -43,14 +43,6 @@ def _focal_bias(prior_prob: float) -> float:
     return -math.log((1 - prior_prob) / prior_prob)
 
 
-def normalize_centers(boxes: jnp.ndarray, pc_range) -> jnp.ndarray:
-    """Absolute centers -> [0, 1] within pc_range (columns 0:3)."""
-    lo = jnp.asarray(pc_range[:3], boxes.dtype)
-    hi = jnp.asarray(pc_range[3:6], boxes.dtype)
-    ctr = (boxes[..., :3] - lo) / (hi - lo)
-    return jnp.concatenate([ctr, boxes[..., 3:]], axis=-1)
-
-
 def denormalize_centers(boxes: jnp.ndarray, pc_range) -> jnp.ndarray:
     """[0, 1] centers -> absolute within pc_range (columns 0:3)."""
     lo = jnp.asarray(pc_range[:3], boxes.dtype)

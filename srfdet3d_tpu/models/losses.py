@@ -87,7 +87,8 @@ def srfdet_losses(pred_logits: jnp.ndarray,
                   gt_labels: jnp.ndarray,
                   gt_mask: jnp.ndarray,
                   loss_cfg: LossConfig,
-                  ota_cfg: OTAConfig) -> Dict[str, jnp.ndarray]:
+                  ota_cfg: OTAConfig,
+                  decoder_num_heads: int = 0) -> Dict[str, jnp.ndarray]:
     """All-layer losses (reference loss_ota, srfdet_head.py:1041-1097).
 
     Args:
@@ -106,9 +107,12 @@ def srfdet_losses(pred_logits: jnp.ndarray,
         # unit-increasing k: aux layer i uses head_idx i+1; the last layer
         # uses the HEAD's layer count (reference srfdet_head.py:1067 passes
         # self.num_heads — the DECODER's 5, not the assigner's own
-        # num_heads=6, so the top layer keeps a -0.5 offset).  Under deep
-        # supervision num_layers == head.num_heads, giving exactly that.
-        head_idx = num_layers if layer == num_layers - 1 else layer + 1
+        # num_heads=6, so the top layer keeps a -0.5 offset).  Callers
+        # pass decoder_num_heads so deep_supervision=False (a single
+        # output layer) keeps the FINAL layer's k/radius schedule instead
+        # of the first iteration's (num_layers would be 1 there).
+        top_idx = decoder_num_heads or num_layers
+        head_idx = top_idx if layer == num_layers - 1 else layer + 1
         if loss_cfg.assigner == "ota":
             matched = ota_assign_batch(
                 pred_boxes[layer], pred_logits[layer], gt_boxes, gt_labels,
@@ -119,7 +123,10 @@ def srfdet_losses(pred_logits: jnp.ndarray,
             on_device = loss_cfg.assigner == "auction"
             matched = jax.vmap(
                 lambda pb, pl_, gb, gl, gm: hungarian_assign(
-                    pb, pl_, gb, gl, gm, on_device=on_device))(
+                    pb, pl_, gb, gl, gm,
+                    cls_weight=loss_cfg.cls_weight,
+                    reg_weight=loss_cfg.bbox_weight,
+                    on_device=on_device))(
                 pred_boxes[layer], pred_logits[layer], gt_boxes, gt_labels,
                 gt_mask)
         loss_cls, loss_bbox = _layer_losses(

@@ -7,7 +7,7 @@
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -182,7 +182,8 @@ def make_train_step(model: SRFDet, tx: optax.GradientTransformation,
             batch, train=True, mutable=["batch_stats"], rngs=rngs)
         losses = srfdet_losses(
             logits, boxes, batch["gt_boxes"], batch["gt_labels"],
-            batch["gt_mask"], cfg.loss, cfg.ota)
+            batch["gt_mask"], cfg.loss, cfg.ota,
+            decoder_num_heads=cfg.head.num_heads)
         total = sum(losses.values())
         return total, (losses, updates.get("batch_stats", FrozenDict()))
 
