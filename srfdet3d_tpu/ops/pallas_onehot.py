@@ -337,13 +337,16 @@ def gather_matmul_onehot(features: jnp.ndarray,
 def onehot_miss_count(gather_idx: jnp.ndarray, n: int, pack: int,
                       tm: int = 512, wp: int = 256,
                       group_by_z: bool = True,
-                      snap: int = 8) -> jnp.ndarray:
+                      snap: int = 0,
+                      dtype=jnp.float32) -> jnp.ndarray:
     """Count of out-of-window entries for the given layout — use to size
     `wp` / `correction_tiles` on representative data.
 
     Uses the SAME `_window_layout` as the kernels, so the count matches
-    what they will actually repair.  Pass snap=16 when the feature table
-    is not float32 (see _snap_of)."""
+    what they will actually repair.  snap derives from `dtype` via
+    _snap_of (8 for f32, 16 otherwise) unless overridden — a fixed snap=8
+    default silently undercounted for bf16 tables, mis-sizing wp."""
+    snap = snap or _snap_of(jnp.dtype(dtype))
     m, k = gather_idx.shape
     pad_m = (-m) % tm
     idx = jnp.pad(gather_idx, ((0, pad_m), (0, 0)), constant_values=n)

@@ -77,8 +77,13 @@ def _bwd_kernel(starts_ref, plidx_ref, sub_ref, g_ref, feats_hbm, wt_ref,
             parts.append(jnp.where(
                 sel, y[:, pj * lanes:(pj + 1) * lanes], 0.0))
         ystack = jnp.concatenate(parts, axis=0).astype(win.dtype)
+        # HIGHEST on f32: Mosaic DEFAULT runs one bf16 pass, truncating
+        # the f32 cotangent addends the XLA-fallback scatter-add keeps
+        # exact (same treatment as the dW gather below, which lowers)
         dwin_add = jax.lax.dot_general(
             oh, ystack, (((0,), (0,)), ((), ())),
+            precision=(jax.lax.Precision.HIGHEST
+                       if win.dtype == jnp.float32 else None),
             preferred_element_type=jnp.float32)        # (Wp, lanes)
 
         pltpu.make_async_copy(
@@ -102,6 +107,8 @@ def _bwd_kernel(starts_ref, plidx_ref, sub_ref, g_ref, feats_hbm, wt_ref,
         rl = jnp.concatenate(rparts, axis=1).astype(win.dtype)
         dw_ref[gi] += jax.lax.dot_general(
             rl, g.astype(win.dtype), (((0,), (0,)), ((), ())),
+            precision=(jax.lax.Precision.HIGHEST
+                       if win.dtype == jnp.float32 else None),
             preferred_element_type=jnp.float32)        # (per*lanes, Cout)
 
         # the write-back must land before the next step reads an

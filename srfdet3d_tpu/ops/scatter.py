@@ -34,6 +34,12 @@ def segment_max(data: jnp.ndarray,
                 num_segments: int) -> jnp.ndarray:
     """Max of data rows per segment; empty segments yield 0 (as mmcv does)."""
     out = jax.ops.segment_max(data, segment_ids, num_segments)
-    # segment_max initializes empty segments with -inf; zero them like the
-    # CUDA op (which only writes touched voxels of a zero canvas).
-    return jnp.where(jnp.isfinite(out), out, 0.0)
+    # segment_max initializes empty segments with the dtype's lowest value
+    # (-inf for floats, INT_MIN for ints); zero them like the CUDA op
+    # (which only writes touched voxels of a zero canvas).  An isfinite
+    # test would be a no-op for integer dtypes and would also zero
+    # legitimate -inf/NaN rows; detect emptiness directly instead.
+    counts = jax.ops.segment_sum(
+        jnp.ones_like(segment_ids, jnp.int32), segment_ids, num_segments)
+    empty = (counts == 0).reshape((-1,) + (1,) * (out.ndim - 1))
+    return jnp.where(empty, jnp.zeros((), out.dtype), out)
