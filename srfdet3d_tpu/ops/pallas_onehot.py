@@ -39,6 +39,31 @@ from jax.experimental.pallas import tpu as pltpu
 LANE = 128
 
 
+def _split3(x):
+    """f32 -> three bf16 terms whose sum reconstructs x to ~0.5 ulp."""
+    hi = x.astype(jnp.bfloat16)
+    r1 = x - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _dot_onehot_f32(oh_b, x, dims=None):
+    """one_hot @ x with f32-faithful products: the one-hot side is exact in
+    bf16 and the f32 side splits into three bf16 terms — 3 single-pass
+    matmuls.  Beats Precision.HIGHEST (6-pass), which Mosaic expands with
+    stack temporaries that can blow the 16 MB scoped-VMEM limit at stage
+    scale (measured 21.24M at the down0 backward); Precision.HIGH (3-pass)
+    does not lower at all."""
+    if dims is None:
+        dims = (((1,), (0,)), ((), ()))
+    oh = oh_b.astype(jnp.bfloat16)
+    x_hi, x_mid, x_lo = _split3(x)
+    d = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
+                          preferred_element_type=jnp.float32)
+    return d(oh, x_hi) + d(oh, x_mid) + d(oh, x_lo)
+
+
 def _kernel(starts_ref, plidx_ref, sub_ref, feats_hbm, wt_ref, out_ref,
             win_scratch, acc_ref, sems, *, groups, pack, cin_pad, wp):
     """One grid step = one output tile.
@@ -87,18 +112,7 @@ def _kernel(starts_ref, plidx_ref, sub_ref, feats_hbm, wt_ref, out_ref,
             [(plidx_ref[:, j][:, None] == row_iota) for j in offs],
             axis=0)                                   # (per*TM, Wp) bool
         if window.dtype == jnp.float32:
-            # manual bf16x3: the one-hot side is exact in bf16, and the
-            # window splits into three bf16 terms reconstructing f32 to
-            # ~0.5 ulp.  3 single-pass matmuls beat Precision.HIGHEST's 6
-            # (Mosaic does not lower the 3-pass Precision.HIGH).
-            oh = oh_b.astype(jnp.bfloat16)
-            hi = window.astype(jnp.bfloat16)
-            r1 = window - hi.astype(jnp.float32)
-            mid = r1.astype(jnp.bfloat16)
-            lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-            r = (jnp.dot(oh, hi, preferred_element_type=jnp.float32) +
-                 jnp.dot(oh, mid, preferred_element_type=jnp.float32) +
-                 jnp.dot(oh, lo, preferred_element_type=jnp.float32))
+            r = _dot_onehot_f32(oh_b, window)
         else:
             oh = oh_b.astype(window.dtype)
             r = jnp.dot(oh, window,

@@ -26,8 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_onehot import (LANE, _default_groups, _padded_rows, _snap_of,
-                            _window_layout)
+from .pallas_onehot import (LANE, _default_groups, _dot_onehot_f32,
+                            _padded_rows, _snap_of, _window_layout)
 
 
 def _bwd_kernel(starts_ref, plidx_ref, sub_ref, g_ref, feats_hbm, wt_ref,
@@ -63,11 +63,15 @@ def _bwd_kernel(starts_ref, plidx_ref, sub_ref, g_ref, feats_hbm, wt_ref,
         pltpu.make_async_copy(
             dfeats_hbm.at[pl.ds(start, wp), :], dwin, sems.at[1]).start()
 
-        oh = jnp.concatenate(
+        oh_b = jnp.concatenate(
             [(plidx_ref[:, j][:, None] == row_iota) for j in offs],
-            axis=0).astype(win.dtype)                  # (per*TM, Wp)
+            axis=0)                                    # (per*TM, Wp) bool
 
-        # dWin: Y = g @ wt_g^T -> (TM, per*lanes); mask sub-slot; stack
+        # dWin: Y = g @ wt_g^T -> (TM, per*lanes); mask sub-slot; stack.
+        # Product matmul at DEFAULT precision: the XLA fallback computes
+        # the same g @ W^T contraction at DEFAULT (one bf16 pass on f32
+        # operands on TPU — no global precision override in this repo), so
+        # a split here would be slower without adding fallback parity.
         y = jax.lax.dot_general(
             g, wt_ref[gi], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)        # (TM, per*lanes)
@@ -76,15 +80,21 @@ def _bwd_kernel(starts_ref, plidx_ref, sub_ref, g_ref, feats_hbm, wt_ref,
             sel = (sub_ref[:, j][:, None] == lane_group)
             parts.append(jnp.where(
                 sel, y[:, pj * lanes:(pj + 1) * lanes], 0.0))
-        ystack = jnp.concatenate(parts, axis=0).astype(win.dtype)
-        # HIGHEST on f32: Mosaic DEFAULT runs one bf16 pass, truncating
-        # the f32 cotangent addends the XLA-fallback scatter-add keeps
-        # exact (same treatment as the dW gather below, which lowers)
-        dwin_add = jax.lax.dot_general(
-            oh, ystack, (((0,), (0,)), ((), ())),
-            precision=(jax.lax.Precision.HIGHEST
-                       if win.dtype == jnp.float32 else None),
-            preferred_element_type=jnp.float32)        # (Wp, lanes)
+        # This matmul MOVES values (one-hot scatter-add of ystack rows into
+        # the window): the XLA fallback accumulates these addends exactly
+        # (scatter-add, not a matmul), so a Mosaic DEFAULT single bf16 pass
+        # would truncate them.  bf16x3 split, like the forward's gather —
+        # Precision.HIGHEST also works but its 6-pass expansion blew the
+        # 16 MB scoped-VMEM limit at down0 scale (21.24M).
+        tdims = (((0,), (0,)), ((), ()))
+        if win.dtype == jnp.float32:
+            ystack = jnp.concatenate(parts, axis=0)
+            dwin_add = _dot_onehot_f32(oh_b, ystack, tdims)  # (Wp, lanes)
+        else:
+            ystack = jnp.concatenate(parts, axis=0).astype(win.dtype)
+            dwin_add = jax.lax.dot_general(
+                oh_b.astype(win.dtype), ystack, tdims,
+                preferred_element_type=jnp.float32)          # (Wp, lanes)
 
         pltpu.make_async_copy(
             dfeats_hbm.at[pl.ds(start, wp), :], dwin, sems.at[1]).wait()
@@ -97,18 +107,21 @@ def _bwd_kernel(starts_ref, plidx_ref, sub_ref, g_ref, feats_hbm, wt_ref,
         # dW_g[j] += rows_j^T @ g
         pltpu.make_async_copy(
             feats_hbm.at[pl.ds(start, wp), :], win, sems.at[0]).wait()
-        rows = jnp.dot(oh, win[:], precision=jax.lax.Precision.HIGHEST
-                       if win.dtype == jnp.float32 else None,
-                       preferred_element_type=jnp.float32)  # (per*TM, lanes)
+        # value-moving gather (exact row copies in the fallback): bf16x3
+        if win.dtype == jnp.float32:
+            rows = _dot_onehot_f32(oh_b, win[:])       # (per*TM, lanes)
+        else:
+            rows = jnp.dot(oh_b.astype(win.dtype), win[:],
+                           preferred_element_type=jnp.float32)
         rparts = []
         for pj, j in enumerate(offs):
             sel = (sub_ref[:, j][:, None] == lane_group)
             rparts.append(jnp.where(sel, rows[pj * tm:(pj + 1) * tm], 0.0))
         rl = jnp.concatenate(rparts, axis=1).astype(win.dtype)
+        # product matmul: DEFAULT precision matches the XLA fallback, whose
+        # own dW contraction runs the same single-bf16-pass f32 matmul
         dw_ref[gi] += jax.lax.dot_general(
             rl, g.astype(win.dtype), (((0,), (0,)), ((), ())),
-            precision=(jax.lax.Precision.HIGHEST
-                       if win.dtype == jnp.float32 else None),
             preferred_element_type=jnp.float32)        # (per*lanes, Cout)
 
         # the write-back must land before the next step reads an

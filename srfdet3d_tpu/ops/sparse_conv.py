@@ -558,6 +558,13 @@ ONEHOT_MIN_GATHER_ROWS = 400_000
 ONEHOT_MAX_CIN = 128
 
 
+# Run the one-hot Pallas kernels in interpret mode (CPU-executable):
+# lets the e2e verify drive / CI exercise the EXACT kernel code path —
+# window layout, custom VJP, corrections — without a TPU.  Slow; for
+# tiny-config tests only.
+ONEHOT_INTERPRET = os.environ.get("SRFDET_ONEHOT_INTERPRET", "0") == "1"
+
+
 def _use_onehot() -> bool:
     if GATHER_METHOD == "onehot":
         return True
@@ -587,7 +594,8 @@ def _onehot_conv(flat_feats: jnp.ndarray, flat_idx: jnp.ndarray,
     tm = min(ONEHOT_TM, max(128, (tm_budget // 128) * 128))
     return gather_matmul_onehot(
         flat_feats, flat_idx, weights, tm=tm, wp=wp,
-        correction_tiles=ONEHOT_CORRECTION_TILES)
+        correction_tiles=ONEHOT_CORRECTION_TILES,
+        interpret=ONEHOT_INTERPRET)
 
 
 def _onehot_conv_fwd(flat_feats, flat_idx, weights):
@@ -606,7 +614,8 @@ def _onehot_conv_bwd(res, g):
     (ops/pallas_onehot_bwd.py) replaces both XLA ops."""
     flat_feats, flat_idx, weights = res
     n, cin = flat_feats.shape
-    if ONEHOT_BWD == "onehot" and jax.default_backend() not in ("cpu",):
+    if ONEHOT_BWD == "onehot" and (ONEHOT_INTERPRET or
+                                   jax.default_backend() not in ("cpu",)):
         from .pallas_onehot_bwd import gather_matmul_onehot_bwd
         cin_pad = 1
         while cin_pad < cin or 128 % cin_pad:
@@ -618,7 +627,8 @@ def _onehot_conv_bwd(res, g):
         tm = min(ONEHOT_TM, max(64, (tm_budget // 64) * 64))
         dfe, dw = gather_matmul_onehot_bwd(
             flat_feats, flat_idx, weights, g, tm=tm, wp=wp,
-            correction_tiles=ONEHOT_CORRECTION_TILES)
+            correction_tiles=ONEHOT_CORRECTION_TILES,
+            interpret=ONEHOT_INTERPRET)
         return (dfe.astype(flat_feats.dtype), None,
                 dw.astype(weights.dtype))
     m, k = flat_idx.shape
