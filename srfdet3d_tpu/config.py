@@ -153,6 +153,11 @@ class HeadConfig:
     # measured misfit count (tools/bench_roi.py).
     roi_patch: int = 0
     roi_patch_fallback: int = -1
+    # image-path variants of the patch knobs (projected camera RoIs are
+    # much larger than BEV RoIs — 123/900 misfits per cam at patch 32 —
+    # so the paths are tuned independently; bench_roi measures both)
+    img_roi_patch: int = 0
+    img_roi_patch_fallback: int = -1
     # rematerialize the refinement iterations in backward (jax.checkpoint)
     # — trades one extra decoder forward for O(num_heads) activation
     # memory; off by default (models/head.py SRFDetHead.remat)

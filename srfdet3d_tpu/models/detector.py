@@ -233,6 +233,8 @@ class SRFDet(nn.Module):
             img_roi_cap=h.img_roi_cap,
             roi_patch=h.roi_patch,
             roi_patch_fallback=h.roi_patch_fallback,
+            img_roi_patch=h.img_roi_patch,
+            img_roi_patch_fallback=h.img_roi_patch_fallback,
             remat=h.remat,
             dtype=self.dtype,
             name="bbox_head")(

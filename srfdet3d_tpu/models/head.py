@@ -246,8 +246,16 @@ class SingleSRFDetHead(nn.Module):
     # >0: compacted visible-pair image RoI gather (see pooled_img_roi)
     img_roi_cap: int = 0
     # >0: patch-gather RoIAlign window (ops/roi_align.py multilevel_roi_align)
+    # for the BEV (lidar) RoI path.  Measured on v5e at flagship shapes:
+    # fwd 29.8 vs 32.3 ms, grad 40.6 vs 44.1 ms, ZERO misfits at 32.
     roi_patch: int = 0
     roi_patch_fallback: int = -1
+    # separate knob for the image RoI path: projected camera RoIs are much
+    # larger (123/900 misfits per cam at patch 32 on synthetic worst case),
+    # and the patch+fallback program exceeded the remote-compile relay's
+    # request size limit — keep pair-gathers there until measured.
+    img_roi_patch: int = 0
+    img_roi_patch_fallback: int = -1
     dtype: Any = jnp.float32
 
     @property
@@ -293,8 +301,8 @@ class SingleSRFDetHead(nn.Module):
             cam_rois = img_rois_from_boxes(boxes_abs, lidar2img)
             img_roi = pooled_img_roi(img_feats, cam_rois, self.img_strides,
                                      res, cap=self.img_roi_cap,
-                                     patch=self.roi_patch,
-                                     patch_fallback=self.roi_patch_fallback)
+                                     patch=self.img_roi_patch,
+                                     patch_fallback=self.img_roi_patch_fallback)
 
         if self.use_fusion:
             fused = jnp.concatenate([img_roi, pts_roi], axis=-1)
@@ -416,6 +424,8 @@ class SRFDetHead(nn.Module):
     img_roi_cap: int = 0
     roi_patch: int = 0
     roi_patch_fallback: int = -1
+    img_roi_patch: int = 0
+    img_roi_patch_fallback: int = -1
     # rematerialize each refinement iteration in the backward pass: the
     # scan keeps only the (boxes, prop_feats) carry per iteration and
     # recomputes RoI gathers/attention instead of storing them — trades
@@ -566,6 +576,8 @@ class SRFDetHead(nn.Module):
             img_roi_cap=self.img_roi_cap,
             roi_patch=self.roi_patch,
             roi_patch_fallback=self.roi_patch_fallback,
+            img_roi_patch=self.img_roi_patch,
+            img_roi_patch_fallback=self.img_roi_patch_fallback,
             prior_prob=self.prior_prob,
             dtype=self.dtype)
 

@@ -203,6 +203,11 @@ class SparseEncoder(nn.Module):
     # voxel capacity after each of the 3 downsamples + conv_out
     capacities: Sequence[int] = (60000, 30000, 15000, 15000)
     rulebook: str = "bitmap"                    # bitmap | table
+    # profiling hook: False skips conv_out + densify and returns the masked
+    # sparse stage output (B, V, C) — lets truncated-stack benches avoid
+    # materializing an early-stage dense grid (22 GB at stage-1 resolution,
+    # tools/bench_encoder_grad_parts.py)
+    densify: bool = True
     dtype: Any = jnp.float32
 
     def _down_pads(self) -> List:
@@ -282,6 +287,9 @@ class SparseEncoder(nn.Module):
                         basic_block(gidx, out_ch, f"bb{i}_{j}")
         else:
             raise ValueError(self.block_type)
+
+        if not self.densify:
+            return jnp.where(mask[..., None], feats, 0.0)
 
         # conv_out: SparseConv3d k(3,1,1) s(2,1,1) p0 + BN + ReLU
         gidx_out = rb.convout(self.capacities[-1])

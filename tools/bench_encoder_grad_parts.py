@@ -105,7 +105,10 @@ def main():
             encoder_channels=tuple(chans),
             encoder_paddings=mid.encoder_paddings[:k],
             block_type=mid.block_type,
-            capacities=caps, rulebook=backend)
+            capacities=caps, rulebook=backend,
+            # truncated stacks stop at their last sparse stage: densifying
+            # an early-stage grid is a 22 GB HBM OOM at flagship scale
+            densify=(k == n_stages))
         variables = jax.jit(lambda f, c, m, e=enc: e.init(
             jax.random.PRNGKey(0), f, c, m, train=False))(*batch)
 
