@@ -1,0 +1,122 @@
+"""Kernel-vs-XLA parity ON DEVICE (real Mosaic lowering, MXU numerics).
+
+Tolerances: on TPU, f32 matmuls at DEFAULT precision run a single bf16
+pass (products truncate operands to bf16; accumulation stays f32), in the
+kernels AND in the XLA reference alike — but rounding orders differ, so
+value comparisons sit at the bf16-product scale (~2^-8 relative), not at
+f32 ulps.  Value-MOVING stages (one-hot gathers / scatter-add addends) are
+bf16x3-split in the kernels and exact in the XLA reference, so the error
+budget is dominated by the product stages only.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import tpu_available
+
+if not tpu_available():
+    pytest.skip("TPU backend not reachable (tunnel relay down?)",
+                allow_module_level=True)
+
+import jax
+import jax.numpy as jnp
+
+if jax.default_backend() in ("cpu",):
+    pytest.skip("no TPU device", allow_module_level=True)
+
+
+def _near_monotone_idx(rng, m, k, n, jitter=64, miss_rate=0.05):
+    """Rulebook-like indices: per-offset near-monotone with misses."""
+    base = np.sort(rng.integers(0, n, size=(m,)))
+    idx = np.zeros((m, k), np.int32)
+    for j in range(k):
+        col = base + rng.integers(-jitter, jitter, size=(m,))
+        idx[:, j] = np.clip(col, 0, n - 1)
+    miss = rng.random((m, k)) < miss_rate
+    idx[miss] = n
+    return jnp.asarray(idx)
+
+
+def _xla_ref(feats, idx, w):
+    n, cin = feats.shape
+    k = idx.shape[1]
+    cout = w.shape[2]
+    f0 = jnp.concatenate([feats, jnp.zeros((1, cin), feats.dtype)], axis=0)
+    g = f0[idx]                                           # (M, K, Cin)
+    return jnp.dot(g.reshape(-1, k * cin), w.reshape(k * cin, cout),
+                   preferred_element_type=jnp.float32).astype(feats.dtype)
+
+
+def test_onehot_fwd_on_device():
+    from srfdet3d_tpu.ops.pallas_onehot import gather_matmul_onehot
+    rng = np.random.default_rng(0)
+    n, m, k, cin, cout = 4096, 2048, 27, 16, 16
+    feats = jnp.asarray(rng.normal(size=(n, cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, cin, cout)).astype(np.float32))
+    idx = _near_monotone_idx(rng, m, k, n)
+    out = jax.jit(lambda f, i, ww: gather_matmul_onehot(
+        f, i, ww, tm=256, wp=256))(feats, idx, w)
+    ref = jax.jit(_xla_ref)(feats, idx, w)
+    out, ref = np.asarray(out), np.asarray(ref)
+    # bf16-product scale, k*cin=432-term sums
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=2e-2 * scale)
+
+
+def test_onehot_bwd_on_device():
+    from srfdet3d_tpu.ops.pallas_onehot_bwd import gather_matmul_onehot_bwd
+    rng = np.random.default_rng(1)
+    n, m, k, cin, cout = 4096, 2048, 27, 16, 16
+    feats = jnp.asarray(rng.normal(size=(n, cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, cin, cout)).astype(np.float32))
+    idx = _near_monotone_idx(rng, m, k, n)
+    g = jnp.asarray(rng.normal(size=(m, cout)).astype(np.float32))
+
+    def ref_loss(f, ww):
+        return jnp.sum(_xla_ref(f, idx, ww) * g)
+
+    dfe_ref, dw_ref = jax.jit(jax.grad(ref_loss, argnums=(0, 1)))(feats, w)
+    dfe, dw = jax.jit(lambda f, i, ww, gg: gather_matmul_onehot_bwd(
+        f, i, ww, gg, tm=256, wp=256))(feats, idx, w, g)
+    for a, b in ((dfe, dfe_ref), (dw, dw_ref)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=2e-2,
+                                   atol=2e-2 * np.abs(b).max())
+
+
+def test_roi_patch_vs_pairs_on_device():
+    from srfdet3d_tpu.ops.roi_align import multilevel_roi_align
+    rng = np.random.default_rng(2)
+    c, n_p = 64, 128
+    feats = tuple(jnp.asarray(rng.normal(
+        size=(64 // (1 << i), 64 // (1 << i), c)).astype(np.float32))
+        for i in range(4))
+    strides = (8, 16, 32, 64)
+    ctr = rng.uniform(50, 450, (n_p, 2))
+    wh = rng.uniform(8, 120, (n_p, 2))
+    rois = jnp.asarray(np.concatenate(
+        [ctr - wh / 2, ctr + wh / 2], -1).astype(np.float32))
+    pairs = jax.jit(lambda f, r: multilevel_roi_align(
+        f, r, strides, patch=0))(feats, rois)
+    patch = jax.jit(lambda f, r: multilevel_roi_align(
+        f, r, strides, patch=32, patch_fallback=64))(feats, rois)
+    # identical bilinear samples, different gather strategy: near-exact
+    np.testing.assert_allclose(np.asarray(patch), np.asarray(pairs),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_rotated_intersection_on_device():
+    """Green's-theorem edge clipping vs the independent candidate-sort
+    construction, both ON DEVICE (f32 vector math, no MXU truncation)."""
+    from srfdet3d_tpu.geometry.iou import (rotated_intersection_bev,
+                                           _rotated_intersection_bev_sort)
+    rng = np.random.RandomState(3)
+    n = 64
+    b1 = np.stack([rng.uniform(-30, 30, n), rng.uniform(-30, 30, n),
+                   rng.uniform(0.3, 8, n), rng.uniform(0.3, 8, n),
+                   rng.uniform(-2 * np.pi, 2 * np.pi, n)], -1)
+    b2 = b1 + rng.normal(0, 0.4, (n, 5))
+    b1, b2 = jnp.asarray(b1, jnp.float32), jnp.asarray(b2, jnp.float32)
+    new = np.asarray(jax.jit(rotated_intersection_bev)(b1, b2))
+    ref = np.asarray(jax.jit(_rotated_intersection_bev_sort)(b1, b2))
+    np.testing.assert_allclose(new, ref, atol=5e-3)

@@ -18,4 +18,5 @@ run python tools/bench_roi.py
 run python tools/bench_img_branch.py
 run python tools/bench_encoder_grad_parts.py bitmap onehot
 bash tools/bench_matrix.sh
+run python -m pytest tests_tpu/ -q
 echo "=== campaign done ==="
