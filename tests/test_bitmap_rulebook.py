@@ -9,6 +9,7 @@ import jax
 import jax.lax as lax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from srfdet3d_tpu.ops.bitmap_rulebook import (
     build_columns, convout_rulebook_bitmap, convout_sites_bitmap,
@@ -297,6 +298,7 @@ def test_strided_no_phantom_zero_site_columns():
     assert int(vm_o.sum()) > 0
 
 
+@pytest.mark.slow
 def test_strided_bitmap_fuzz_shapes_and_pads():
     """Randomized shapes, paddings and occupancies: the bitmap strided
     conv must equal a dense lax conv masked to the active output sites

@@ -11,6 +11,7 @@ import json
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -23,6 +24,7 @@ from tests.test_torch_convert_full import (_shrunk_flagship,
                                            _synthetic_torch_state)
 
 
+@pytest.mark.slow
 def test_convert_checkpoint_cli_roundtrip(tmp_path):
     import torch
 

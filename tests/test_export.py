@@ -4,6 +4,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 import jax
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
@@ -32,6 +33,7 @@ def test_export_roundtrip(tmp_path):
                                    rtol=1e-5, atol=1e-6, err_msg=k)
 
 
+@pytest.mark.slow
 def test_export_baked_params(tmp_path):
     cfg = tiny_test_config()
     fn, (variables, batch) = export_tool.build_predict(cfg)

@@ -77,6 +77,7 @@ def test_train_step_mesh_sharded_fast():
     assert int(state.step) == 2
 
 
+@pytest.mark.slow
 def test_grad_accum_matches_single_step():
     """optim.accum_steps=2 must reproduce the plain step when its two
     microbatches are identical: with dropout 0, train-mode BN normalizes by

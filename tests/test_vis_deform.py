@@ -1,6 +1,7 @@
 """Visualizer output files + deformable BEV encoder shapes/grads."""
 import os
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -50,6 +51,7 @@ def test_bev_and_projection_render(tmp_path):
     assert os.path.getsize(tmp_path / "b.ply") > 0
 
 
+@pytest.mark.slow
 def test_deform_attention_shapes_and_grad():
     rng = np.random.default_rng(2)
     b, q, c = 2, 12, 32
@@ -72,6 +74,7 @@ def test_deform_attention_shapes_and_grad():
     assert np.isfinite(float(loss(params)))
 
 
+@pytest.mark.slow
 def test_head_with_lidar_encoder():
     rng = np.random.default_rng(3)
     cfg = tiny_test_config()

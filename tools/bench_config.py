@@ -1,6 +1,10 @@
 """Predict-path benchmark for any registered config.
 
-    python tools/bench_config.py srfdet_voxel_kitti_L [batch] [bfloat16] [occ]
+    python tools/bench_config.py srfdet_voxel_kitti_L [batch] [bfloat16] [occ] [k=v ...]
+
+Trailing k=v args are dotted config overrides (tools/train.py
+apply_cfg_options), e.g. `head.roi_patch=0` for an A/B against the
+shipped default.
 
 Builds the model from the named config factory, runs the full predict
 (forward + decode + NMS) on a synthetic batch and prints p50 latency plus
@@ -37,7 +41,12 @@ def main():
     bs = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     dtype = sys.argv[3] if len(sys.argv) > 3 else "float32"
     occ = float(sys.argv[4]) if len(sys.argv) > 4 else 0.5
+    overrides = [a for a in sys.argv[5:] if "=" in a]
     cfg = getattr(configs, name)()
+    if overrides:
+        from train import apply_cfg_options
+        cfg = apply_cfg_options(cfg, overrides)
+        print("overrides:", " ".join(overrides), flush=True)
     if dtype == "img_bf16":
         # bf16 on the image branch only (MXU-bound convs); lidar fp32
         if cfg.img is None:
