@@ -17,13 +17,14 @@ the leading dim, parameters replicated.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
 from flax.core import FrozenDict
+from jax.flatten_util import ravel_pytree
 
 from ..config import SRFDetConfig
 from ..models.detector import SRFDet
@@ -111,22 +112,78 @@ def freeze_mask(params, cfg: SRFDetConfig):
     return jax.tree_util.tree_map_with_path(trainable, params)
 
 
+class FlatAdamWState(NamedTuple):
+    """AdamW moments as ONE raveled vector each (not per-leaf trees)."""
+    count: jnp.ndarray   # () int32
+    mu: jnp.ndarray      # (P,) first moment
+    nu: jnp.ndarray      # (P,) second moment
+
+
+def _zero_frozen(tree, mask):
+    return jax.tree_util.tree_map(
+        lambda x, t: x if t else jnp.zeros_like(x), tree, mask)
+
+
 def make_optimizer(cfg: SRFDetConfig, total_steps: int
                    ) -> optax.GradientTransformation:
+    """Global-norm clip + AdamW over one raveled parameter vector.
+
+    Functionally identical to
+    ``optax.chain(clip_by_global_norm, adamw(schedule, wd))`` wrapped in a
+    freeze-mask ``multi_transform`` (reference AdamW grad_clip=35, cfg
+    srfdet_voxel_nusc_L.py:337-346), but the update math runs as a handful
+    of large fused kernels over a single (P,) vector instead of ~10
+    elementwise HLOs x n_leaves, and the optimizer state is two buffers
+    instead of 2 x n_leaves.  On the tunneled TPU backend per-buffer
+    dispatch overhead made the per-leaf form cost ~200 ms/step at 179
+    param leaves (PERF.md session 8); the raveled form removes 356 state
+    buffers from every train-step call.
+
+    Freeze-mask semantics match the multi_transform form exactly: frozen
+    leaves' grads are zeroed BEFORE the clip norm (the norm spans
+    trainable leaves only) and their updates are exact zeros, so frozen
+    parameters stay bit-identical.
+    """
     schedule = make_lr_schedule(cfg.optim, total_steps)
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.optim.grad_clip),
-        optax.adamw(schedule, weight_decay=cfg.optim.weight_decay))
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    wd = cfg.optim.weight_decay
+    clip = cfg.optim.grad_clip
     needs_mask = cfg.optim.freeze_img or cfg.optim.freeze_lidar or \
         (cfg.img is not None and
          (cfg.img.frozen_stages > 0 or cfg.img.norm_frozen))
-    if needs_mask:
-        tx = optax.multi_transform(
-            {"train": tx, "freeze": optax.set_to_zero()},
-            lambda params: jax.tree_util.tree_map(
-                lambda t: "train" if t else "freeze",
-                freeze_mask(params, cfg)))
-    return tx
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return FlatAdamWState(count=jnp.zeros((), jnp.int32),
+                              mu=jnp.zeros_like(flat),
+                              nu=jnp.zeros_like(flat))
+
+    def update(grads, state, params):
+        if params is None:
+            raise ValueError("flat AdamW requires params (weight decay)")
+        mask = freeze_mask(params, cfg) if needs_mask else None
+        if mask is not None:
+            grads = _zero_frozen(grads, mask)
+        g, unravel = ravel_pytree(grads)
+        p, _ = ravel_pytree(params)
+        # optax.clip_by_global_norm: select, no epsilon
+        gn = jnp.sqrt(jnp.sum(g * g))
+        g = jnp.where(gn < clip, g, g * (clip / gn))
+        mu = b1 * state.mu + (1.0 - b1) * g
+        nu = b2 * state.nu + (1.0 - b2) * (g * g)
+        c = state.count + 1
+        mhat = mu / (1.0 - b1 ** c)
+        nhat = nu / (1.0 - b2 ** c)
+        # optax.adamw: -lr * (m / (sqrt(v) + eps) + wd * p); the schedule
+        # is evaluated at the pre-increment count like scale_by_schedule
+        upd = (-schedule(state.count)) * \
+            (mhat / (jnp.sqrt(nhat) + eps) + wd * p)
+        updates = unravel(upd)
+        if mask is not None:
+            updates = _zero_frozen(updates, mask)
+        return updates, FlatAdamWState(count=c, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
 
 
 def create_train_state(cfg: SRFDetConfig,

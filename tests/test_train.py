@@ -32,6 +32,59 @@ def test_lr_schedule_shape():
     assert lr_end < cfg.optim.lr * 0.01
 
 
+def test_flat_adamw_matches_optax_chain():
+    """make_optimizer's raveled AdamW must reproduce
+    optax.chain(clip_by_global_norm, adamw) (+ freeze multi_transform)
+    step-for-step: same updates through warmup (schedule indexing), with
+    clipping triggered (large grads) and untriggered (small grads), and
+    bit-identical frozen leaves under the mask."""
+    import optax
+    from srfdet3d_tpu.train.trainer import make_optimizer
+
+    cfg = tiny_test_config()
+    total = 50
+    rng = np.random.default_rng(0)
+    params = {
+        "pts_backbone": {"w": jnp.asarray(rng.normal(size=(4, 3)), jnp.float32)},
+        "bbox_head": {"b": jnp.asarray(rng.normal(size=(7,)), jnp.float32),
+                      "k": jnp.asarray(rng.normal(size=(2, 2, 2)), jnp.float32)},
+    }
+
+    for freeze, gscale in [(False, 1e-3), (False, 1e3), (True, 1e3)]:
+        import dataclasses
+        fcfg = cfg.replace(
+            optim=dataclasses.replace(cfg.optim, freeze_lidar=freeze))
+        sched = make_lr_schedule(fcfg.optim, total)
+        ref_tx = optax.chain(
+            optax.clip_by_global_norm(fcfg.optim.grad_clip),
+            optax.adamw(sched, weight_decay=fcfg.optim.weight_decay))
+        if freeze:
+            from srfdet3d_tpu.train.trainer import freeze_mask as fm
+            ref_tx = optax.multi_transform(
+                {"train": ref_tx, "freeze": optax.set_to_zero()},
+                lambda p: jax.tree_util.tree_map(
+                    lambda t: "train" if t else "freeze", fm(p, fcfg)))
+        flat_tx = make_optimizer(fcfg, total)
+
+        p_ref, p_flat = params, params
+        s_ref, s_flat = ref_tx.init(p_ref), flat_tx.init(p_flat)
+        for i in range(4):
+            grads = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(
+                    rng.normal(size=x.shape) * gscale, jnp.float32), params)
+            u_ref, s_ref = ref_tx.update(grads, s_ref, p_ref)
+            u_flat, s_flat = flat_tx.update(grads, s_flat, p_flat)
+            p_ref = optax.apply_updates(p_ref, u_ref)
+            p_flat = optax.apply_updates(p_flat, u_flat)
+            for a, b in zip(jax.tree.leaves(p_ref), jax.tree.leaves(p_flat)):
+                np.testing.assert_allclose(a, b, rtol=2e-5, atol=1e-7)
+        if freeze:
+            for key in ("pts_backbone",):
+                for a, b in zip(jax.tree.leaves(params[key]),
+                                jax.tree.leaves(p_flat[key])):
+                    np.testing.assert_array_equal(a, b)
+
+
 def test_freeze_mask_lidar():
     cfg = tiny_test_config().replace(optim=OptimConfig(freeze_lidar=True))
     batch = graft._synthetic_batch(cfg, 1)

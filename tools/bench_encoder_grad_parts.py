@@ -57,23 +57,26 @@ def _flagship_batch(cfg, scale=1):
                        jnp.asarray(mask))
 
 
-def _time(fn, label, iters=6):
-    t0 = time.perf_counter()
-    out = fn()
-    val = out[0] if isinstance(out, tuple) else out
-    float(jnp.sum(val) if hasattr(val, "sum") else val)
-    print(f"{label}: compile+run {time.perf_counter() - t0:.0f}s",
-          flush=True)
-    ts = []
-    for _ in range(iters):
+def _time(fn, label, iters=8):
+    """Stream-amortized ms/it: per-call readback costs 25-30 ms on the
+    tunneled backend and was polluting every isolated-piece number."""
+    def burst(n):
         t0 = time.perf_counter()
-        out = fn()
+        out = None
+        for _ in range(n):
+            out = fn()
         val = out[0] if isinstance(out, tuple) else out
         float(jnp.sum(val) if hasattr(val, "sum") else val)
-        ts.append(time.perf_counter() - t0)
-    p50 = np.percentile(ts, 50) * 1000
-    print(f"{label}: p50 {p50:.1f} ms", flush=True)
-    return p50
+        return (time.perf_counter() - t0) * 1000.0
+
+    t0 = time.perf_counter()
+    burst(1)
+    print(f"{label}: compile+run {time.perf_counter() - t0:.0f}s",
+          flush=True)
+    burst(2)
+    ms = (burst(iters) - burst(1)) / (iters - 1)
+    print(f"{label}: {ms:.1f} ms/it (stream)", flush=True)
+    return ms
 
 
 def main():
@@ -112,18 +115,23 @@ def main():
         variables = jax.jit(lambda f, c, m, e=enc: e.init(
             jax.random.PRNGKey(0), f, c, m, train=False))(*batch)
 
-        def loss_fn(params, e=enc, v=variables):
+        # batch passed as ARGUMENTS: closing over device arrays embeds
+        # them as HLO constants and XLA constant-folds the whole rulebook
+        # machinery at compile time (coords-only index math), which both
+        # exploded compiles (889 s at k=4) and hid ~60% of the real
+        # backward (163 vs 450 ms) — see PERF.md session 8
+        def loss_fn(params, f, c, m, e=enc, v=variables):
             out, _ = e.apply(
                 {"params": params,
                  "batch_stats": v.get("batch_stats", {})},
-                *batch, train=True, mutable=["batch_stats"])
+                f, c, m, train=True, mutable=["batch_stats"])
             return jnp.sum(out.astype(jnp.float32))
 
         fwd = jax.jit(loss_fn)
         grad = jax.jit(jax.value_and_grad(loss_fn))
         p = variables["params"]
-        f_ms = _time(lambda: fwd(p), f"stages<= {k} fwd")
-        g_ms = _time(lambda: grad(p), f"stages<= {k} grad")
+        f_ms = _time(lambda: fwd(p, *batch), f"stages<= {k} fwd")
+        g_ms = _time(lambda: grad(p, *batch), f"stages<= {k} grad")
         print(f"stages<={k}: bwd-only ~{g_ms - f_ms:.1f} ms", flush=True)
 
     # 2. isolated non-conv pieces at stage-0 scale --------------------------
@@ -134,12 +142,13 @@ def main():
     feats16 = jnp.zeros((1, v_eff, 16), jnp.float32)
     coords, mask = batch[1], batch[2]
 
-    def sort_loss(f):
-        sf, _, _ = sort_plan_major(f, coords, mask, (d, h, w))
+    def sort_loss(f, c, m):
+        sf, _, _ = sort_plan_major(f, c, m, (d, h, w))
         return jnp.sum(sf)
 
     g_sort = jax.jit(jax.grad(sort_loss))
-    _time(lambda: g_sort(feats16), "sort_plan_major grad (16ch)")
+    _time(lambda: g_sort(feats16, coords, mask),
+          "sort_plan_major grad (16ch)")
 
     bn = MaskedBatchNorm()
     bnv = jax.jit(lambda f, m: bn.init(jax.random.PRNGKey(0), f, m,
