@@ -148,7 +148,47 @@ def main():
 
         stream_ms(run_b, "B baseline body, no donation")
 
-    if "C" in which or "D" in which:
+    if "E" in which:
+        # SAME program as B, but CONSTANT inputs (outputs dropped, never fed
+        # back).  If E runs at grad-only speed (~680 ms) while B runs ~880,
+        # the step cost is the state-feedback chain (no overlap between
+        # dependent executions on the tunneled backend), not the program.
+        @jax.jit
+        def step_e(p, bs, opt):
+            (total, new_bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p, bs)
+            u, opt2 = tx.update(grads, opt, p)
+            p2 = optax.apply_updates(p, u)
+            return p2, new_bs, opt2, (total, optax.global_norm(grads))
+
+        opt0 = tx.init(params)
+        stream_ms(lambda: step_e(params, bstats, opt0),
+                  "E full-step program, constant inputs")
+
+    if "F" in which:
+        # grad + trivial fused SGD update, FED BACK: isolates optimizer
+        # state traffic (no mu/nu, no opt state at all) from the feedback
+        # chain.  F ~ B means the 200 ms is feedback; F ~ grad-only means
+        # it is AdamW state traffic.
+        @jax.jit
+        def step_f(p, bs):
+            (total, new_bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p, bs)
+            p2 = jax.tree.map(lambda a, g: a - 1e-6 * g, p, grads)
+            return p2, new_bs, total
+
+        holder = {"s": (jax.tree.map(jnp.copy, params),
+                        jax.tree.map(jnp.copy, bstats))}
+
+        def run_f():
+            p, bs = holder["s"]
+            p2, bs2, loss = step_f(p, bs)
+            holder["s"] = (p2, bs2)
+            return loss
+
+        stream_ms(run_f, "F grad + fused SGD, fed back")
+
+    if which & {"C", "D", "S"}:
         flat_p, unravel = ravel_pytree(params)
         n = flat_p.size
         print(f"flat param vector: {n} elems", flush=True)
@@ -164,6 +204,48 @@ def main():
             nhat = nu / (1 - 0.999 ** c.astype(jnp.float32))
             upd = -1e-4 * (mhat / (jnp.sqrt(nhat) + 1e-8) + 0.01 * p_flat)
             return p_flat + upd, mu, nu, c, gn
+
+    if "S" in which:
+        # K steps under ONE lax.scan in ONE program: a device-side step
+        # loop (batches pre-staged on device, like flax prefetch loops).
+        # One dispatch + one state round-trip per K steps — if the
+        # step-vs-grad delta is feedback/dispatch stall, this amortizes it
+        # K-fold and is the idiomatic TPU fix.
+        K = 4
+
+        def one_step(carry, mb):
+            p, bs, mu, nu, count = carry
+            (total, new_bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p, bs)
+            g_flat, _ = ravel_pytree(grads)
+            p_flat, unrav = ravel_pytree(p)
+            new_p, mu, nu, c, gn = flat_adamw(g_flat, p_flat, mu, nu, count)
+            return (unrav(new_p), new_bs, mu, nu, c), (total, gn)
+
+        @jax.jit
+        def steps_s(carry, batches):
+            return jax.lax.scan(one_step, carry, batches)
+
+        batches_k = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (K,) + x.shape), batch)
+        holder = {"s": (jax.tree.map(jnp.copy, params),
+                        jax.tree.map(jnp.copy, bstats),
+                        jnp.zeros_like(flat_p), jnp.zeros_like(flat_p),
+                        jnp.zeros((), jnp.int32))}
+
+        def run_s():
+            carry, (losses, gns) = steps_s(holder["s"], batches_k)
+            holder["s"] = carry
+            return losses
+
+        ms = stream_ms(run_s, f"S {K}-step scan program")
+        print(f"S per-step: {ms / K:.1f} ms", flush=True)
+
+    if "H" in which:
+        # grad-only with CONSTANT inputs == bench_train_parts #3 in this
+        # harness (the 681 ms anchor), for same-run deltas.
+        g = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))
+        stream_ms(lambda: g(params, bstats), "H grad-only, constant inputs")
 
     if "C" in which:
         @jax.jit
