@@ -241,6 +241,34 @@ def main():
         ms = stream_ms(run_s, f"S {K}-step scan program")
         print(f"S per-step: {ms / K:.1f} ms", flush=True)
 
+    if "I" in which:
+        # grad + SCALED-grads output (consumes every grad leaf, touches
+        # neither params nor opt state).  I ~ H: outputting transformed
+        # grads is free -> F's cost is the param read/liveness.  I ~ F:
+        # ANY elementwise epilogue over the grad tree costs 200 ms ->
+        # XLA loses in-place grad-accumulator aliasing.
+        @jax.jit
+        def step_i(p, bs):
+            (total, new_bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p, bs)
+            return jax.tree.map(lambda g: g * 2.0, grads), total
+
+        stream_ms(lambda: step_i(params, bstats),
+                  "I grad + scaled-grad outputs")
+
+    if "K" in which:
+        # grad consumed ONLY by a scalar reduction (global norm); the grad
+        # tree is NOT an output.  K ~ H: reductions are free consumers.
+        # K ~ F: any consumption beyond raw output costs 200 ms.
+        @jax.jit
+        def step_k(p, bs):
+            (total, new_bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(p, bs)
+            return total, optax.global_norm(grads)
+
+        stream_ms(lambda: step_k(params, bstats),
+                  "K grad -> scalar norm only")
+
     if "H" in which:
         # grad-only with CONSTANT inputs == bench_train_parts #3 in this
         # harness (the 681 ms anchor), for same-run deltas.

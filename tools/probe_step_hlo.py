@@ -16,13 +16,15 @@ from srfdet3d_tpu.configs import srfdet_voxel_nusc_L  # noqa: E402
 from srfdet3d_tpu.models.detector import SRFDet  # noqa: E402
 from srfdet3d_tpu.models.losses import srfdet_losses  # noqa: E402
 
-OP_RE = re.compile(r"^\s*(?:ROOT\s+)?%?[\w.-]+\s*=\s*[\w\[\]{},/ ]*\s*(\w[\w-]*)\(")
+# after the "=", the first lowercase word directly followed by "(" is the
+# op (shape tokens like f32[...] are followed by "[", never "(")
+OP_RE = re.compile(r"=\s*[^=]*?([a-z][a-z0-9_\-]*)\(")
 
 
 def histo(txt):
     c = Counter()
     for line in txt.splitlines():
-        m = OP_RE.match(line)
+        m = OP_RE.search(line)
         if m:
             c[m.group(1)] += 1
     return c
