@@ -132,13 +132,25 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _default_groups(k: int):
-    """Group kernel offsets by their slowest (z) coordinate: for a cubic
-    kernel the 27 offsets split into 3 groups of 9 whose key deltas differ
-    by <= h*w, so their window positions nearly coincide."""
-    if k % 3 == 0:
-        per = k // 3
-        return tuple(tuple(range(g * per, (g + 1) * per)) for g in range(3))
+def _default_groups(k: int, mode: str = "zy"):
+    """Window groups over the z-major (dz, dy, dx) offset enumeration.
+
+    mode "zy": group by (dz, dy) — consecutive triples that differ only in
+    dx.  A group's gather keys are then (tile keys + const ± 1), so its
+    window span is the tile's own table extent plus a 2-row dx slack,
+    INDEPENDENT of scene density.  The older "z" grouping (3 groups of 9)
+    spanned the dy=±1 neighbor distance ≈ active-sites-per-xy-row, which at
+    stage-1+ densities exceeds any affordable window and silently fired the
+    full XLA correction on every deep conv (tools/probe_oow_encoder.py).
+    mode "z": 3 groups of 9 (fewer, larger MXU matmuls; only exact for
+    stage-0 densities).  mode "none": one group per offset."""
+    if mode != "none" and k % 3 == 0:
+        if mode == "zy":
+            per = 3 if k % 9 == 0 else 1
+        else:
+            per = k // 3
+        return tuple(tuple(range(g * per, (g + 1) * per))
+                     for g in range(k // per))
     return tuple((j,) for j in range(k))
 
 
@@ -199,7 +211,7 @@ def _window_layout(idx, n: int, pack: int, snap: int, wp: int,
 
 @functools.partial(
     jax.jit, static_argnames=("tm", "wp", "interpret", "correct",
-                              "correction_tiles", "group_by_z"))
+                              "correction_tiles", "group_mode"))
 def gather_matmul_onehot(features: jnp.ndarray,
                          gather_idx: jnp.ndarray,
                          weights: jnp.ndarray,
@@ -208,7 +220,7 @@ def gather_matmul_onehot(features: jnp.ndarray,
                          interpret: bool = False,
                          correct: bool = True,
                          correction_tiles: int = 16,
-                         group_by_z: bool = True) -> jnp.ndarray:
+                         group_mode: str = "zy") -> jnp.ndarray:
     """Windowed one-hot gather + conv matmul.
 
     Args:
@@ -249,8 +261,7 @@ def gather_matmul_onehot(features: jnp.ndarray,
     feats = jnp.pad(feats, ((0, np_rows - n), (0, 0)))
     packed = feats.reshape(np_rows // pack, pack * cin_pad)
 
-    groups = _default_groups(k) if group_by_z else \
-        tuple((j,) for j in range(k))
+    groups = _default_groups(k, group_mode)
     per = len(groups[0])
 
     w_pad = weights.astype(dtype)
@@ -346,11 +357,11 @@ def gather_matmul_onehot(features: jnp.ndarray,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "pack", "tm", "wp", "group_by_z",
+                   static_argnames=("n", "pack", "tm", "wp", "group_mode",
                                     "snap"))
 def onehot_miss_count(gather_idx: jnp.ndarray, n: int, pack: int,
                       tm: int = 512, wp: int = 256,
-                      group_by_z: bool = True,
+                      group_mode: str = "zy",
                       snap: int = 0,
                       dtype=jnp.float32) -> jnp.ndarray:
     """Count of out-of-window entries for the given layout — use to size
@@ -364,8 +375,7 @@ def onehot_miss_count(gather_idx: jnp.ndarray, n: int, pack: int,
     m, k = gather_idx.shape
     pad_m = (-m) % tm
     idx = jnp.pad(gather_idx, ((0, pad_m), (0, 0)), constant_values=n)
-    groups = _default_groups(k) if group_by_z else \
-        tuple((j,) for j in range(k))
+    groups = _default_groups(k, group_mode)
     np_rows = _padded_rows(n, pack, snap, wp)
     _, _, _, miss, in_win = _window_layout(
         idx, n, pack, snap, wp, np_rows, tm, groups)

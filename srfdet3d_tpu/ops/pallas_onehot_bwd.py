@@ -131,7 +131,7 @@ def _bwd_kernel(starts_ref, plidx_ref, sub_ref, g_ref, feats_hbm, wt_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("tm", "wp", "interpret", "correction_tiles",
-                              "group_by_z"))
+                              "group_mode"))
 def gather_matmul_onehot_bwd(features: jnp.ndarray,
                              gather_idx: jnp.ndarray,
                              weights: jnp.ndarray,
@@ -140,7 +140,7 @@ def gather_matmul_onehot_bwd(features: jnp.ndarray,
                              wp: int = 128,
                              interpret: bool = False,
                              correction_tiles: int = 16,
-                             group_by_z: bool = True):
+                             group_mode: str = "zy"):
     """Backward of the windowed one-hot gather+matmul.
 
     Args:
@@ -165,8 +165,7 @@ def gather_matmul_onehot_bwd(features: jnp.ndarray,
     lanes = pack * cin_pad
     snap = _snap_of(dtype)
 
-    groups = _default_groups(k) if group_by_z else \
-        tuple((j,) for j in range(k))
+    groups = _default_groups(k, group_mode)
     per = len(groups[0])
 
     feats = features

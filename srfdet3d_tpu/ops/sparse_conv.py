@@ -539,9 +539,16 @@ def sparse_conv3d(st: SparseTensor,
 # elsewhere (the kernel only lowers via Mosaic).
 GATHER_METHOD = os.environ.get("SRFDET_GATHER", "auto")
 ONEHOT_TM = 512
-# window must cover (tile span + dz-group key-delta spread); measured on
-# real flagship rulebooks: 512 rows leaves 57 OOW tiles, 768+ leaves ZERO
-# (tools/check_oow.py) — 1024 is a comfortable exact default.
+# Window-group partition of the kernel offsets (pallas_onehot._default_groups):
+# "zy" (default) makes each group's window span the tile's own table extent
+# plus a 2-row dx slack — density-independent, zero out-of-window entries at
+# every flagship conv (tools/probe_oow_encoder.py).  The older "z" mode
+# spanned the dy-neighbor distance and silently fired the full XLA
+# correction on every conv from stage 1 down.
+ONEHOT_GROUPS = os.environ.get("SRFDET_ONEHOT_GROUPS", "zy")
+# window must cover the per-group gather span: tile table extent (<= tm for
+# subm; ~2*tm for stride-2 downsamples whose input stage holds 2x the sites)
+# + dx slack, in TABLE rows.
 ONEHOT_WINDOW_ROWS = 1024        # window size in TABLE rows
 ONEHOT_CORRECTION_TILES = 16     # tile-granular correction budget
 # the kernel wins where the row-gather wall bites: many small rows.  Deep
@@ -576,25 +583,43 @@ def _use_onehot() -> bool:
     return False
 
 
+def onehot_tile_params(cin: int, k: int, bwd: bool):
+    """(pack, wp, tm) the one-hot kernels use at this conv's layout.
+
+    ONE definition shared by the forward/backward call sites and the
+    layout diagnostics (tools/probe_oow_encoder.py) — they must agree or
+    the diagnostics mis-predict which correction path fires.  The stacked
+    one-hot matmul operand is (per*tm, wp) — bf16 forward, f32 backward;
+    cap it near 2.5 MB of VMEM (spills measured 5x slowdowns at wider
+    channels)."""
+    from .pallas_onehot import _default_groups
+    cin_pad = 1
+    while cin_pad < cin or 128 % cin_pad:
+        cin_pad *= 2
+    pack = 128 // min(cin_pad, 128)
+    wp = max(ONEHOT_WINDOW_ROWS // pack, 16)
+    per = len(_default_groups(k, ONEHOT_GROUPS)[0])
+    if bwd:
+        tm_budget = 2_500_000 // (per * wp * 4)
+        tm = min(ONEHOT_TM, max(64, (tm_budget // 64) * 64))
+    else:
+        tm_budget = 2_500_000 // (per * wp * 2)
+        tm = min(ONEHOT_TM, max(128, (tm_budget // 128) * 128))
+    return pack, wp, tm
+
+
 @jax.custom_vjp
 def _onehot_conv(flat_feats: jnp.ndarray, flat_idx: jnp.ndarray,
                  weights: jnp.ndarray) -> jnp.ndarray:
     """flat_feats (N, Cin) (miss row NOT included; index N = miss),
     flat_idx (M, K), weights (K, Cin, Cout) -> (M, Cout)."""
     from .pallas_onehot import gather_matmul_onehot
-    cin = flat_feats.shape[1]
-    cin_pad = 1
-    while cin_pad < cin or 128 % cin_pad:
-        cin_pad *= 2
-    pack = 128 // min(cin_pad, 128)
-    wp = max(ONEHOT_WINDOW_ROWS // pack, 16)
-    # cap the stacked one-hot ((9*tm, wp) bf16) near 2.5 MB of VMEM —
-    # spills measured 5x slowdowns at wider channels
-    tm_budget = 2_500_000 // (9 * wp * 2)
-    tm = min(ONEHOT_TM, max(128, (tm_budget // 128) * 128))
+    _, wp, tm = onehot_tile_params(flat_feats.shape[1], flat_idx.shape[1],
+                                   bwd=False)
     return gather_matmul_onehot(
         flat_feats, flat_idx, weights, tm=tm, wp=wp,
         correction_tiles=ONEHOT_CORRECTION_TILES,
+        group_mode=ONEHOT_GROUPS,
         interpret=ONEHOT_INTERPRET)
 
 
@@ -617,17 +642,11 @@ def _onehot_conv_bwd(res, g):
     if ONEHOT_BWD == "onehot" and (ONEHOT_INTERPRET or
                                    jax.default_backend() not in ("cpu",)):
         from .pallas_onehot_bwd import gather_matmul_onehot_bwd
-        cin_pad = 1
-        while cin_pad < cin or 128 % cin_pad:
-            cin_pad *= 2
-        pack = 128 // min(cin_pad, 128)
-        wp = max(ONEHOT_WINDOW_ROWS // pack, 16)
-        # backward one-hot is f32 (4 B) — budget the tile accordingly
-        tm_budget = 2_500_000 // (9 * wp * 4)
-        tm = min(ONEHOT_TM, max(64, (tm_budget // 64) * 64))
+        _, wp, tm = onehot_tile_params(cin, flat_idx.shape[1], bwd=True)
         dfe, dw = gather_matmul_onehot_bwd(
             flat_feats, flat_idx, weights, g, tm=tm, wp=wp,
             correction_tiles=ONEHOT_CORRECTION_TILES,
+            group_mode=ONEHOT_GROUPS,
             interpret=ONEHOT_INTERPRET)
         return (dfe.astype(flat_feats.dtype), None,
                 dw.astype(weights.dtype))

@@ -285,8 +285,8 @@ def make_train_step(model: SRFDet, tx: optax.GradientTransformation,
                                         losses_seq)
         return jnp.mean(totals), losses, new_bs, grads
 
-    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-                   rng: jax.Array):
+    def grad_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                  rng: jax.Array):
         if accum == 1:
             total, losses, new_bs, grads = _grads_single(state, batch, rng)
         else:
@@ -309,16 +309,46 @@ def make_train_step(model: SRFDet, tx: optax.GradientTransformation,
                     state.batch_stats["bbox_head"]["lidar_encoder"]
                 new_bs["bbox_head"] = bh
             new_bs = FrozenDict(new_bs)
+        return total, losses, new_bs, grads
+
+    def apply_step(state: TrainState, new_bs, grads):
+        grad_norm = optax.global_norm(grads)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=new_params,
                                batch_stats=new_bs, opt_state=new_opt)
+        return new_state, grad_norm
+
+    # TWO dispatched programs, not one.  Measured on a v5e (PERF.md round-2
+    # session 8): a program whose output is the RAW grad tree streams at
+    # 681 ms, and adding ANY elementwise consumer of those grads inside the
+    # SAME program — full AdamW, fused SGD (p - lr*g), even `g * 2` with no
+    # params involved — costs +200 ms, while the identical optimizer math
+    # as its own program costs ~3 ms (flat raveled AdamW, probe_flat_opt).
+    # Scalar reductions of the grads (global-norm) are free in-program.
+    # XLA's buffer assignment for the 100k-line backward loses the in-place
+    # grad-accumulation aliasing when the accumulators feed an elementwise
+    # epilogue instead of being outputs; splitting the step restores it.
+    # The device executes stream-ordered, so the split costs one extra
+    # (async) dispatch and 92 MB of grad I/O, nothing else; numerics are
+    # bit-identical to the fused form.
+    grad_prog = jax.jit(grad_step)
+    apply_prog = jax.jit(apply_step, donate_argnums=(0, 1, 2))
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array):
+        total, losses, new_bs, grads = grad_prog(state, batch, rng)
+        new_state, grad_norm = apply_prog(state, new_bs, grads)
         metrics = dict(losses)
         metrics["loss"] = total
-        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["grad_norm"] = grad_norm
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    # exposed for AOT compilation (multi-host workers compile before the
+    # coordination barrier so compile skew cannot blow collective deadlines)
+    train_step.grad_prog = grad_prog
+    train_step.apply_prog = apply_prog
+    return train_step
 
 
 def make_eval_step(model: SRFDet) -> Callable:

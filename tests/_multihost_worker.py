@@ -61,8 +61,26 @@ key = jax.random.PRNGKey(1)
 
 # compile is process-local and can skew the two controllers by more than
 # Gloo's 30-s rendezvous deadline — AOT-compile first, then align at the
-# coordination-service barrier (no collectives) before executing
-compiled = step_fn.lower(state, batch_g, key).compile()
+# coordination-service barrier (no collectives) before executing.  The
+# train step is TWO programs (trainer.py split); compile both: the apply
+# program's input layout comes from the grad program's output shardings.
+grad_c = step_fn.grad_prog.lower(state, batch_g, key).compile()
+g_shapes = jax.eval_shape(step_fn.grad_prog, state, batch_g, key)
+g_sds = jax.tree_util.tree_map(
+    lambda aval, sh: jax.ShapeDtypeStruct(aval.shape, aval.dtype,
+                                          sharding=sh),
+    g_shapes, grad_c.output_shardings)
+_, _, sds_new_bs, sds_grads = g_sds
+apply_c = step_fn.apply_prog.lower(state, sds_new_bs, sds_grads).compile()
+
+
+def compiled(state, batch_g, key):
+    total, losses, new_bs, grads = grad_c(state, batch_g, key)
+    new_state, grad_norm = apply_c(state, new_bs, grads)
+    metrics = dict(losses)
+    metrics["loss"] = total
+    metrics["grad_norm"] = grad_norm
+    return new_state, metrics
 try:
     from jax._src import distributed as _dist
     _dist.global_state.client.wait_at_barrier("srfdet_mh_post_compile",
