@@ -155,7 +155,13 @@ def rotated_intersection_pairs(b1: jnp.ndarray,
     program.  Shared-boundary segments are assigned to exactly one box by
     shrinking B for A's pass and growing A for B's pass by `shrink`.
     Matches the CUDA polygon-clipping kernel the reference consumes
-    (mmcv rotated NMS / BboxOverlaps3D) to within `shrink`-scale error.
+    (mmcv rotated NMS / BboxOverlaps3D) to within `shrink`-scale error —
+    amplified by 1/sin(angle) where two edges cross near-parallel (the
+    clipped endpoints slide along the shallow edge).  Measured worst case
+    on random heavily-overlapping pairs: ~50x shrink = 5e-3 absolute area
+    (tests_tpu/test_device_parity.py), i.e. IoU error ~1e-4 — far below
+    NMS-threshold / OTA-cost sensitivity.  Degenerate (non-positive size)
+    boxes clip to an empty region and return 0.
     """
     cx1, cy1 = b1[..., 0], b1[..., 1]
     hw1, hl1 = b1[..., 2] * 0.5, b1[..., 3] * 0.5

@@ -297,10 +297,16 @@ def _mla_patch(feats: Sequence[jnp.ndarray],
         st, wyk, wxk = args
         pv = _slice_gather_rows(table, st.reshape(-1), patch)
         pv = pv.reshape(chunk, patch, patch, c)        # [r, dy, dx, c]
+        # HIGHEST: the default MXU precision truncates inputs to bf16,
+        # which put the patch path ~1e-2 off the pairs path's pure-VPU
+        # f32 bilinear (tests_tpu/test_device_parity.py); these matmuls
+        # are tiny next to the patch gather, so exactness is free.
         tmp = jnp.einsum("rip,rpqc->riqc", wyk, pv.astype(jnp.float32),
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
         return jnp.einsum("rjq,riqc->rijc", wxk, tmp,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
 
     vals = jax.lax.map(body, (starts_c, wy_c, wx_c))   # (n, chunk, S, S, C)
     sr = sampling_ratio
