@@ -92,13 +92,22 @@ def _in_gt_and_center(pred_boxes: jnp.ndarray,
     return valid, in_box & in_center
 
 
-def _dedup_rows(matching: jnp.ndarray, cost: jnp.ndarray) -> jnp.ndarray:
+def _dedup_rows(matching: jnp.ndarray, cost: jnp.ndarray,
+                best_onehot: jnp.ndarray = None) -> jnp.ndarray:
     """Preds matched to >1 GT keep only their global min-cost GT
-    (reference ota_srfdet.py:283-295: argmin over ALL columns)."""
-    conflicted = jnp.sum(matching, axis=1) > 1                # (n_p,)
-    best = jnp.argmin(cost, axis=1)                           # (n_p,)
-    one_hot = jax.nn.one_hot(best, cost.shape[1], dtype=matching.dtype)
-    return jnp.where(conflicted[:, None], one_hot, matching)
+    (reference ota_srfdet.py:283-295: argmin over ALL columns).
+
+    matching is BOOL (n_p, G); the one-hot is a compare against an iota
+    (no f32 one-hot materialization — the guarantee loop runs this every
+    iteration and its body cost is what bounds assignment latency).
+    The dedup target depends only on the RAW cost (the guarantee loop's
+    bump is row-constant), so callers in a loop pass `best_onehot`
+    precomputed once — XLA does not hoist the big argmin itself."""
+    conflicted = jnp.count_nonzero(matching, axis=1) > 1      # (n_p,)
+    if best_onehot is None:
+        best = jnp.argmin(cost, axis=1)                       # (n_p,)
+        best_onehot = best[:, None] == jnp.arange(cost.shape[1])[None, :]
+    return jnp.where(conflicted[:, None], best_onehot, matching)
 
 
 def ota_assign(pred_boxes: jnp.ndarray,
@@ -161,36 +170,59 @@ def ota_assign(pred_boxes: jnp.ndarray,
     order = jnp.argsort(cost, axis=0)
     ranks = jnp.argsort(order, axis=0)                             # (n_p, G)
     matching = (ranks < dynamic_ks[None, :]) & gt_mask[None, :]
-    matching = matching.astype(jnp.float32)
-    matching = _dedup_rows(matching, cost)
+    row_best = jnp.argmin(cost, axis=1)                      # (n_p,)
+    row_best_onehot = row_best[:, None] == jnp.arange(g)[None, :]
+    matching = _dedup_rows(matching, cost, row_best_onehot)
 
     # guarantee every valid GT >= 1 pred (reference 297-319), bounded loop.
     # Bound g + n_p, not g: an iteration can make zero GT progress when
     # dedup redirects the newly-added pred to an already-matched GT's
     # column, but it then consumes a free pred — so every iteration either
     # matches a GT (<= g times) or burns a pred (<= n_p times).
+    #
+    # Loop-state layout matters: the trip count is data-dependent (~one
+    # iteration per GT when proposals cluster, e.g. at init), so the body
+    # must be lean.  The matching matrix stays BOOL, the cumulative
+    # matched-pred bump is a (n_p,) vector added on the fly (row-constant,
+    # so dedup's per-row argmin is unaffected and uses the raw cost), and
+    # the cost matrix itself is loop-INVARIANT (closed over, never copied).
+    iota_p = jnp.arange(n_p, dtype=jnp.int32)
+
     def unmatched_cols(m):
-        return gt_mask & (jnp.sum(m, axis=0) == 0)
+        return gt_mask & ~jnp.any(m, axis=0)
 
     def cond(state):
         m, _, it = state
         return jnp.any(unmatched_cols(m)) & (it < g + n_p)
 
-    def body(state):
-        m, c, it = state
-        matched_pred = jnp.sum(m, axis=1) > 0
-        c = c + _MATCHED_BUMP * matched_pred[:, None].astype(jnp.float32)
+    def step(m, bump):
+        bump = bump + _MATCHED_BUMP * jnp.any(m, axis=1).astype(jnp.float32)
         un = unmatched_cols(m)                                     # (G,)
-        best_pred = jnp.argmin(c, axis=0)                          # (G,)
-        add = jax.nn.one_hot(best_pred, n_p, dtype=m.dtype).T      # (n_p, G)
-        m = jnp.where(un[None, :], jnp.maximum(m, add), m)
-        m = _dedup_rows(m, c)
-        return m, c, it + 1
+        best_pred = jnp.argmin(cost + bump[:, None], axis=0)       # (G,)
+        add = (best_pred[None, :] == iota_p[:, None]) & un[None, :]
+        return _dedup_rows(m | add, cost, row_best_onehot), bump
+
+    # Loop structure is the whole cost here: one `step` application
+    # measures 0.015 ms inside a STATIC-trip fori_loop but ~0.9 ms inside
+    # a data-dependent while_loop at the same (vmapped) shape
+    # (tools/probe_ota_body.py) — the dynamic cond, not the body compute,
+    # is what this backend pays for.  So run K applications per
+    # convergence check: an outer while whose body is a counted fori.
+    # `step` is the fixed-point map (post-convergence applications leave
+    # the matching unchanged: empty add, idempotent dedup), so checking
+    # the cond every K applications yields the IDENTICAL matching.
+    K = 64
+
+    def body(state):
+        m, bump, it = state
+        m, bump = jax.lax.fori_loop(
+            0, K, lambda _, s: step(*s), (m, bump))
+        return m, bump, it + K
 
     matching, _, _ = jax.lax.while_loop(
-        cond, body, (matching, cost, jnp.int32(0)))
+        cond, body, (matching, jnp.zeros((n_p,), jnp.float32), jnp.int32(0)))
 
-    matched = jnp.sum(matching, axis=1) > 0
+    matched = jnp.any(matching, axis=1)
     matched_gt = jnp.argmax(matching, axis=1).astype(jnp.int32)
     return jnp.where(matched, matched_gt, -1)
 

@@ -103,20 +103,32 @@ def srfdet_losses(pred_logits: jnp.ndarray,
     """
     num_layers = pred_logits.shape[0]
     losses: Dict[str, jnp.ndarray] = {}
+    # unit-increasing k: aux layer i uses head_idx i+1; the last layer
+    # uses the HEAD's layer count (reference srfdet_head.py:1067 passes
+    # self.num_heads — the DECODER's 5, not the assigner's own
+    # num_heads=6, so the top layer keeps a -0.5 offset).  Callers
+    # pass decoder_num_heads so deep_supervision=False (a single
+    # output layer) keeps the FINAL layer's k/radius schedule instead
+    # of the first iteration's (num_layers would be 1 there).
+    top_idx = decoder_num_heads or num_layers
+    head_idxs = [top_idx if layer == num_layers - 1 else layer + 1
+                 for layer in range(num_layers)]
+    if loss_cfg.assigner == "ota":
+        # ALL layers' assignments under one vmap: the guarantee
+        # while_loop's trip count is data-dependent (~1 iteration per GT
+        # when proposals cluster, e.g. at init), and vmapped lanes share
+        # iterations — six sequential loops cost the SUM of their trip
+        # counts, one batched loop costs the MAX (measured 121.6 -> ~25 ms
+        # at flagship scale on adversarial inputs, bench_loss_parts.py).
+        matched_all = jax.vmap(
+            lambda pb, pl_, hi: ota_assign_batch(
+                pb, pl_, gt_boxes, gt_labels, gt_mask, hi, ota_cfg)
+        )(pred_boxes, pred_logits,
+          jnp.asarray(head_idxs, jnp.float32))
     for layer in range(num_layers):
-        # unit-increasing k: aux layer i uses head_idx i+1; the last layer
-        # uses the HEAD's layer count (reference srfdet_head.py:1067 passes
-        # self.num_heads — the DECODER's 5, not the assigner's own
-        # num_heads=6, so the top layer keeps a -0.5 offset).  Callers
-        # pass decoder_num_heads so deep_supervision=False (a single
-        # output layer) keeps the FINAL layer's k/radius schedule instead
-        # of the first iteration's (num_layers would be 1 there).
-        top_idx = decoder_num_heads or num_layers
-        head_idx = top_idx if layer == num_layers - 1 else layer + 1
+        head_idx = head_idxs[layer]
         if loss_cfg.assigner == "ota":
-            matched = ota_assign_batch(
-                pred_boxes[layer], pred_logits[layer], gt_boxes, gt_labels,
-                gt_mask, head_idx, ota_cfg)
+            matched = matched_all[layer]
         else:
             # 'hungarian' = exact scipy host callback (like the reference);
             # 'auction' = fully on-device Bertsekas auction

@@ -177,13 +177,24 @@ def test_losses_head_idx_wiring(monkeypatch):
     assigner's own num_heads=6) — pin the wiring with a capturing stub."""
     import srfdet3d_tpu.models.losses as L
 
-    captured = []
-
+    # the assignments now run under ONE layer-vmap, so head_idx arrives as
+    # a batched tracer — observe the wiring through the returned values
+    # (each layer's assignment carries its head_idx) instead of capturing
+    # python ints per call
     def fake_assign(pb, pl, gb, gl, gm, head_idx, cfg):
-        captured.append(head_idx)
-        return jnp.full(pb.shape[:2], -1, jnp.int32)
+        return jnp.full(pb.shape[:2],
+                        jnp.asarray(head_idx).astype(jnp.int32))
+
+    seen = []
+    real_layer_losses = L._layer_losses
+
+    def spy_layer_losses(pl, pb, matched, gb, gl, cfg):
+        seen.append(int(matched[0, 0]))
+        return real_layer_losses(pl, pb, jnp.full_like(matched, -1),
+                                 gb, gl, cfg)
 
     monkeypatch.setattr(L, "ota_assign_batch", fake_assign)
+    monkeypatch.setattr(L, "_layer_losses", spy_layer_losses)
     rng = np.random.default_rng(0)
     nl, b, n_p, ncls = 3, 1, 6, 4
     logits = jnp.asarray(rng.normal(size=(nl, b, n_p, ncls))
@@ -195,6 +206,6 @@ def test_losses_head_idx_wiring(monkeypatch):
     mask = jnp.ones((b, 2), bool)
     out = L.srfdet_losses(logits, boxes, gt, labels, mask,
                           LossConfig(num_classes=ncls), OTAConfig(pc_range=PC))
-    assert captured == [1, 2, nl], captured
+    assert seen == [1, 2, nl], seen
     for v in out.values():
         assert np.isfinite(float(v))

@@ -1,5 +1,6 @@
 """OTA assigner tests: fixed-shape masked implementation vs a direct numpy
 transcription of the reference algorithm (ota_srfdet.py:105-327)."""
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -129,3 +130,35 @@ def test_ota_empty_gt():
         jnp.asarray(pred), jnp.asarray(logits), jnp.asarray(gt),
         jnp.asarray(labels), jnp.asarray(mask), 6, CFG))
     assert (got == -1).all()
+
+
+def test_layer_vmapped_assignment_matches_sequential():
+    """srfdet_losses assigns all layers under one vmap (the guarantee
+    while_loop shares iterations across lanes); must equal per-layer
+    sequential ota_assign_batch calls bit-for-bit, including the
+    traced-float head_idx."""
+    from srfdet3d_tpu.assign.ota import ota_assign_batch
+
+    rng = np.random.default_rng(11)
+    L, B = 4, 2
+    preds, logitss = [], []
+    for _ in range(L * B):
+        p, lo, _, _, _, _ = _random_case(rng)
+        preds.append(p)
+        logitss.append(lo)
+    pred = jnp.asarray(np.stack(preds).reshape(L, B, *preds[0].shape))
+    logits = jnp.asarray(np.stack(logitss).reshape(L, B, *logitss[0].shape))
+    _, _, gt0, labels0, mask0, _ = _random_case(rng)
+    gt = jnp.asarray(np.stack([gt0] * B))
+    labels = jnp.asarray(np.stack([labels0] * B))
+    mask = jnp.asarray(np.stack([mask0] * B))
+
+    head_idxs = [1, 2, 3, 6]
+    seq = [np.asarray(ota_assign_batch(pred[i], logits[i], gt, labels,
+                                       mask, head_idxs[i], CFG))
+           for i in range(L)]
+    vm = np.asarray(jax.vmap(
+        lambda pb, pl_, hi: ota_assign_batch(pb, pl_, gt, labels, mask,
+                                             hi, CFG)
+    )(pred, logits, jnp.asarray(head_idxs, jnp.float32)))
+    np.testing.assert_array_equal(vm, np.stack(seq))

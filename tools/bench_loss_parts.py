@@ -164,5 +164,73 @@ def main():
         _time(lambda: loop6(cost), "guarantee loop x6")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "worst" not in sys.argv[1:]:
     main()
+
+
+def worst_case():
+    """Adversarial assignment inputs mimicking head-at-init: all proposals
+    at the same point, many valid GTs -> the guarantee loop must match
+    them one-ish at a time.  Run with `python ... worst`."""
+    cfg = srfdet_voxel_nusc_L()
+    n_p, n_cls = cfg.head.num_proposals, cfg.head.num_classes
+    L, B, G = cfg.head.num_heads + 1, 1, cfg.gt_cap
+    rng = np.random.default_rng(1)
+    logits = jnp.zeros((L, B, n_p, n_cls), jnp.float32)
+    boxes = np.zeros((L, B, n_p, 10), np.float32)
+    boxes[..., :3] = 0.5          # every proposal identical
+    boxes[..., 7] = 1.0
+    boxes = jnp.asarray(boxes)
+    gt = np.zeros((B, G, 9), np.float32)
+    gt[..., :2] = rng.uniform(-50, 50, (B, G, 2))
+    gt[..., 3:6] = rng.uniform(0.5, 4, (B, G, 3))
+    gt = jnp.asarray(gt)
+    gl = jnp.zeros((B, G), jnp.int32)
+    gm = jnp.zeros((B, G), bool).at[:, :64].set(True)
+
+    @jax.jit
+    def assign_all(bx, lg):
+        outs = []
+        for layer in range(L):
+            hi = L if layer == L - 1 else layer + 1
+            outs.append(ota.ota_assign_batch(
+                bx[layer], lg[layer], gt, gl, gm, hi, cfg.ota))
+        return sum(jnp.sum(o) for o in outs)
+    _time(lambda: assign_all(boxes, logits), "assign 6 layers WORST")
+
+
+if "worst" in sys.argv[1:]:
+    worst_case()
+
+
+def worst_full():
+    """srfdet_losses (layer-vmapped assignments) on the adversarial
+    inputs; compare against `worst`'s sequential per-layer figure."""
+    cfg = srfdet_voxel_nusc_L()
+    n_p, n_cls = cfg.head.num_proposals, cfg.head.num_classes
+    L, B, G = cfg.head.num_heads + 1, 1, cfg.gt_cap
+    rng = np.random.default_rng(1)
+    logits = jnp.zeros((L, B, n_p, n_cls), jnp.float32)
+    boxes = np.zeros((L, B, n_p, 10), np.float32)
+    boxes[..., :3] = 0.5
+    boxes[..., 7] = 1.0
+    boxes = jnp.asarray(boxes)
+    gt = np.zeros((B, G, 9), np.float32)
+    gt[..., :2] = rng.uniform(-50, 50, (B, G, 2))
+    gt[..., 3:6] = rng.uniform(0.5, 4, (B, G, 3))
+    gt = jnp.asarray(gt)
+    gl = jnp.zeros((B, G), jnp.int32)
+    gm = jnp.zeros((B, G), bool).at[:, :64].set(True)
+
+    @jax.jit
+    def full(lg, bx):
+        d = srfdet_losses(lg, bx, gt, gl, gm, cfg.loss, cfg.ota,
+                          decoder_num_heads=cfg.head.num_heads)
+        return sum(jnp.sum(v) for v in jax.tree.leaves(d))
+    _time(lambda: full(logits, boxes), "srfdet_losses WORST (vmapped)")
+    gf = jax.jit(jax.grad(full, argnums=(0, 1)))
+    _time(lambda: gf(logits, boxes)[0], "srfdet_losses WORST grad")
+
+
+if "worstfull" in sys.argv[1:]:
+    worst_full()
