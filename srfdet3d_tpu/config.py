@@ -162,6 +162,14 @@ class HeadConfig:
     # — trades one extra decoder forward for O(num_heads) activation
     # memory; off by default (models/head.py SRFDetHead.remat)
     remat: bool = False
+    # unroll the refinement scan in TRAIN traces (predict keeps the rolled
+    # scan either way).  STANDALONE head grad improves 148 -> 128 ms at
+    # flagship scale (tools/bench_head_parts.py), but in the FULL train
+    # step the scan's loop overhead is hidden under the encoder-backward
+    # overlap and the inlined HLO schedules WORSE: step 515 -> 549 ms
+    # measured — so this stays OFF; it is a real lever only for head-heavy
+    # configs (or if the encoder backward ever stops dominating).
+    unroll_train: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -236,6 +236,7 @@ class SRFDet(nn.Module):
             img_roi_patch=h.img_roi_patch,
             img_roi_patch_fallback=h.img_roi_patch_fallback,
             remat=h.remat,
+            unroll_train=h.unroll_train,
             dtype=self.dtype,
             name="bbox_head")(
             point_feats, img_feats, lidar2img, train=train)

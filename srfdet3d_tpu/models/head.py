@@ -426,6 +426,14 @@ class SRFDetHead(nn.Module):
     roi_patch_fallback: int = -1
     img_roi_patch: int = 0
     img_roi_patch_fallback: int = -1
+    # unroll the refinement scan when tracing TRAIN programs: the scanned
+    # backward pays ~43 ms of loop machinery at flagship scale (stacked-
+    # residual dynamic-update-slices + per-iteration param gathers) that
+    # disappears when lax.scan inlines the bodies (measured 121 -> 78 ms
+    # head bwd, tools/bench_head_parts.py).  Param structure is unchanged
+    # (still stacked (num_heads, ...) leaves), predict keeps the rolled
+    # scan (5x smaller HLO; the remote TPU compiler is the bottleneck).
+    unroll_train: bool = False
     # rematerialize each refinement iteration in the backward pass: the
     # scan keeps only the (boxes, prop_feats) carry per iteration and
     # recomputes RoI gathers/attention instead of storing them — trades
@@ -606,7 +614,8 @@ class SRFDetHead(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             length=self.num_heads,
-            in_axes=0, out_axes=0)
+            in_axes=0, out_axes=0,
+            unroll=self.num_heads if (train and self.unroll_train) else 1)
         (_, _), (logits_all, boxes_all) = scan(
             train=train, name="head_series")(
             (boxes, prop_feats), jnp.zeros((self.num_heads,)))

@@ -57,6 +57,48 @@ def test_srfdet_head_shapes_and_grad():
     assert np.abs(np.asarray(gb)).max() > 0
 
 
+def test_unroll_train_matches_rolled_scan():
+    """unroll_train inlines the scan bodies for TRAIN traces only; params,
+    forward values, and grads must be identical to the rolled scan."""
+    rng = np.random.default_rng(3)
+    feats = _point_feats(rng)
+    rolled = _head()
+    unrolled = rolled.clone(unroll_train=True)
+    params = jax.jit(lambda r, f: rolled.init(r, f, train=False))(
+        jax.random.PRNGKey(0), feats)
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(
+            jax.eval_shape(lambda f: unrolled.init(
+                jax.random.PRNGKey(0), f, train=False), feats))
+
+    def loss(head, p):
+        (lg, bx), _ = head.apply(p, feats, train=True,
+                                 rngs={"dropout": jax.random.PRNGKey(1)},
+                                 mutable=["batch_stats"])
+        return jnp.sum(lg ** 2) + jnp.sum(bx ** 2), (lg, bx)
+
+    (l0, (lg0, bx0)), g0 = jax.jit(jax.value_and_grad(
+        lambda p: loss(rolled, p), has_aux=True))(params)
+    (l1, (lg1, bx1)), g1 = jax.jit(jax.value_and_grad(
+        lambda p: loss(unrolled, p), has_aux=True))(params)
+    # not bit-identical: inlining the bodies lets XLA re-fuse/reassociate.
+    # The random-init decoder is numerically CHAOTIC (LN + softmax chains
+    # over 2 iterations): a measured 1.2e-7 input perturbation moves some
+    # grad leaves by >100% of their scale on the SAME program, so grads
+    # are compared at 1e-2-of-leaf-scale — far above fusion noise (~1e-3
+    # of scale measured), far below any semantic difference (O(1)).
+    np.testing.assert_allclose(np.asarray(lg0), np.asarray(lg1),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(bx0), np.asarray(bx1),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1.0)
+        assert np.abs(a - b).max() <= 1e-2 * scale
+
+
 def test_fusion_head_shapes():
     rng = np.random.default_rng(1)
     head = _head(use_img=True)
