@@ -34,6 +34,10 @@ def main():
         cfg = dataclasses.replace(
             cfg, head=dataclasses.replace(cfg.head, remat=True))
         print("head.remat: ON", flush=True)
+    if os.environ.get("SRFDET_UNROLL", "0") == "1":
+        cfg = dataclasses.replace(
+            cfg, head=dataclasses.replace(cfg.head, unroll_train=True))
+        print("head.unroll_train: ON", flush=True)
     combos = ((("xla", "xla"), ("onehot", "onehot")) if len(sys.argv) <= 2
               else tuple((c, c) for c in sys.argv[2].split(",")))
     print("rulebook:", rulebook, "combos:", combos, flush=True)
