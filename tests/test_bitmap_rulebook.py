@@ -111,30 +111,6 @@ def test_subm_rulebook_matches_table_backend():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-def test_plan_neighbor_methods_agree():
-    """The bordered-2D-slice plan table must return the same 9 neighbor
-    slots as the general 1D 3-slice table, including at grid borders and
-    for both subm (base = coord - 1) and strided (base = 2*coord - pad)
-    query geometries."""
-    from srfdet3d_tpu.ops import bitmap_rulebook as br
-    _, c2, m2, cs, vcol, vz = _columns(seed=3)
-    b, p, _ = cs.ccoords.shape
-    queries = [
-        (cs.ccoords[..., 0] - 1, cs.ccoords[..., 1] - 1, cs.cmask, (1, 1)),
-        (2 * cs.ccoords[..., 0], 2 * cs.ccoords[..., 1], cs.cmask, (0, 0)),
-    ]
-    for ybase, xbase, qmask, pads in queries:
-        # strided bases query the OUTPUT grid of a downsample; clip to the
-        # contract's valid base range for the input grid being tested
-        ybase = jnp.clip(ybase, -1, cs.shape[1] - 2)
-        xbase = jnp.clip(xbase, -1, cs.shape[2] - 2)
-        a = br.plan_neighbors9_2d(br.plan_table2d(cs), ybase, xbase,
-                                  qmask, cs.shape[1:], b, p)
-        c = br.plan_neighbors9(br.plan_table(cs), ybase, xbase, qmask,
-                               cs.shape[1:], b, p)
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
-
-
 def test_strided_bitmap_matches_dense_conv():
     f2, c2, m2, cs, vcol, vz = _columns(seed=5)
     rng = np.random.RandomState(6)
@@ -328,17 +304,10 @@ def test_strided_bitmap_fuzz_shapes_and_pads():
     conv must equal a dense lax conv masked to the active output sites
     (spconv semantics) for every draw."""
     rng = np.random.RandomState(7)
-    for trial in range(9):
+    for trial in range(6):
         d = int(rng.randint(5, 42))
-        if trial < 6:
-            h = int(rng.randint(5, 20))
-            w = int(rng.randint(5, 20))
-        else:
-            # multi-word plan widths: the bitmap site generation shifts
-            # bits ACROSS word boundaries and masks the tail word — cover
-            # w > 64 incl. exact word multiples
-            h = int(rng.randint(5, 40))
-            w = int(rng.choice([63, 64, 65, 70, 96, 97, 130]))
+        h = int(rng.randint(5, 20))
+        w = int(rng.randint(5, 20))
         pad = tuple(int(p) for p in rng.randint(0, 2, size=3))
         od = (d + 2 * pad[0] - 3) // 2 + 1
         if od <= 0 or od > 32 or (h + 2 * pad[1] - 3) // 2 + 1 <= 0 \

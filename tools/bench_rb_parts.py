@@ -66,15 +66,6 @@ def main():
     _time(lambda: _sum(nbr_fn(cs, table)), "nbr (plan_neighbors9 stage0)")
     nbr = nbr_fn(cs, table)
 
-    table2d = jax.jit(br.plan_table2d)(cs)
-
-    @jax.jit
-    def nbr2d_fn(cs, table2d):
-        return br.plan_neighbors9_2d(
-            table2d, cs.ccoords[..., 0] - 1, cs.ccoords[..., 1] - 1,
-            cs.cmask, (h, w), b, p)
-    _time(lambda: _sum(nbr2d_fn(cs, table2d)), "nbr 2d-slice (stage0)")
-
     @jax.jit
     def pk_fn(cs, nbr):
         return br._packed_columns(cs)[nbr.reshape(-1)].reshape(b * p, 27)
