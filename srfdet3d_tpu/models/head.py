@@ -27,6 +27,7 @@ from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..geometry.boxes import boxes3d_to_corners3d, denormalize_bbox
@@ -41,6 +42,18 @@ _XAVIER = nn.initializers.xavier_uniform()
 
 def _focal_bias(prior_prob: float) -> float:
     return -math.log((1 - prior_prob) / prior_prob)
+
+
+def _torch_nearest_resize(x: jnp.ndarray, hw: Tuple[int, int]) -> jnp.ndarray:
+    """torch F.interpolate(mode='nearest') on (N, H, W, C): legacy
+    floor(i * in/out) source indexing (NOT half-pixel — jax.image.resize's
+    'nearest' picks floor((i+0.5) * in/out), which differs whenever the
+    input size doesn't divide the output, e.g. the LC 29x50 -> 30x30 DPG
+    resize).  Static shapes, so indices are trace-time constants."""
+    h, w = x.shape[1], x.shape[2]
+    iy = (np.arange(hw[0]) * (h / hw[0])).astype(np.int32)
+    ix = (np.arange(hw[1]) * (w / hw[1])).astype(np.int32)
+    return x[:, iy][:, :, ix]
 
 
 def denormalize_centers(boxes: jnp.ndarray, pc_range) -> jnp.ndarray:
@@ -532,8 +545,7 @@ class SRFDetHead(nn.Module):
                                    name=f"dpg_dw_img_{lvl}")(x, train=train)
                     x = jnp.concatenate([flat[lvl + 1], x], axis=-1)
                 hw = (30, 15) if self.is_kitti else (30, 30)
-                x = jax.image.resize(
-                    x, (x.shape[0], hw[0], hw[1], x.shape[-1]), "nearest")
+                x = _torch_nearest_resize(x, hw)
                 x = x.reshape((bs, n_cam) + x.shape[1:]).sum(axis=1)
                 wimg = jnp.sum(x, axis=-1).reshape(bs, -1)
                 wimg = nn.Dense(1500, kernel_init=_XAVIER, dtype=self.dtype,

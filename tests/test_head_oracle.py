@@ -384,3 +384,167 @@ def test_apply_deltas_matches_reference(ref_head_mod):
     got = np.asarray(ours.apply_deltas(jnp.asarray(deltas),
                                        jnp.asarray(boxes)))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# LC fusion path: reference SRFDetHead(use_img=True) with the fusion
+# SingleSRFDetHead (srfdet_head.py:2104-2632) vs our flax head.
+# ---------------------------------------------------------------------------
+
+N_CAM = 2
+CH_IMG = 48            # feat_channels_img != hidden_dim -> img_convs built
+# W/32 = 4 does NOT divide the DPG's 30x30 resize target: torch's legacy
+# floor(i*in/out) 'nearest' and half-pixel nearest disagree there (they
+# coincide when out % in == 0), so this sizing pins the resize convention
+IMG_H, IMG_W = 64, 128
+IMG_STRIDES = [4, 8, 16, 32]
+
+
+def _lidar2img(n_cam: int) -> np.ndarray:
+    """Two pinhole cameras at +-x looking at the origin from 3 m away."""
+    f, cx, cy = 40.0, IMG_W / 2.0, IMG_H / 2.0
+    k = np.array([[f, 0, cx, 0], [0, f, cy, 0],
+                  [0, 0, 1, 0], [0, 0, 0, 1]], np.float64)
+    mats = []
+    for cam in range(n_cam):
+        sign = 1.0 if cam % 2 == 0 else -1.0
+        # cam axes: x_cam = -sign*y, y_cam = -z, z_cam = sign*x + 3
+        e = np.array([[0, -sign, 0, 0],
+                      [0, 0, -1, 0],
+                      [sign, 0, 0, 3.0],
+                      [0, 0, 0, 1]], np.float64)
+        mats.append(k @ e)
+    return np.stack(mats).astype(np.float32)
+
+
+def _build_ref_head_lc(mod, torch):
+    torch.manual_seed(1)
+    head = mod.SRFDetHead(
+        use_img=True,
+        num_classes=N_CLASSES,
+        feat_channels_lidar=CH,
+        feat_channels_img=CH_IMG,
+        hidden_dim=CH,
+        lidar_feat_lvls=4,
+        img_feat_lvls=4,
+        num_proposals=N_PROP,
+        num_heads=N_ITER,
+        deep_supervision=True,
+        prior_prob=0.01,
+        is_kitti=False,
+        with_lidar_encoder=False,
+        grid_size=GRID,
+        out_size_factor=8,
+        code_weights=[1.0] * 8 + [0.2, 0.2],
+        with_dpg=True,
+        num_dpg_exp=2,
+        single_head_lidar=dict(
+            type="SingleSRFDetHead",
+            num_cls_convs=2, num_reg_convs=3,
+            dim_feedforward=96, num_heads=4, dropout=0.0,
+            dynamic_conv=dict(dynamic_dim=16, dynamic_num=2),
+            pc_range=PC_RANGE, voxel_size=VOXEL_SIZE,
+            use_fusion=True),
+        single_head_img=None,
+        roi_extractor_lidar=dict(
+            type="SingleRoIExtractor",
+            roi_layer=dict(type="RoIAlign", output_size=7,
+                           sampling_ratio=2),
+            out_channels=CH, featmap_strides=STRIDES),
+        roi_extractor_img=dict(
+            type="SingleRoIExtractor",
+            roi_layer=dict(type="RoIAlign", output_size=7,
+                           sampling_ratio=2),
+            out_channels=CH, featmap_strides=IMG_STRIDES),
+        loss_cls=None, loss_bbox=None,
+        train_cfg=None, test_cfg=dict(use_nms=True))
+    head.eval()
+    with torch.no_grad():
+        head.init_proposal_boxes.weight.mul_(0.3)
+        for m in head.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+    return head
+
+
+def test_full_head_fusion_numeric_oracle(ref_head_mod):
+    """LC FUSION decoder oracle: reference SRFDetHead(use_img=True) ==
+    our flax head with converted weights, all iterations.
+
+    Covers numerically: img_convs channel reduction (srfdet_head.py:147-158),
+    the image DPG staircase + F.interpolate + camera sum (:555-596, 30x30
+    fc1500), mixed DPG weight averaging (:602), the fusion single head
+    (:2104): corner projection through lidar2img with the 1e-5 z clamp
+    (:2424-2529), per-camera RoIAlign + camera sum, the img-then-points
+    sampler order (img sampler CLONES at :2435, points sampler
+    denormalizes in place at :2587 so apply_deltas sees absolute centers
+    exactly once), concat order [img, pts] into output_fused_proj
+    (:2257-2263).
+
+    bs=1 deliberately: the reference orders image RoIs cam-major
+    (`temp_roi[:, 0] += cam_id * bs`, :2056) but flattens features
+    batch-major (`feat.reshape(bs*n_cam, ...)`, :2081) — for bs > 1 the
+    two indexings disagree (latent upstream bug; every shipped LC config
+    trains with samples_per_gpu=1).  At bs=1 both reduce to the camera
+    index and the semantics are well-defined."""
+    mod, torch = ref_head_mod
+    import jax.numpy as jnp
+    from srfdet3d_tpu.models.head import SRFDetHead
+    from srfdet3d_tpu.utils.torch_convert import convert_head
+
+    head_t = _build_ref_head_lc(mod, torch)
+
+    bs = 1
+    rng = np.random.default_rng(7)
+    bev_sizes = [GRID[0] // s for s in STRIDES]
+    pts_np = [rng.normal(size=(bs, CH, s, s)).astype(np.float32) * 0.5
+              for s in bev_sizes]
+    img_np = [rng.normal(size=(bs, N_CAM, CH_IMG, IMG_H // s, IMG_W // s)
+                         ).astype(np.float32) * 0.5
+              for s in IMG_STRIDES]
+    l2i = np.tile(_lidar2img(N_CAM)[None], (bs, 1, 1, 1))
+    img_metas = [{"lidar2img": l2i[b]} for b in range(bs)]
+
+    with torch.no_grad():
+        want_logits, want_boxes = head_t(
+            [torch.from_numpy(f) for f in img_np],
+            [torch.from_numpy(f) for f in pts_np],
+            img_metas=img_metas)
+    want_logits = want_logits.numpy()
+    want_boxes = want_boxes.numpy()
+
+    state = {f"bbox_head.{k}": v.detach().numpy()
+             for k, v in head_t.state_dict().items()}
+    cfg = types.SimpleNamespace(head=types.SimpleNamespace(
+        with_dpg=True, lidar_feat_lvls=4, img_feat_lvls=4,
+        num_heads=N_ITER, num_attn_heads=4))
+    params, stats = {}, {}
+    convert_head(state, cfg, params, stats)
+
+    ours = SRFDetHead(
+        num_classes=N_CLASSES, feat_channels_lidar=CH,
+        feat_channels_img=CH_IMG, hidden_dim=CH, use_img=True,
+        num_proposals=N_PROP, num_heads=N_ITER, with_dpg=True,
+        num_dpg_exp=2, pc_range=tuple(PC_RANGE),
+        voxel_size=tuple(VOXEL_SIZE), dim_feedforward=96,
+        num_cls_convs=2, num_reg_convs=3, num_attn_heads=4, dropout=0.0,
+        dynamic_dim=16, lidar_strides=tuple(STRIDES),
+        img_strides=tuple(IMG_STRIDES), code_size=10)
+    point_feats = [jnp.asarray(np.transpose(f, (0, 2, 3, 1)))
+                   for f in pts_np]
+    img_feats = [jnp.asarray(np.transpose(f, (0, 1, 3, 4, 2)))
+                 for f in img_np]
+    got_logits, got_boxes = ours.apply(
+        {"params": params["bbox_head"],
+         "batch_stats": stats["bbox_head"]},
+        point_feats, img_feats, jnp.asarray(l2i), train=False)
+    got_logits = np.asarray(got_logits)
+    got_boxes = np.asarray(got_boxes)
+
+    assert got_logits.shape == want_logits.shape
+    assert got_boxes.shape == want_boxes.shape
+    np.testing.assert_allclose(got_logits, want_logits,
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(got_boxes, want_boxes,
+                               rtol=2e-3, atol=2e-3)
