@@ -6,17 +6,33 @@ reference shells out to (README.md:72-93).  Protocol:
   - match by 3D IoU: Car/Vehicle 0.7, Pedestrian/Cyclist 0.5, greedy in
     score order,
   - LEVEL_2 = all GTs; LEVEL_1 = GTs with > 5 lidar points (and not marked
-    difficulty 2),
+    difficulty 2) — the official rule: a box with <= 5 points or labeler
+    difficulty 2 is LEVEL_2-only,
   - AP = 101-point interpolated PR area; APH weights each TP by heading
     accuracy (1 - |Δyaw_wrapped| / pi) on BOTH axes — precision
     Σh / (tp + fp) and recall Σh / npos — matching the official
     compute_detection_metrics semantics (a 90°-heading detector halves
-    recall too, not just precision).
+    recall too, not just precision),
+  - RANGE breakdown shards ([0, 30), [30, 50), [50, inf) m by BEV center
+    distance, the official OBJECT_TYPE x RANGE axes): GTs and predictions
+    are sharded by their own center range; a detection matched to a GT in
+    a different shard is ignored in both shards (neither TP nor FP —
+    boundary-straddling pairs don't double-count),
+  - NLZ: predictions flagged `overlap_nlz` that fail to match any GT are
+    ignored rather than counted FP (the official pair-metrics rule; the
+    mmdet3d-style .bin export carries no NLZ info, so the flag is
+    optional and defaults to False everywhere).
+
+Remaining simplifications vs the binary (documented, not claimed):
+velocity/acceleration breakdowns and the camera-synced boxes variant are
+not implemented; matching is greedy by score (the official matcher
+maximizes total IoU via Hungarian on ties — indistinguishable on
+real score distributions).
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -25,6 +41,11 @@ from ..geometry.iou import iou_3d
 
 IOU_THRESHOLDS = {"Car": 0.7, "Vehicle": 0.7, "Pedestrian": 0.5,
                   "Cyclist": 0.5}
+
+# official RANGE breakdown edges (BEV center distance, metres)
+RANGE_BUCKETS: Tuple[Tuple[float, float], ...] = (
+    (0.0, 30.0), (30.0, 50.0), (50.0, float("inf")))
+RANGE_NAMES = ("0_30", "30_50", "50_inf")
 
 
 def _heading_acc(yaw_p: float, yaw_g: float) -> float:
@@ -51,21 +72,54 @@ def _pr_area(weights: np.ndarray, is_tp: np.ndarray, scores: np.ndarray,
     return float(np.mean(prec_i))
 
 
+def _bev_range(boxes: np.ndarray) -> np.ndarray:
+    return np.hypot(boxes[:, 0], boxes[:, 1])
+
+
+class _Accum:
+    """One (level, shard) PR accumulator."""
+
+    def __init__(self):
+        self.is_tp: List[bool] = []
+        self.weights: List[float] = []
+        self.scores: List[float] = []
+        self.npos = 0
+
+    def add(self, tp: bool, score: float, weight: float) -> None:
+        self.is_tp.append(tp)
+        self.scores.append(score)
+        self.weights.append(weight)
+
+    def result(self) -> Tuple[float, float]:
+        t = np.asarray(self.is_tp, bool)
+        w = np.asarray(self.weights)
+        s = np.asarray(self.scores)
+        return (_pr_area(np.ones_like(w), t, s, self.npos),
+                _pr_area(w, t, s, self.npos))
+
+
 def waymo_eval(gts: List[Dict], preds: List[Dict],
                class_names: Sequence[str] = ("Car", "Pedestrian",
-                                             "Cyclist")) -> Dict:
+                                             "Cyclist"),
+               range_breakdown: bool = False) -> Dict:
     """gts: {"boxes" (N, 7) with GRAVITY-center z (iou_3d derives z
     extents as cz -/+ h/2), "labels_name", optional "num_points" (N,),
-    optional "difficulty" (N,)}; preds add "scores".
+    optional "difficulty" (N,)}; preds add "scores" and optionally
+    "overlap_nlz" (M,) bool (unmatched NLZ-overlapping detections are
+    ignored, not FPs).
 
     Returns {"{cls}_AP_L1", "{cls}_APH_L1", "{cls}_AP_L2", "{cls}_APH_L2",
-    "mAPH_L1", "mAPH_L2"}.
+    "mAPH_L1", "mAPH_L2"} plus, when range_breakdown=True,
+    "{cls}_AP[H]_L{1,2}_{0_30,30_50,50_inf}" per-range shards.
     """
     out = {}
+    shard_names: Tuple[Optional[str], ...] = (None,)
+    if range_breakdown:
+        shard_names = (None,) + RANGE_NAMES
     for cls in class_names:
         thr = IOU_THRESHOLDS.get(cls, 0.5)
         # IoU depends only on (frame, class) — compute once, reuse for
-        # both levels (one eager JAX dispatch per frame)
+        # both levels and every shard (one eager JAX dispatch per frame)
         frames = []
         for g, p in zip(gts, preds):
             g_sel = np.nonzero(g["labels_name"] == cls)[0]
@@ -79,18 +133,35 @@ def waymo_eval(gts: List[Dict], preds: List[Dict],
                 ious = np.zeros((len(p_order), len(g_sel)))
             frames.append((g, p, g_sel, p_order, ious))
         for level in (1, 2):
-            is_tp, weights, scores = [], [], []
-            npos = 0
+            acc = {s: _Accum() for s in shard_names}
             for g, p, g_sel, p_order, ious in frames:
                 npts = np.asarray(g.get("num_points",
                                         np.full(len(g["boxes"]), 100)))
                 diff = np.asarray(g.get("difficulty",
                                         np.zeros(len(g["boxes"]))))
+                nlz = np.asarray(p.get("overlap_nlz",
+                                       np.zeros(len(p["boxes"]), bool)))
                 if level == 1:
                     lvl_ok = (npts > 5) & (diff < 2)
                 else:
                     lvl_ok = np.ones(len(g["boxes"]), bool)
-                npos += int(lvl_ok[g_sel].sum()) if len(g_sel) else 0
+                g_rng = _bev_range(g["boxes"]) if range_breakdown else None
+                p_rng = _bev_range(p["boxes"]) if range_breakdown else None
+
+                def shards_of(rng_val: float):
+                    names = [None]
+                    if range_breakdown:
+                        for (lo, hi), nm in zip(RANGE_BUCKETS, RANGE_NAMES):
+                            if lo <= rng_val < hi:
+                                names.append(nm)
+                    return names
+
+                for gi in g_sel:
+                    if lvl_ok[gi]:
+                        buckets = shards_of(g_rng[gi]) if range_breakdown \
+                            else [None]
+                        for s in buckets:
+                            acc[s].npos += 1
                 if len(p_order) == 0:
                     continue
                 taken = np.zeros(len(g_sel), bool)
@@ -106,30 +177,39 @@ def waymo_eval(gts: List[Dict], preds: List[Dict],
                     return bi
 
                 for pi in range(len(p_order)):
+                    score = float(p["scores"][p_order[pi]])
+                    p_shards = shards_of(p_rng[p_order[pi]]) \
+                        if range_breakdown else [None]
                     # valid (in-level) GTs first: an out-of-level GT must
                     # not steal a detection a counted GT can claim
                     gi = best(pi, True)
                     if gi >= 0:
                         taken[gi] = True
-                        is_tp.append(True)
-                        scores.append(float(p["scores"][p_order[pi]]))
-                        weights.append(_heading_acc(
+                        h = _heading_acc(
                             float(p["boxes"][p_order[pi]][6]),
-                            float(g["boxes"][g_sel[gi]][6])))
+                            float(g["boxes"][g_sel[gi]][6]))
+                        g_shards = shards_of(g_rng[g_sel[gi]]) \
+                            if range_breakdown else [None]
+                        # TP lands in the shard(s) BOTH ends agree on;
+                        # a boundary-straddling pair is ignored in the
+                        # disagreeing shards (neither TP nor FP)
+                        for s in p_shards:
+                            if s in g_shards:
+                                acc[s].add(True, score, h)
                         continue
                     gi = best(pi, False)
                     if gi >= 0:          # ignored GT absorbs the det
                         taken[gi] = True
                         continue
-                    is_tp.append(False)
-                    weights.append(0.0)
-                    scores.append(float(p["scores"][p_order[pi]]))
-            is_tp_a = np.asarray(is_tp, bool)
-            w_a = np.asarray(weights)
-            s_a = np.asarray(scores)
-            out[f"{cls}_AP_L{level}"] = _pr_area(
-                np.ones_like(w_a), is_tp_a, s_a, npos)
-            out[f"{cls}_APH_L{level}"] = _pr_area(w_a, is_tp_a, s_a, npos)
+                    if nlz[p_order[pi]]:
+                        continue         # unmatched NLZ detection: ignored
+                    for s in p_shards:
+                        acc[s].add(False, score, 0.0)
+            for s in shard_names:
+                ap, aph = acc[s].result()
+                sfx = f"_L{level}" + (f"_{s}" if s else "")
+                out[f"{cls}_AP{sfx}"] = ap
+                out[f"{cls}_APH{sfx}"] = aph
     for level in (1, 2):
         out[f"mAPH_L{level}"] = float(np.mean(
             [out[f"{c}_APH_L{level}"] for c in class_names]))

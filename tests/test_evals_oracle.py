@@ -55,29 +55,33 @@ def test_nuscenes_devkit_golden():
 
 
 def test_kitti_ap_r40_golden():
-    """Fixture: 2 GT cars; preds TP(.9, exact), FP(.8, far), TP(.7, exact).
+    """Official-protocol fixture: 40 frames, each 1 GT car + an exact TP
+    (distinct scores 0.99 - 0.01*f) + a far FP at score 0.7.
 
-    AP_R40 by the official formula (40 recall points 1/40..1, precision =
-    max precision at recall >= r after the monotone envelope):
-      cum tp/fp = [1,1,2]/[0,1,1]; rec = [.5,.5,1]; prec = [1,.5,2/3];
-      envelope -> [1, 2/3, 2/3].
-      r <= 0.5 (20 pts): precision 1;  r > 0.5 (20 pts): 2/3.
-      AP = (20*1 + 20*2/3)/40 = 5/6.
-    (Greedy global matching coincides with the official per-threshold
-    matching here: scores are distinct and matches are unambiguous.)
+    Hand derivation (official 41-threshold re-matching, R40):
+      num_gt = 40 with 40 matched-TP scores -> get_thresholds keeps every
+      score (recall steps exactly 1/40): t_i = 0.99 - 0.01*i, i = 0..39.
+      At threshold t_i the i+1 highest-score TPs are visible; the 40 FPs
+      (score 0.7) are visible iff 0.7 >= t_i, i.e. i >= 29:
+        prec_i = 1                  for i <= 28
+        prec_i = (i+1)/(i+1+40)     for 29 <= i <= 39 (3/7 .. 1/2)
+      Monotone envelope: slots 29..39 -> 0.5; slot 40 (unfilled) -> 0.
+      AP_R40 = mean(slots 1..40) = (28*1 + 11*0.5 + 0)/40 = 0.8375.
     No difficulty fields -> all three buckets identical.
     """
-    gt = {"boxes": np.array([[0, 0, 0, 1.8, 4.2, 1.5, 0.0],
-                             [10, 0, 0, 1.8, 4.2, 1.5, 0.5]], float),
-          "labels_name": np.array(["Car", "Car"])}
-    pred = {"boxes": np.array([[0, 0, 0, 1.8, 4.2, 1.5, 0.0],
-                               [30, 20, 0, 1.8, 4.2, 1.5, 0.0],
-                               [10, 0, 0, 1.8, 4.2, 1.5, 0.5]], float),
-            "labels_name": np.array(["Car", "Car", "Car"]),
-            "scores": np.array([0.9, 0.8, 0.7])}
-    out = kitti_eval([gt], [pred], class_names=("Car",))
+    gts, preds = [], []
+    for f in range(40):
+        gts.append({"boxes": np.array([[0, 0, 0, 1.8, 4.2, 1.5, 0.0]],
+                                      float),
+                    "labels_name": np.array(["Car"])})
+        preds.append({"boxes": np.array(
+            [[0, 0, 0, 1.8, 4.2, 1.5, 0.0],
+             [30, 20, 0, 1.8, 4.2, 1.5, 0.0]], float),
+            "labels_name": np.array(["Car", "Car"]),
+            "scores": np.array([0.99 - 0.01 * f, 0.7])})
+    out = kitti_eval(gts, preds, class_names=("Car",))
     for diff in ("easy", "moderate", "hard"):
-        np.testing.assert_allclose(out[f"Car_3d_{diff}"], 5.0 / 6.0,
+        np.testing.assert_allclose(out[f"Car_3d_{diff}"], 0.8375,
                                    atol=1e-9)
 
 
@@ -121,23 +125,104 @@ def test_waymo_aph_golden():
                                atol=1e-9)
 
 
-def test_kitti_valid_gt_not_stolen_by_ignored():
-    """Easy bucket: one detection overlaps a valid easy GT (IoU ~0.72) and
-    a harder ignored GT slightly more (~0.74).  The official eval assigns
-    valid GTs first, so the detection must be a TP for the easy GT, not
-    absorbed by the ignored one (AP 1.0, not 0)."""
-    # identical boxes shifted along x; heights/occlusion make GT2 hard-only
-    gt = {"boxes": np.array([[0.0, 0, 0, 2.0, 4.0, 1.5, 0.0],
-                             [0.55, 0, 0, 2.0, 4.0, 1.5, 0.0]], float),
+def test_kitti_ignored_gt_absorption_is_gt_order():
+    """The official compute_statistics loops GTs IN INDEX ORDER: when a
+    valid easy GT precedes the ignored (hard-only) GT, the overlapping
+    detection is its TP; with the ignored GT FIRST, it absorbs the
+    detection and the valid GT goes unfound (mmdet3d eval.py port
+    semantics).  41 replicated frames with distinct scores fill the
+    official threshold grid so the difference reads cleanly through AP
+    (1.0 vs 0.0)."""
+    def frames(valid_first):
+        boxes = np.array([[0.0, 0, 0, 2.0, 4.0, 1.5, 0.0],
+                          [0.55, 0, 0, 2.0, 4.0, 1.5, 0.0]], float)
+        meta = dict(bbox_heights=np.array([50.0, 30.0]),
+                    occluded=np.array([0, 2]),
+                    truncated=np.array([0.0, 0.4]))
+        if not valid_first:
+            boxes = boxes[::-1].copy()
+            meta = {k: v[::-1].copy() for k, v in meta.items()}
+        gts, preds = [], []
+        for f in range(41):
+            gts.append({"boxes": boxes,
+                        "labels_name": np.array(["Car", "Car"]), **meta})
+            preds.append({"boxes": np.array(
+                [[0.30, 0, 0, 2.0, 4.0, 1.5, 0.0]], float),
+                "labels_name": np.array(["Car"]),
+                "scores": np.array([0.9 - 0.005 * f])})
+        return gts, preds
+
+    gts, preds = frames(valid_first=True)
+    out = kitti_eval(gts, preds, class_names=("Car",))
+    np.testing.assert_allclose(out["Car_3d_easy"], 1.0, atol=1e-9)
+    # hard bucket: both GTs valid, one detection -> recall caps at 0.5,
+    # half the threshold grid unfilled
+    assert out["Car_3d_hard"] < 1.0
+
+    gts, preds = frames(valid_first=False)
+    out = kitti_eval(gts, preds, class_names=("Car",))
+    np.testing.assert_allclose(out["Car_3d_easy"], 0.0, atol=1e-9)
+
+
+def test_waymo_range_breakdown_golden():
+    """RANGE shards ([0,30), [30,50), [50,inf) BEV center distance):
+    exact-match TPs at ranges 10 and 40 land in their own shards
+    (AP 1.0 each); an FP at range 60 pollutes only 50_inf (npos 0 there
+    -> AP 0).  Overall keys unchanged by the sharding."""
+    gt = {"boxes": np.array([[10, 0, 0, 1.8, 4.2, 1.5, 0.0],
+                             [40, 0, 0, 1.8, 4.2, 1.5, 0.0]], float),
           "labels_name": np.array(["Car", "Car"]),
-          "bbox_heights": np.array([50.0, 30.0]),
-          "occluded": np.array([0, 2]),
-          "truncated": np.array([0.0, 0.4])}
-    # detection sits between them, slightly closer to the ignored GT
-    pred = {"boxes": np.array([[0.30, 0, 0, 2.0, 4.0, 1.5, 0.0]], float),
+          "num_points": np.array([10, 10])}
+    pred = {"boxes": np.array([[10, 0, 0, 1.8, 4.2, 1.5, 0.0],
+                               [40, 0, 0, 1.8, 4.2, 1.5, 0.0],
+                               [60, 0, 0, 1.8, 4.2, 1.5, 0.0]], float),
+            "labels_name": np.array(["Car", "Car", "Car"]),
+            "scores": np.array([0.9, 0.8, 0.7])}
+    out = waymo_eval([gt], [pred], class_names=("Car",),
+                     range_breakdown=True)
+    np.testing.assert_allclose(out["Car_AP_L1_0_30"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(out["Car_APH_L1_0_30"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(out["Car_AP_L1_30_50"], 1.0, atol=1e-9)
+    assert out["Car_AP_L1_50_inf"] == 0.0
+    # overall (unsharded) keys: 2 TPs then 1 FP -> rec [.5, 1, 1],
+    # prec [1, 1, 2/3]; 101-pt grid: r<=1 -> 1 except the r=1 point
+    # takes the LAST duplicate (2/3)
+    np.testing.assert_allclose(out["Car_AP_L1"], (100 + 2 / 3) / 101,
+                               atol=1e-9)
+
+
+def test_waymo_range_boundary_pair_ignored():
+    """A detection at range 29.9 matching a GT at range 30.1 (shards
+    disagree): the pair is ignored in BOTH shards — not an FP in 0_30,
+    not a TP in 30_50 — while the unsharded metric still counts the TP."""
+    gt = {"boxes": np.array([[30.1, 0, 0, 1.8, 4.2, 1.5, 0.0]], float),
+          "labels_name": np.array(["Car"]),
+          "num_points": np.array([10])}
+    pred = {"boxes": np.array([[29.9, 0, 0, 1.8, 4.6, 1.5, 0.0]], float),
             "labels_name": np.array(["Car"]),
             "scores": np.array([0.9])}
-    out = kitti_eval([gt], [pred], class_names=("Car",))
-    np.testing.assert_allclose(out["Car_3d_easy"], 1.0, atol=1e-9)
-    # hard bucket: both GTs valid, one detection -> recall caps at 0.5
-    assert out["Car_3d_hard"] < 1.0
+    out = waymo_eval([gt], [pred], class_names=("Car",),
+                     range_breakdown=True)
+    assert out["Car_AP_L1"] > 0.9            # matched overall (IoU ~0.83)
+    assert out["Car_AP_L1_0_30"] == 0.0      # npos 0, and no FP recorded
+    assert out["Car_AP_L1_30_50"] == 0.0     # npos 1, no TP
+
+
+def test_waymo_nlz_prediction_ignored():
+    """An unmatched detection flagged overlap_nlz is ignored (official
+    no-label-zone rule), not an FP: AP stays 1.0.  Without the flag the
+    same detection drags AP below 1."""
+    gt = {"boxes": np.array([[0, 0, 0, 1.8, 4.2, 1.5, 0.0]], float),
+          "labels_name": np.array(["Car"]),
+          "num_points": np.array([10])}
+    boxes = np.array([[30, 20, 0, 1.8, 4.2, 1.5, 0.0],
+                      [0, 0, 0, 1.8, 4.2, 1.5, 0.0]], float)
+    pred_nlz = {"boxes": boxes,
+                "labels_name": np.array(["Car", "Car"]),
+                "scores": np.array([0.9, 0.8]),
+                "overlap_nlz": np.array([True, False])}
+    out = waymo_eval([gt], [pred_nlz], class_names=("Car",))
+    np.testing.assert_allclose(out["Car_AP_L1"], 1.0, atol=1e-9)
+    pred_plain = {k: v for k, v in pred_nlz.items() if k != "overlap_nlz"}
+    out2 = waymo_eval([gt], [pred_plain], class_names=("Car",))
+    assert out2["Car_AP_L1"] < 1.0
