@@ -228,8 +228,12 @@ def ota_assign(pred_boxes: jnp.ndarray,
             0, K, lambda _, s: step(*s), (m, bump))
         return m, bump, it + K
 
+    # init bump as cost*0 (not jnp.zeros): under shard_map with the
+    # replication checker on, loop carries must keep their varying-axes
+    # type, and deriving the init from the (device-varying) cost gives it
+    # the right vma without any shard_map-only API in this shared code
     matching, _, _ = jax.lax.while_loop(
-        cond, body, (matching, jnp.zeros((n_p,), jnp.float32), jnp.int32(0)))
+        cond, body, (matching, cost[:, 0] * 0.0, jnp.int32(0)))
 
     matched = jnp.any(matching, axis=1)
     matched_gt = jnp.argmax(matching, axis=1).astype(jnp.int32)

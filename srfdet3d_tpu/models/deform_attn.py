@@ -21,6 +21,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..parallel.mesh import sync_axis as _sync_axis
+
 _XAVIER = nn.initializers.xavier_uniform()
 
 
@@ -132,7 +134,8 @@ class PositionEmbeddingLearned(nn.Module):
         x = nn.Dense(self.num_pos_feats, kernel_init=_XAVIER,
                      dtype=self.dtype)(xyz)
         # torch BatchNorm1d default momentum 0.1 == flax momentum 0.9
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = nn.BatchNorm(use_running_average=not train,
+                         axis_name=_sync_axis(), momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
         return nn.Dense(self.num_pos_feats, kernel_init=_XAVIER,

@@ -20,6 +20,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from ..parallel.mesh import sync_axis as _sync_axis
+
 
 class MaskedBatchNorm(nn.Module):
     """BatchNorm over all leading axes with an optional validity mask.
@@ -43,17 +45,26 @@ class MaskedBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
 
         if train:
+            from ..parallel.mesh import psum_if_sync
             xf = x.astype(jnp.float32)
+            red = tuple(range(x.ndim - 1))
+            # global-batch (SyncBN) stats: on the shard_map train path the
+            # local sums are psum'd across the data axis (NaiveSyncBN
+            # semantics, reference ops/norm.py:9-24); under plain jit the
+            # psum is a no-op because the reductions already span the
+            # global batch.  Two-pass (mean, then centred var) keeps the
+            # non-sync numerics identical to the previous formula.
             if mask is not None:
                 m = mask.astype(jnp.float32)[..., None]
-                n = jnp.maximum(jnp.sum(m), 1.0)
-                mean = jnp.sum(xf * m, axis=tuple(range(x.ndim - 1))) / n
-                var = jnp.sum(m * (xf - mean) ** 2,
-                              axis=tuple(range(x.ndim - 1))) / n
+                n = jnp.maximum(psum_if_sync(jnp.sum(m)), 1.0)
+                mean = psum_if_sync(jnp.sum(xf * m, axis=red)) / n
+                var = psum_if_sync(
+                    jnp.sum(m * (xf - mean) ** 2, axis=red)) / n
             else:
-                n = jnp.float32(np.prod(x.shape[:-1]))
-                mean = jnp.mean(xf, axis=tuple(range(x.ndim - 1)))
-                var = jnp.var(xf, axis=tuple(range(x.ndim - 1)))
+                n = psum_if_sync(jnp.float32(np.prod(x.shape[:-1])))
+                mean = psum_if_sync(jnp.sum(xf, axis=red)) / n
+                var = psum_if_sync(
+                    jnp.sum((xf - mean) ** 2, axis=red)) / n
             if not self.is_initializing():
                 # torch stores the UNBIASED variance in running_var
                 var_u = var * (n / jnp.maximum(n - 1.0, 1.0))
@@ -94,6 +105,7 @@ class ConvBNReLU(nn.Module):
                     dtype=self.dtype)(x)
         if self.bn:
             x = nn.BatchNorm(use_running_average=not train,
+                         axis_name=_sync_axis(),
                              momentum=1.0 - self.momentum,
                              epsilon=self.epsilon, dtype=self.dtype)(x)
         if self.relu:

@@ -23,6 +23,7 @@ from ..assign.ota import OTAConfig, ota_assign_batch
 from ..assign.hungarian import hungarian_assign
 from ..geometry.boxes import normalize_bbox
 from ..ops.focal_loss import sigmoid_focal_loss
+from ..parallel.mesh import psum_if_sync
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,10 +59,16 @@ def _layer_losses(pred_logits: jnp.ndarray,
     tgt_labels = jnp.take_along_axis(gt_labels, safe_idx, axis=1)
     tgt_labels = jnp.where(matched, tgt_labels, cfg.num_classes)   # (B, n_p)
 
-    num_inst = jnp.maximum(jnp.sum(matched.astype(jnp.float32)), 1.0)
+    # global positives count + global loss sums: under plain jit the batch
+    # reductions already span the data mesh (sync_cls_avg_factor
+    # semantics); on the shard_map train path the psums make normalizer
+    # AND numerator global explicitly (reference reduce_mean,
+    # srfdet_head.py:873-884)
+    num_inst = jnp.maximum(
+        psum_if_sync(jnp.sum(matched.astype(jnp.float32))), 1.0)
     cls = sigmoid_focal_loss(pred_logits.astype(jnp.float32), tgt_labels,
                              alpha=cfg.cls_alpha, gamma=cfg.cls_gamma)
-    loss_cls = cfg.cls_weight * jnp.sum(cls) / num_inst
+    loss_cls = cfg.cls_weight * psum_if_sync(jnp.sum(cls)) / num_inst
 
     tgt_boxes = jnp.take_along_axis(
         gt_boxes, safe_idx[..., None], axis=1)            # (B, n_p, 7|9)
@@ -76,7 +83,7 @@ def _layer_losses(pred_logits: jnp.ndarray,
                      keepdims=True)
     l1 = jnp.where(jnp.isfinite(l1) & row_ok, l1, 0.0)
     l1 = jnp.where(matched[..., None], l1, 0.0)
-    loss_bbox = cfg.bbox_weight * jnp.sum(l1) / num_inst
+    loss_bbox = cfg.bbox_weight * psum_if_sync(jnp.sum(l1)) / num_inst
 
     return jnp.nan_to_num(loss_cls), jnp.nan_to_num(loss_bbox)
 

@@ -17,6 +17,8 @@ from typing import Any, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..parallel.mesh import sync_axis as _sync_axis
+
 RESNET_DEPTHS = {
     18: ("basic", (2, 2, 2, 2)),
     34: ("basic", (3, 4, 6, 3)),
@@ -39,7 +41,8 @@ class _ConvBN(nn.Module):
                     strides=(self.stride, self.stride),
                     padding=[(pad, pad), (pad, pad)], use_bias=False,
                     dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = nn.BatchNorm(use_running_average=not train,
+                         axis_name=_sync_axis(), momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype)(x)
         return nn.relu(x) if self.relu else x
 
@@ -63,7 +66,8 @@ class _Bottleneck(nn.Module):
         if self.dcn:
             out = ModulatedDeformConv(self.planes, 3, s2, dtype=self.dtype,
                                       name="dcn2")(out)
-            out = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+            out = nn.BatchNorm(use_running_average=not train,
+                         axis_name=_sync_axis(), momentum=0.9,
                                epsilon=1e-5, dtype=self.dtype)(out)
             out = nn.relu(out)
         else:
@@ -105,7 +109,8 @@ class ResNet(nn.Module):
         kind, layers = RESNET_DEPTHS[self.depth]
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = nn.BatchNorm(use_running_average=not train,
+                         axis_name=_sync_axis(), momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

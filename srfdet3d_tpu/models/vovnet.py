@@ -18,6 +18,8 @@ from typing import Any, Sequence, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from ..parallel.mesh import sync_axis as _sync_axis
+
 # public VoVNetV2 architecture constants
 VOVNET_SPECS = {
     "vovnet-19-slim": dict(stem=(64, 64, 128), conv_ch=(64, 80, 96, 112),
@@ -52,7 +54,8 @@ class _ConvBN(nn.Module):
                     strides=(self.stride, self.stride),
                     padding=[(pad, pad), (pad, pad)], use_bias=False,
                     dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+        x = nn.BatchNorm(use_running_average=not train,
+                         axis_name=_sync_axis(), momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype)(x)
         return nn.relu(x) if self.relu else x
 

@@ -37,6 +37,35 @@ MODEL_AXIS = "model"
 DATA_AXIS = "data"
 
 _active_model_mesh: Optional[Mesh] = None
+_sync_axis: Optional[str] = None
+
+
+@contextlib.contextmanager
+def data_sync(axis_name: str = DATA_AXIS):
+    """Trace-time context: we are INSIDE a shard_map over `axis_name`.
+
+    BatchNorms and loss normalizers consult `sync_axis()` to decide
+    whether to insert explicit psums (SyncBN / reduce_mean semantics on
+    the shard_map train path, parallel/trainer).  Outside the context
+    (plain jit / GSPMD), global-batch reductions already span the mesh
+    and no named-axis collectives exist, so everything stays None."""
+    global _sync_axis
+    prev = _sync_axis
+    _sync_axis = axis_name
+    try:
+        yield
+    finally:
+        _sync_axis = prev
+
+
+def sync_axis() -> Optional[str]:
+    return _sync_axis
+
+
+def psum_if_sync(x):
+    """lax.psum over the data axis when tracing inside `data_sync`."""
+    ax = _sync_axis
+    return jax.lax.psum(x, ax) if ax is not None else x
 
 
 def make_mesh(n_devices: Optional[int] = None,

@@ -280,6 +280,38 @@ def test_dp_matches_single_device_numerically():
                                    rtol=1e-4, atol=1e-6)
 
 
+def test_shard_map_dp_matches_gspmd_numerically():
+    """The explicit shard_map DP path (mesh= passed to make_train_step)
+    must produce the same loss / grad_norm / per-loss metrics as the
+    GSPMD path on the same global batch: its psum'd BN stats reproduce
+    SyncBN, its psum'd loss sums + normalizers reproduce reduce_mean +
+    sync_cls_avg_factor, and autodiff's pvary-transpose psum reproduces
+    the DDP gradient all-reduce (an extra explicit grad psum would show
+    up here as an exact n_dev-times grad_norm)."""
+    import dataclasses
+    cfg = tiny_test_config(points_cap=256, voxels_cap=256, gt_cap=4)
+    cfg = cfg.replace(
+        middle=dataclasses.replace(cfg.middle,
+                                   capacities=(128, 64, 32, 32)),
+        head=dataclasses.replace(cfg.head, num_proposals=8, dropout=0.0))
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_dev)
+    batch = graft._synthetic_batch(cfg, n_dev, with_gt=True)
+    model, state0, tx = create_train_state(
+        cfg, jax.random.PRNGKey(0), batch, total_steps=10)
+    sb = shard_batch(batch, mesh)
+    state0 = jax.device_get(state0)   # host copy: apply_step donates
+
+    metrics = {}
+    for name, m in (("gspmd", None), ("sm", mesh)):
+        step = make_train_step(model, tx, cfg, mesh=m)
+        _, mt = step(replicate(state0, mesh), sb, jax.random.PRNGKey(7))
+        metrics[name] = {k: float(v) for k, v in mt.items()}
+    for k, v in metrics["gspmd"].items():
+        np.testing.assert_allclose(metrics["sm"][k], v, rtol=1e-3,
+                                   atol=1e-5, err_msg=k)
+
+
 @pytest.mark.slow
 def test_remat_head_grads_identical():
     """head.remat=True (jax.checkpoint on each refinement iteration) must
@@ -356,3 +388,43 @@ def test_train_step_mesh_sharded_fusion():
     state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+@pytest.mark.slow
+def test_dp_scaling_per_device_flops_flat():
+    """DP scaling certifier (VERDICT r2 item 7): with a FIXED per-device
+    batch, the per-device compiled cost of the grad program must stay
+    ~flat as the mesh grows 1 -> 8.  GSPMD silently replicating the batch
+    (or un-sharding an intermediate) multiplies per-device FLOPs by
+    n_dev; wall-clock on a shared-core virtual CPU mesh is too noisy to
+    certify scaling, while the partitioned module's static cost analysis
+    is exact.  Communication (psum of grads/normalizers) adds no FLOPs."""
+    import dataclasses
+    cfg = tiny_test_config(points_cap=256, voxels_cap=256, gt_cap=4)
+    cfg = cfg.replace(
+        middle=dataclasses.replace(cfg.middle,
+                                   capacities=(128, 64, 32, 32)),
+        head=dataclasses.replace(cfg.head, num_proposals=8))
+
+    flops = {}
+    for n_dev in (1, 2, 4, 8):
+        mesh = make_mesh(n_dev)
+        batch = graft._synthetic_batch(cfg, n_dev, with_gt=True)
+        model, state, tx = create_train_state(
+            cfg, jax.random.PRNGKey(0), batch, total_steps=10)
+        step_fn = make_train_step(model, tx, cfg, mesh=mesh)
+        state = replicate(state, mesh)
+        batch = shard_batch(batch, mesh)
+        compiled = step_fn.grad_prog.lower(
+            state, batch, jax.random.PRNGKey(0)).compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops[n_dev] = float(cost["flops"])
+    base = flops[1]
+    for n_dev in (2, 4, 8):
+        ratio = flops[n_dev] / base
+        assert ratio < 1.35, (
+            f"per-device grad FLOPs grew {ratio:.2f}x at n_dev={n_dev} "
+            f"({flops}) — batch or activations replicated instead of "
+            f"sharded")

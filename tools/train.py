@@ -179,7 +179,9 @@ def main():
         print(f"resumed from {args.resume_from} @ step {int(state.step)}",
               flush=True)
 
-    train_step = make_train_step(model, tx, cfg)
+    # mesh -> the shard_map DP path on multi-device meshes (per-device
+    # work provably flat in mesh size; trainer.make_train_step docstring)
+    train_step = make_train_step(model, tx, cfg, mesh=mesh)
     state = replicate(state, mesh)
     logger = MetricLogger(args.log_interval,
                           log_dir=os.path.join(work_dir, "tb"))
