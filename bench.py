@@ -32,6 +32,21 @@ WARMUP = 3
 ITERS = 20
 STREAM_ITERS = 50
 
+# AOT serving artifact (VERDICT r2 #6): serialized StableHLO predict
+# program + pickled param arrays in one file.  When present, bench loads
+# it instead of importing/tracing the flax model, so first-frame is
+# artifact load + compile.  Params are NOT baked as program constants:
+# measured on the relay, the baked-params executable is 278 MB vs 87 MB
+# and its cache-hit "compile" takes 215-220 s vs ~50 s — executable SIZE
+# dominates warm start through the tunnel, so params ride alongside as
+# data.  First run writes the artifact; delete the file (or set
+# BENCH_AOT=0) to measure the traced path.
+AOT_PATH = os.environ.get(
+    "BENCH_AOT_PATH",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "flagship_aot.jxp"))
+USE_AOT = os.environ.get("BENCH_AOT", "1") != "0"
+
 
 def _fail_fast_if_tunnel_dead():
     """The axon TPU backend rides a localhost relay; if the relay is dead,
@@ -58,21 +73,53 @@ def _fail_fast_if_tunnel_dead():
 
 def main():
     _fail_fast_if_tunnel_dead()
-    from __graft_entry__ import predict_entry
+    import pickle
 
-    predict, (variables, batch) = predict_entry()
-    fn = jax.jit(predict)
+    extra = {}
+    if USE_AOT and os.path.exists(AOT_PATH):
+        t0 = time.perf_counter()
+        with open(AOT_PATH, "rb") as f:
+            art = pickle.load(f)
+        exported = jax.export.deserialize(art["exported"])
+        # device_put ONCE: leaving the pickled np arrays host-side makes
+        # every call re-upload all 92 MB of params through the relay
+        # (measured: p50 190 -> 2520 ms)
+        variables = jax.device_put(art["variables"])
+        batch = jax.device_put(art["batch"])
+        extra["load_s"] = round(time.perf_counter() - t0, 2)
+        extra["aot"] = True
+        call = jax.jit(exported.call)
+    else:
+        from __graft_entry__ import predict_entry
+        predict, (variables, batch) = predict_entry()
+        call = jax.jit(predict)
+        if USE_AOT:
+            # serialize for the next run: program WITHOUT baked params
+            # (host-side re-trace only, no device compile)
+            try:
+                exported = jax.export.export(jax.jit(predict))(
+                    variables, batch)
+                art = {"exported": exported.serialize(),
+                       "variables": jax.device_get(variables),
+                       "batch": jax.device_get(batch)}
+                with open(AOT_PATH, "wb") as f:
+                    pickle.dump(art, f, protocol=4)
+                extra["aot_written"] = True
+            except Exception as e:                     # never fail the bench
+                extra["aot_export_error"] = str(e)[:120]
 
     def run_sync():
         # On the tunneled axon backend block_until_ready returns before the
         # device finishes; a scalar host readback is the only true sync.
-        out = fn(variables, batch)
+        out = call(variables, batch)
         return float(jnp.sum(out["scores"]))
 
     import jax.numpy as jnp
     t0 = time.perf_counter()
     run_sync()
     compile_s = time.perf_counter() - t0
+    if "aot" in extra:
+        extra["first_frame_s"] = round(extra["load_s"] + compile_s, 2)
 
     for _ in range(WARMUP):
         run_sync()
@@ -92,7 +139,7 @@ def main():
     outs = []
     t0 = time.perf_counter()
     for _ in range(STREAM_ITERS):
-        outs.append(fn(variables, batch))
+        outs.append(call(variables, batch))
     s = float(jnp.sum(jnp.stack([jnp.sum(o["scores"]) for o in outs])))
     stream_s = time.perf_counter() - t0
     assert np.isfinite(s)
@@ -106,6 +153,7 @@ def main():
         "throughput_fps": round(fps, 3),
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
+        **extra,
     }))
 
 

@@ -135,6 +135,7 @@ def test_fpn_pool_extra_levels_match_mmdet_semantics():
                                   np.asarray(outs[2][:, ::2, ::2, :]))
 
 
+@pytest.mark.slow
 def test_fusion_detector_no_img_reduce_path():
     """waymo_LC-style wiring: feat_channels_img == hidden_dim means NO
     img_convs channel reduce (reference srfdet_head.py:147-158 builds the

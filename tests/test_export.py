@@ -14,6 +14,7 @@ from srfdet3d_tpu.configs import tiny_test_config  # noqa: E402
 import export as export_tool  # noqa: E402
 
 
+@pytest.mark.slow
 def test_export_roundtrip(tmp_path):
     cfg = tiny_test_config()
     fn, (variables, batch) = export_tool.build_predict(cfg)

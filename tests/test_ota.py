@@ -132,6 +132,7 @@ def test_ota_empty_gt():
     assert (got == -1).all()
 
 
+@pytest.mark.slow
 def test_layer_vmapped_assignment_matches_sequential():
     """srfdet_losses assigns all layers under one vmap (the guarantee
     while_loop shares iterations across lanes); must equal per-layer

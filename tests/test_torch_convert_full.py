@@ -388,6 +388,7 @@ def test_resnet_dcn_conversion_structure():
             assert want[p] == got[p], f"{col} {p}: {want[p]} vs {got[p]}"
 
 
+@pytest.mark.slow
 def test_torch_convert_full_model_kitti():
     """KITTI flagship tree (conv_module encoder, code_size 8, 1024/64 head
     dims, pool-extras FPN, non-square grid): converter output is

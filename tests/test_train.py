@@ -280,6 +280,7 @@ def test_dp_matches_single_device_numerically():
                                    rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_shard_map_dp_matches_gspmd_numerically():
     """The explicit shard_map DP path (mesh= passed to make_train_step)
     must produce the same loss / grad_norm / per-loss metrics as the
