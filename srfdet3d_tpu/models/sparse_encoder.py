@@ -59,6 +59,7 @@ class _GatheredConvBN(nn.Module):
     num_offsets: int
     relu: bool = True
     bn: bool = True
+    subm: bool = False     # symmetric rulebook -> symmetric backward
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -67,7 +68,8 @@ class _GatheredConvBN(nn.Module):
         w = self.param("kernel", _KAIMING,
                        (self.num_offsets, cin, self.out_channels),
                        jnp.float32)
-        out = gathered_conv_apply_batched(feats, gidx, w.astype(self.dtype))
+        out = gathered_conv_apply_batched(feats, gidx, w.astype(self.dtype),
+                                          subm=self.subm)
         if self.bn:
             out = MaskedBatchNorm(dtype=self.dtype)(out, mask, train=train)
         if self.relu:
@@ -243,10 +245,11 @@ class SparseEncoder(nn.Module):
         def basic_block(gidx, ch, name):
             nonlocal feats
             identity = feats
-            f = _GatheredConvBN(ch, 27, dtype=self.dtype,
+            f = _GatheredConvBN(ch, 27, subm=True, dtype=self.dtype,
                                 name=f"{name}_conv1")(
                 feats, gidx, mask, train=train)
-            f = _GatheredConvBN(ch, 27, relu=False, dtype=self.dtype,
+            f = _GatheredConvBN(ch, 27, relu=False, subm=True,
+                                dtype=self.dtype,
                                 name=f"{name}_conv2")(
                 f, gidx, mask, train=train)
             f = nn.relu(f + identity)
@@ -254,7 +257,8 @@ class SparseEncoder(nn.Module):
 
         # conv_input: SubMConv3d(in -> base) + BN + ReLU
         gidx = rb.subm()
-        feats = _GatheredConvBN(self.base_channels, 27, dtype=self.dtype,
+        feats = _GatheredConvBN(self.base_channels, 27, subm=True,
+                                dtype=self.dtype,
                                 name="conv_input")(
             feats, gidx, mask, train=train)
 
@@ -270,7 +274,7 @@ class SparseEncoder(nn.Module):
                         gidx = rb.subm()
                     else:
                         feats = _GatheredConvBN(
-                            out_ch, 27, dtype=self.dtype,
+                            out_ch, 27, subm=True, dtype=self.dtype,
                             name=f"subm{i}_{j}")(feats, gidx, mask,
                                                  train=train)
         elif self.block_type == "basicblock":

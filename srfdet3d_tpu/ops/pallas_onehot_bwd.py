@@ -288,3 +288,250 @@ def gather_matmul_onehot_bwd(features: jnp.ndarray,
                               _tile_correction, _full_correction,
                               (dfeats, dw))
     return dfeats[:n].astype(jnp.float32), dw
+
+
+# ---------------------------------------------------------------------------
+# Symmetric backward for SUBMANIFOLD rulebooks.
+#
+# A subm rulebook satisfies idx[m, j] = r <=> idx[r, K-1-j] = m (offset
+# K-1-j is the negation of offset j in the z-major enumeration), which
+# transposes the dfeats scatter-add into another windowed one-hot GATHER
+# over the SAME rulebook:
+#     dfeats[r] = sum_j' g[idx[r, j']] @ W[K-1-j']^T
+# i.e. the FORWARD kernel run on the grad table with flipped/transposed
+# weights — each grid step writes its OWN output tile (no read-modify-
+# write window accumulation, the serializing part of _bwd_kernel) — and
+#     dW[K-1-j'] = feats^T @ g[idx[:, j']]
+# one extra MXU contraction per group between the tile's CONTIGUOUS
+# feature rows and the already-gathered g rows (packed space; the pack
+# slots are summed out host-side).
+# ---------------------------------------------------------------------------
+
+
+def _symbwd_kernel(starts_ref, plidx_ref, sub_ref, fe_ref, g_hbm, wt_ref,
+                   dfe_ref, dwp_ref, win_scratch, acc_ref, sems,
+                   *, groups, pack, cout_pad, wp):
+    """One grid step = one tile of rows r (input rows == output rows).
+
+    starts (T, G); plidx/sub (TM, K) window layout over the PACKED G
+    table; fe (TM, CinL) contiguous feature rows of this tile;
+    g_hbm (Npk, pack*Cout_pad) packed grad table (HBM); wt (G,
+    per*pack*Cout_pad, CinL) flipped/transposed weights; dfe out
+    (TM, CinL); dwp out (G, CinL, per*pack*Cout_pad) f32 accumulated
+    across grid steps (packed dW, slots summed by the host wrapper)."""
+    t = pl.program_id(0)
+    tm, k = plidx_ref.shape
+    cin_l = fe_ref.shape[-1]
+    lanes = pack * cout_pad
+    snap = 8 if win_scratch.dtype == jnp.float32 else 16
+
+    @pl.when(t == 0)
+    def _():
+        dwp_ref[:] = jnp.zeros_like(dwp_ref)
+
+    for g in range(len(groups)):
+        pltpu.make_async_copy(
+            g_hbm.at[pl.ds(pl.multiple_of(starts_ref[t, g], snap), wp), :],
+            win_scratch.at[g], sems.at[g]).start()
+
+    acc_ref[:] = jnp.zeros((tm, cin_l), jnp.float32)
+    lane_group = jax.lax.broadcasted_iota(
+        jnp.int32, (tm, lanes), 1) // cout_pad
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (tm, wp), 1)
+    fe = fe_ref[:]                                        # (TM, CinL)
+
+    for g, offs in enumerate(groups):
+        pltpu.make_async_copy(
+            g_hbm.at[pl.ds(pl.multiple_of(starts_ref[t, g], snap), wp), :],
+            win_scratch.at[g], sems.at[g]).wait()
+        window = win_scratch[g]                           # (Wp, lanes)
+        oh_b = jnp.concatenate(
+            [(plidx_ref[:, j][:, None] == row_iota) for j in offs],
+            axis=0)                                       # (per*TM, Wp)
+        # value-moving gather of g rows: bf16x3 for f32 tables (exact)
+        if window.dtype == jnp.float32:
+            r = _dot_onehot_f32(oh_b, window)
+        else:
+            r = jnp.dot(oh_b.astype(window.dtype), window,
+                        preferred_element_type=jnp.float32)
+        parts = []
+        for gi, j in enumerate(offs):
+            sel = (sub_ref[:, j][:, None] == lane_group)
+            parts.append(jnp.where(sel, r[gi * tm:(gi + 1) * tm], 0.0)
+                         .astype(window.dtype))
+        rl = jnp.concatenate(parts, axis=1)               # (TM, per*lanes)
+        # dfeats stage (product matmul, DEFAULT precision like the
+        # fallback's g @ W^T contraction)
+        acc_ref[:] += jnp.dot(rl, wt_ref[g],
+                              preferred_element_type=jnp.float32)
+        # dW stage: contiguous feats^T @ gathered-g rows, packed space
+        dwp_ref[g] += jax.lax.dot_general(
+            fe, rl, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (CinL, per*lanes)
+    dfe_ref[:] = acc_ref[:].astype(dfe_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tm", "wp", "interpret", "correction_tiles",
+                              "group_mode"))
+def gather_matmul_onehot_symbwd(features: jnp.ndarray,
+                                gather_idx: jnp.ndarray,
+                                weights: jnp.ndarray,
+                                grad_out: jnp.ndarray,
+                                tm: int = 512,
+                                wp: int = 256,
+                                interpret: bool = False,
+                                correction_tiles: int = 16,
+                                group_mode: str = "zy"):
+    """Symmetric backward of the one-hot gather+matmul for SUBM rulebooks.
+
+    Args:
+      features: (N, Cin); gather_idx (N, K) SYMMETRIC rulebook in [0, N]
+        (N = miss; idx[m, j] = r <=> idx[r, K-1-j] = m);
+      weights (K, Cin, Cout); grad_out (N, Cout).
+    Returns: (dfeatures (N, Cin) f32, dweights (K, Cin, Cout) f32).
+    """
+    n, cin = features.shape
+    m, k = gather_idx.shape
+    cout = weights.shape[2]
+    assert m == n, "symmetric backward requires a subm rulebook (M == N)"
+    if cout > LANE or cin > LANE:
+        raise ValueError(f"Cin/Cout must be <= {LANE}; got {cin}/{cout}")
+    dtype = jnp.float32            # cotangents are f32
+
+    # pack the GRAD table by Cout
+    cout_pad = 1
+    while cout_pad < cout or LANE % cout_pad:
+        cout_pad *= 2
+    pack = LANE // cout_pad
+    lanes = pack * cout_pad
+    snap = _snap_of(dtype)
+    cin_l = LANE                   # feats tile / dfe / wt lane width
+
+    groups = _default_groups(k, group_mode)
+    per = len(groups[0])
+
+    g32 = grad_out.astype(dtype)
+    if cout_pad != cout:
+        g32 = jnp.pad(g32, ((0, 0), (0, cout_pad - cout)))
+    np_rows = _padded_rows(n, pack, snap, wp)
+    g_tbl = jnp.pad(g32, ((0, np_rows - n), (0, 0)))
+    g_packed = g_tbl.reshape(np_rows // pack, lanes)
+
+    # flipped/transposed weights, pack-tiled, group-stacked:
+    # wt[g] rows follow the gathered-lane layout (offset-major, then pack
+    # slot, then Cout), columns are Cin (padded to the lane width)
+    w_bwd = jnp.flip(weights.astype(dtype), axis=0).swapaxes(1, 2)
+    w_bwd = jnp.pad(w_bwd, ((0, 0), (0, cout_pad - cout),
+                            (0, cin_l - cin)))            # (K, CoutP, CinL)
+    wt = jnp.tile(w_bwd, (1, pack, 1))                    # (K, lanes, CinL)
+    wt = jnp.stack(
+        [jnp.concatenate([wt[j] for j in offs], axis=0) for offs in groups])
+
+    pad_m = (-m) % tm
+    idx = jnp.pad(gather_idx, ((0, pad_m), (0, 0)), constant_values=n)
+    fe_pad = jnp.pad(features.astype(dtype),
+                     ((0, pad_m), (0, cin_l - cin)))      # (Mp, CinL)
+    mp = idx.shape[0]
+    n_tiles = mp // tm
+
+    starts, plidx, sub, miss, in_win = _window_layout(
+        idx, n, pack, snap, wp, np_rows, tm, groups)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((tm, k), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, k), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tm, cin_l), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),            # packed g table
+            pl.BlockSpec((len(groups), per * lanes, cin_l),
+                         lambda i, s: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((tm, cin_l), lambda i, s: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((len(groups), cin_l, per * lanes),
+                         lambda i, s: (0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((len(groups), wp, lanes), dtype),
+            pltpu.VMEM((tm, cin_l), jnp.float32),
+            pltpu.SemaphoreType.DMA((len(groups),)),
+        ],
+    )
+    kernel = functools.partial(_symbwd_kernel, groups=groups, pack=pack,
+                               cout_pad=cout_pad, wp=wp)
+    dfe, dwp = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((mp, cin_l), jnp.float32),
+                   jax.ShapeDtypeStruct((len(groups), cin_l, per * lanes),
+                                        jnp.float32)),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(starts, plidx.reshape(mp, k), sub.reshape(mp, k), fe_pad, g_packed,
+      wt)
+
+    dfeats = dfe[:n, :cin]
+    # unpack dW: (G, CinL, per, pack, CoutP) -> sum pack slots, reorder to
+    # original offset ids, then flip (dW[K-1-j'] = feats^T @ g[idx[:, j']])
+    dwp = dwp.reshape(len(groups), cin_l, per, pack, cout_pad)
+    dwp = jnp.sum(dwp, axis=3)                    # (G, CinL, per, CoutP)
+    dwp = jnp.transpose(dwp, (0, 2, 1, 3))        # (G, per, CinL, CoutP)
+    flat_order = [j for gr in groups for j in gr]
+    dw_tmp = jnp.zeros((k, cin_l, cout_pad), jnp.float32).at[
+        jnp.array(flat_order)].set(dwp.reshape(k, cin_l, cout_pad))
+    dw = jnp.flip(dw_tmp[:, :cin, :cout], axis=0)
+
+    # tile-granular OOW correction (zero tiles on real rulebooks); exact
+    # full-range fallback on overflow, like the forward
+    oow = ~in_win & ~miss
+    cap_t = min(correction_tiles, n_tiles)
+    counts = jnp.sum(oow, axis=(1, 2))
+    topv, selt = jax.lax.top_k(counts, cap_t)
+    covered = jnp.sum(topv)
+    total_oow = jnp.sum(counts)
+    g0 = jnp.concatenate(
+        [grad_out.astype(jnp.float32), jnp.zeros((1, cout))], axis=0)
+    wb2d = jnp.flip(weights.astype(jnp.float32), axis=0).swapaxes(
+        1, 2).reshape(k * cout, cin)
+
+    def _corr(args, eff_idx, tiles_sel):
+        # eff_idx (., tm, K) flagged entries (miss -> n); tiles_sel (.,)
+        dfeats, dw = args
+        gsel = g0[eff_idx]                                # (., tm, K, Cout)
+        # dfeats: add the missing gather contributions at the tiles' OWN
+        # rows (same structure as the forward correction)
+        part = jnp.dot(gsel.reshape(-1, k * cout), wb2d,
+                       preferred_element_type=jnp.float32)
+        rows = (tiles_sel[:, None] * tm +
+                jnp.arange(tm, dtype=jnp.int32)[None, :]).reshape(-1)
+        dfeats = jnp.concatenate(
+            [dfeats, jnp.zeros((pad_m, cin), jnp.float32)], axis=0)
+        dfeats = dfeats.at[rows].add(part.reshape(-1, cin), mode="drop")
+        # dW: feats[r] (x) g[idx[r, j']] for flagged entries, into
+        # PRE-FLIP slot j' (flip applied on top)
+        fsel = fe_pad.reshape(n_tiles, tm, cin_l)[tiles_sel][..., :cin]
+        dwc = jnp.einsum("atc,atkd->kcd", fsel,
+                         gsel.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        dw = dw + jnp.flip(dwc, axis=0)
+        return dfeats[:n], dw
+
+    def _tile_correction(args):
+        sel_idx = idx.reshape(n_tiles, tm, k)[selt]
+        eff_idx = jnp.where(oow[selt], sel_idx, n)
+        return _corr(args, eff_idx, selt)
+
+    def _full_correction(args):
+        eff_idx = jnp.where(oow, idx.reshape(n_tiles, tm, k), n)
+        return _corr(args, eff_idx, jnp.arange(n_tiles, dtype=jnp.int32))
+
+    dfeats, dw = jax.lax.cond(covered == total_oow,
+                              _tile_correction, _full_correction,
+                              (dfeats, dw))
+    return dfeats, dw

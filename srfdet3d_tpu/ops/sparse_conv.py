@@ -608,11 +608,8 @@ def onehot_tile_params(cin: int, k: int, bwd: bool):
     return pack, wp, tm
 
 
-@jax.custom_vjp
-def _onehot_conv(flat_feats: jnp.ndarray, flat_idx: jnp.ndarray,
-                 weights: jnp.ndarray) -> jnp.ndarray:
-    """flat_feats (N, Cin) (miss row NOT included; index N = miss),
-    flat_idx (M, K), weights (K, Cin, Cout) -> (M, Cout)."""
+def _onehot_conv_impl(flat_feats: jnp.ndarray, flat_idx: jnp.ndarray,
+                      weights: jnp.ndarray) -> jnp.ndarray:
     from .pallas_onehot import gather_matmul_onehot
     _, wp, tm = onehot_tile_params(flat_feats.shape[1], flat_idx.shape[1],
                                    bwd=False)
@@ -621,6 +618,14 @@ def _onehot_conv(flat_feats: jnp.ndarray, flat_idx: jnp.ndarray,
         correction_tiles=ONEHOT_CORRECTION_TILES,
         group_mode=ONEHOT_GROUPS,
         interpret=ONEHOT_INTERPRET)
+
+
+@jax.custom_vjp
+def _onehot_conv(flat_feats: jnp.ndarray, flat_idx: jnp.ndarray,
+                 weights: jnp.ndarray) -> jnp.ndarray:
+    """flat_feats (N, Cin) (miss row NOT included; index N = miss),
+    flat_idx (M, K), weights (K, Cin, Cout) -> (M, Cout)."""
+    return _onehot_conv_impl(flat_feats, flat_idx, weights)
 
 
 def _onehot_conv_fwd(flat_feats, flat_idx, weights):
@@ -670,25 +675,92 @@ def _onehot_conv_bwd(res, g):
 _onehot_conv.defvjp(_onehot_conv_fwd, _onehot_conv_bwd)
 
 
+# Backward strategy for SUBMANIFOLD rulebooks.  "sym" exploits the subm
+# rulebook's symmetry  idx[m, j] = r  <=>  idx[r, K-1-j] = m  (offsets are
+# z-major lexicographic in both backends, so offset K-1-j is the negation
+# of offset j): the dfeats scatter-add transposes into ANOTHER windowed
+# one-hot GATHER of the upstream grad over the SAME rulebook,
+#   dfeats[r] = sum_j' g[idx[r, j']] @ W_{K-1-j'}^T
+# — the forward kernel on flipped/transposed weights, with no
+# read-modify-write window accumulation (the serializing part of the
+# generic backward kernel) — and the weight grad becomes
+#   dW[K-1-j'] = feats^T @ g[idx[:, j']]
+# one plain MXU contraction per offset over the SAME gathered-g rows.
+# Identities pinned by tests/test_sparse_conv.py (subm-symmetric-bwd).
+SUBM_BWD = os.environ.get("SRFDET_SUBM_BWD", "sym")
+
+
+@jax.custom_vjp
+def _onehot_conv_subm(flat_feats: jnp.ndarray, flat_idx: jnp.ndarray,
+                      weights: jnp.ndarray) -> jnp.ndarray:
+    """_onehot_conv for SUBM rulebooks (symmetric; M == N).  Same forward;
+    the backward uses the symmetry-transposed gather formulation."""
+    return _onehot_conv_impl(flat_feats, flat_idx, weights)
+
+
+def _onehot_conv_subm_fwd(flat_feats, flat_idx, weights):
+    return _onehot_conv_subm(flat_feats, flat_idx, weights), (
+        flat_feats, flat_idx, weights)
+
+
+def _onehot_conv_subm_bwd(res, g):
+    flat_feats, flat_idx, weights = res
+    if SUBM_BWD != "sym":
+        return _onehot_conv_bwd(res, g)
+    n, cin = flat_feats.shape
+    m, k = flat_idx.shape
+    cout = weights.shape[2]
+    if ONEHOT_INTERPRET or jax.default_backend() not in ("cpu",):
+        # fused kernel: forward-style gather of g (own output tiles, no
+        # RMW) + in-kernel dW accumulation against the contiguous feats
+        from .pallas_onehot_bwd import gather_matmul_onehot_symbwd
+        _, wp, tm = onehot_tile_params(cout, k, bwd=True)
+        dfe, dw = gather_matmul_onehot_symbwd(
+            flat_feats, flat_idx, weights, g, tm=tm, wp=wp,
+            correction_tiles=ONEHOT_CORRECTION_TILES,
+            group_mode=ONEHOT_GROUPS, interpret=ONEHOT_INTERPRET)
+    else:
+        g32 = g.astype(jnp.float32)
+        g0 = jnp.concatenate([g32, jnp.zeros((1, cout), jnp.float32)],
+                             axis=0)
+        gat = g0[flat_idx]                                 # (N, K, Cout)
+        w_bwd = jnp.flip(weights, axis=0).swapaxes(1, 2)   # (K, Cout, Cin)
+        dfe = jnp.einsum("nkd,kdc->nc", gat,
+                         w_bwd.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+        # dW[K-1-j] = feats^T @ g[idx[:, j]]
+        dw = jnp.flip(
+            jnp.einsum("nc,nkd->kcd", flat_feats.astype(jnp.float32), gat,
+                       preferred_element_type=jnp.float32), axis=0)
+    return (dfe.astype(flat_feats.dtype), None, dw.astype(weights.dtype))
+
+
+_onehot_conv_subm.defvjp(_onehot_conv_subm_fwd, _onehot_conv_subm_bwd)
+
+
 def gathered_conv_apply_batched(features: jnp.ndarray,
                                 gather_idx: jnp.ndarray,
                                 weights: jnp.ndarray,
-                                bias: jnp.ndarray | None = None
-                                ) -> jnp.ndarray:
+                                bias: jnp.ndarray | None = None,
+                                subm: bool = False) -> jnp.ndarray:
     """features (B, V, Cin), gather_idx (B, M, K) GLOBAL flat indices,
     weights (K, Cin, Cout) -> (B, M, Cout).
 
     Two equivalent lowerings of spconv's gather-GEMM (see GATHER_METHOD):
     one fused XLA row gather + matmul, or the windowed one-hot Pallas
-    kernel. Both contract the full K*Cin axis per output row."""
+    kernel. Both contract the full K*Cin axis per output row.
+
+    subm: the rulebook is a SUBMANIFOLD one (M == V, symmetric neighbor
+    relation) — enables the symmetry-transposed backward (SUBM_BWD)."""
     b, v, cin = features.shape
     _, m, k = gather_idx.shape
     cout = weights.shape[2]
     if (_use_onehot() and b * m * k >= ONEHOT_MIN_GATHER_ROWS
             and cin <= ONEHOT_MAX_CIN):
-        out = _onehot_conv(features.reshape(b * v, cin),
-                           gather_idx.reshape(b * m, k),
-                           weights).astype(features.dtype)
+        conv = _onehot_conv_subm if (subm and m == v) else _onehot_conv
+        out = conv(features.reshape(b * v, cin),
+                   gather_idx.reshape(b * m, k),
+                   weights).astype(features.dtype)
         out = out.reshape(b, m, cout)
         if bias is not None:
             out = out + bias

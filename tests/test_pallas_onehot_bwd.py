@@ -100,3 +100,61 @@ def test_bwd_matches_autodiff_bf16():
                                rtol=2e-2, atol=1e-1)
     np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
                                rtol=2e-2, atol=1e-1)
+
+
+def _subm_idx(rng, shape, n_active, v_cap):
+    """A real (symmetric) subm rulebook on random sites, capacity-padded."""
+    from srfdet3d_tpu.ops.sparse_conv import subm_gather_indices_batched
+    d, h, w = shape
+    lin = np.sort(rng.choice(d * h * w, size=n_active, replace=False))
+    coords = np.stack([lin // (h * w), (lin // w) % h, lin % w], -1)
+    coords = np.concatenate(
+        [coords, np.zeros((v_cap - n_active, 3), np.int64)], 0)
+    mask = np.arange(v_cap) < n_active
+    return subm_gather_indices_batched(
+        jnp.asarray(coords, jnp.int32)[None], jnp.asarray(mask)[None],
+        shape, 3).reshape(v_cap, 27)
+
+
+def test_symbwd_matches_autodiff_small_windows():
+    """Symmetric subm backward kernel vs autodiff of the XLA gather
+    forward, with windows deliberately too small (wp=16) so a large
+    fraction of entries goes through the tile-granular OOW correction."""
+    from srfdet3d_tpu.ops.pallas_onehot_bwd import gather_matmul_onehot_symbwd
+    rng = np.random.default_rng(11)
+    shape, n_active, v = (6, 12, 12), 400, 512
+    idx = _subm_idx(rng, shape, n_active, v)
+    cin, cout = 5, 7
+    feats = jnp.asarray(rng.normal(size=(v, cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(v, cout)).astype(np.float32))
+    dfe_ref, dw_ref = _ref_grads(feats, idx, w, g)
+    dfe, dw = gather_matmul_onehot_symbwd(
+        feats, idx, w, g, tm=128, wp=16, correction_tiles=4,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(dfe), np.asarray(dfe_ref),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                               rtol=1e-3, atol=1e-3)
+
+
+def test_symbwd_overflow_falls_back_to_full_correction():
+    """More OOW tiles than correction_tiles: the lax.cond must take the
+    exact full-range correction (correction_tiles=1 guarantees overflow
+    at wp=16 on a 4-tile rulebook)."""
+    from srfdet3d_tpu.ops.pallas_onehot_bwd import gather_matmul_onehot_symbwd
+    rng = np.random.default_rng(13)
+    shape, n_active, v = (6, 12, 12), 400, 512
+    idx = _subm_idx(rng, shape, n_active, v)
+    cin, cout = 4, 6
+    feats = jnp.asarray(rng.normal(size=(v, cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(27, cin, cout)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(v, cout)).astype(np.float32))
+    dfe_ref, dw_ref = _ref_grads(feats, idx, w, g)
+    dfe, dw = gather_matmul_onehot_symbwd(
+        feats, idx, w, g, tm=128, wp=16, correction_tiles=1,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(dfe), np.asarray(dfe_ref),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                               rtol=1e-3, atol=1e-3)

@@ -182,3 +182,60 @@ def test_second_fpn_shapes():
     assert fouts[1].shape == (2, 32, 32, 64)
     assert fouts[2].shape == (2, 16, 16, 64)
     assert fouts[3].shape == (2, 8, 8, 64)
+
+
+def test_subm_symmetric_bwd_matches_generic():
+    """The subm backward's symmetry identities (sparse_conv.SUBM_BWD=sym):
+      dfeats = onehot_fwd(g, idx, flip(W).swap)   [gather of g, same idx]
+      dW     = flip_j(feats^T @ g[idx[:, j]])
+    must reproduce plain-autodiff gradients of the XLA gather forward on
+    REAL subm rulebooks (both backends; misses + padded rows included),
+    through the real kernel code path (interpret mode — the symmetric
+    dfeats runs the FORWARD one-hot kernel on flipped/transposed weights,
+    window layout and corrections included).  Rests on
+      idx[m, j] = r  <=>  idx[r, K-1-j] = m
+    which holds because both backends enumerate offsets z-major
+    lexicographically (offset K-1-j is the negation of offset j)."""
+    import srfdet3d_tpu.ops.sparse_conv as sc
+    from srfdet3d_tpu.ops.bitmap_rulebook import (build_columns,
+                                                  sort_plan_major,
+                                                  subm_rulebook_bitmap)
+
+    rng = np.random.RandomState(3)
+    st = _random_sparse(40, 64, 5, seed=3)
+    cin, cout, k = 5, 7, 27
+    w = jnp.asarray(rng.randn(k, cin, cout).astype(np.float32) * 0.1)
+    g = jnp.asarray(rng.randn(64, cout).astype(np.float32))
+
+    from srfdet3d_tpu.ops.sparse_conv import subm_gather_indices_batched
+    idx_table = np.asarray(subm_gather_indices_batched(
+        st.coords[None], st.mask[None], SHAPE, 3)).reshape(64, k)
+    # the bitmap backend requires plan-major-sorted rows (encoder entry)
+    _, pc, pm = sort_plan_major(st.features[None], st.coords[None],
+                                st.mask[None], SHAPE)
+    cs, vcol, vz = build_columns(pc, pm, SHAPE)
+    idx_bitmap = np.asarray(subm_rulebook_bitmap(
+        cs, vcol, vz, pm)).reshape(64, k)
+
+    prev = sc.ONEHOT_INTERPRET
+    sc.ONEHOT_INTERPRET = True
+    try:
+        for name, idx in (("table", idx_table), ("bitmap", idx_bitmap)):
+            idxj = jnp.asarray(idx.astype(np.int32))
+
+            def xla_fwd(fe, we):
+                f0 = jnp.concatenate([fe, jnp.zeros((1, cin))], axis=0)
+                return jnp.einsum("mkc,kcd->md", f0[idxj], we)
+
+            ref = jax.grad(lambda fe, we: jnp.sum(xla_fwd(fe, we) * g),
+                           argnums=(0, 1))(st.features, w)
+            got = jax.grad(
+                lambda fe, we: jnp.sum(
+                    sc._onehot_conv_subm(fe, idxj, we) * g),
+                argnums=(0, 1))(st.features, w)
+            for a, b, what in zip(ref, got, ("dfeats", "dW")):
+                np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                           rtol=1e-3, atol=1e-3,
+                                           err_msg=f"{name} {what}")
+    finally:
+        sc.ONEHOT_INTERPRET = prev

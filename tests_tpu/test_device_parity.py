@@ -133,3 +133,38 @@ def test_rotated_intersection_on_device():
     # below NMS/OTA sensitivity; 2e-2 still catches real clipping bugs
     # (wrong-edge/ownership errors are O(0.1-1)).
     np.testing.assert_allclose(new, ref, atol=2e-2)
+
+
+def test_symbwd_on_device():
+    """Symmetric subm backward kernel vs XLA autodiff on device (real
+    Mosaic numerics).  Uses a REAL subm rulebook (the identity it exploits
+    only holds for symmetric rulebooks)."""
+    from srfdet3d_tpu.ops.pallas_onehot_bwd import gather_matmul_onehot_symbwd
+    from srfdet3d_tpu.ops.sparse_conv import subm_gather_indices_batched
+    rng = np.random.default_rng(3)
+    shape, n_active, v = (8, 40, 40), 3000, 4096
+    cin, cout, k = 16, 16, 27
+    d, h, w_ = shape
+    lin = np.sort(rng.choice(d * h * w_, size=n_active, replace=False))
+    coords = np.stack([lin // (h * w_), (lin // w_) % h, lin % w_], -1)
+    coords = np.concatenate(
+        [coords, np.zeros((v - n_active, 3), np.int64)], 0)
+    mask = np.arange(v) < n_active
+    idx = subm_gather_indices_batched(
+        jnp.asarray(coords, jnp.int32)[None], jnp.asarray(mask)[None],
+        shape, 3).reshape(v, k)
+
+    feats = jnp.asarray(rng.normal(size=(v, cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, cin, cout)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(v, cout)).astype(np.float32))
+
+    def ref_loss(f, ww):
+        return jnp.sum(_xla_ref(f, idx, ww) * g)
+
+    dfe_ref, dw_ref = jax.jit(jax.grad(ref_loss, argnums=(0, 1)))(feats, w)
+    dfe, dw = jax.jit(lambda f, i, ww, gg: gather_matmul_onehot_symbwd(
+        f, i, ww, gg, tm=256, wp=256))(feats, idx, w, g)
+    for a, b in ((dfe, dfe_ref), (dw, dw_ref)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=2e-2,
+                                   atol=2e-2 * np.abs(b).max())
