@@ -373,7 +373,7 @@ def _symbwd_kernel(starts_ref, plidx_ref, sub_ref, fe_ref, g_hbm, wt_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("tm", "wp", "interpret", "correction_tiles",
-                              "group_mode"))
+                              "group_mode", "flip"))
 def gather_matmul_onehot_symbwd(features: jnp.ndarray,
                                 gather_idx: jnp.ndarray,
                                 weights: jnp.ndarray,
@@ -382,19 +382,33 @@ def gather_matmul_onehot_symbwd(features: jnp.ndarray,
                                 wp: int = 256,
                                 interpret: bool = False,
                                 correction_tiles: int = 16,
-                                group_mode: str = "zy"):
-    """Symmetric backward of the one-hot gather+matmul for SUBM rulebooks.
+                                group_mode: str = "zy",
+                                flip: bool = True):
+    """Transposed-gather backward of the one-hot gather+matmul.
+
+    Two callers:
+      flip=True  (SUBM): gather_idx is the forward rulebook itself,
+        which is symmetric (idx[m, j] = r <=> idx[r, K-1-j] = m), so
+        dfeats[r] = sum_j' g[idx[r, j']] @ W[K-1-j']^T and
+        dW[K-1-j'] = feats^T @ g[idx[:, j']].
+      flip=False (STRIDED): gather_idx is the REVERSE rulebook
+        rev[r, j] = the unique output m with fwd_idx[m, j] = r (miss if
+        none — unique because for a fixed offset j the output cell is
+        determined by the input cell), so
+        dfeats[r] = sum_j g[rev[r, j]] @ W[j]^T and
+        dW[j] = feats^T @ g[rev[:, j]].
 
     Args:
-      features: (N, Cin); gather_idx (N, K) SYMMETRIC rulebook in [0, N]
-        (N = miss; idx[m, j] = r <=> idx[r, K-1-j] = m);
-      weights (K, Cin, Cout); grad_out (N, Cout).
+      features: (N, Cin) input rows (tiles iterate over these);
+      gather_idx (N, K) in [0, M] (M = miss) pointing into grad_out;
+      weights (K, Cin, Cout); grad_out (M, Cout).
     Returns: (dfeatures (N, Cin) f32, dweights (K, Cin, Cout) f32).
     """
     n, cin = features.shape
-    m, k = gather_idx.shape
+    n2, k = gather_idx.shape
+    m = grad_out.shape[0]
     cout = weights.shape[2]
-    assert m == n, "symmetric backward requires a subm rulebook (M == N)"
+    assert n2 == n, "gather_idx must have one row per feature row"
     if cout > LANE or cin > LANE:
         raise ValueError(f"Cin/Cout must be <= {LANE}; got {cin}/{cout}")
     dtype = jnp.float32            # cotangents are f32
@@ -414,29 +428,32 @@ def gather_matmul_onehot_symbwd(features: jnp.ndarray,
     g32 = grad_out.astype(dtype)
     if cout_pad != cout:
         g32 = jnp.pad(g32, ((0, 0), (0, cout_pad - cout)))
-    np_rows = _padded_rows(n, pack, snap, wp)
-    g_tbl = jnp.pad(g32, ((0, np_rows - n), (0, 0)))
+    np_rows = _padded_rows(m, pack, snap, wp)
+    g_tbl = jnp.pad(g32, ((0, np_rows - m), (0, 0)))
     g_packed = g_tbl.reshape(np_rows // pack, lanes)
 
     # flipped/transposed weights, pack-tiled, group-stacked:
     # wt[g] rows follow the gathered-lane layout (offset-major, then pack
     # slot, then Cout), columns are Cin (padded to the lane width)
-    w_bwd = jnp.flip(weights.astype(dtype), axis=0).swapaxes(1, 2)
+    w_bwd = weights.astype(dtype)
+    if flip:
+        w_bwd = jnp.flip(w_bwd, axis=0)
+    w_bwd = w_bwd.swapaxes(1, 2)
     w_bwd = jnp.pad(w_bwd, ((0, 0), (0, cout_pad - cout),
                             (0, cin_l - cin)))            # (K, CoutP, CinL)
     wt = jnp.tile(w_bwd, (1, pack, 1))                    # (K, lanes, CinL)
     wt = jnp.stack(
         [jnp.concatenate([wt[j] for j in offs], axis=0) for offs in groups])
 
-    pad_m = (-m) % tm
-    idx = jnp.pad(gather_idx, ((0, pad_m), (0, 0)), constant_values=n)
+    pad_m = (-n) % tm          # tiles iterate over FEATURE rows (n of them)
+    idx = jnp.pad(gather_idx, ((0, pad_m), (0, 0)), constant_values=m)
     fe_pad = jnp.pad(features.astype(dtype),
-                     ((0, pad_m), (0, cin_l - cin)))      # (Mp, CinL)
+                     ((0, pad_m), (0, cin_l - cin)))      # (Np, CinL)
     mp = idx.shape[0]
     n_tiles = mp // tm
 
     starts, plidx, sub, miss, in_win = _window_layout(
-        idx, n, pack, snap, wp, np_rows, tm, groups)
+        idx, m, pack, snap, wp, np_rows, tm, groups)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -485,7 +502,9 @@ def gather_matmul_onehot_symbwd(features: jnp.ndarray,
     flat_order = [j for gr in groups for j in gr]
     dw_tmp = jnp.zeros((k, cin_l, cout_pad), jnp.float32).at[
         jnp.array(flat_order)].set(dwp.reshape(k, cin_l, cout_pad))
-    dw = jnp.flip(dw_tmp[:, :cin, :cout], axis=0)
+    dw = dw_tmp[:, :cin, :cout]
+    if flip:
+        dw = jnp.flip(dw, axis=0)
 
     # tile-granular OOW correction (zero tiles on real rulebooks); exact
     # full-range fallback on overflow, like the forward
@@ -497,8 +516,10 @@ def gather_matmul_onehot_symbwd(features: jnp.ndarray,
     total_oow = jnp.sum(counts)
     g0 = jnp.concatenate(
         [grad_out.astype(jnp.float32), jnp.zeros((1, cout))], axis=0)
-    wb2d = jnp.flip(weights.astype(jnp.float32), axis=0).swapaxes(
-        1, 2).reshape(k * cout, cin)
+    wb2d = weights.astype(jnp.float32)
+    if flip:
+        wb2d = jnp.flip(wb2d, axis=0)
+    wb2d = wb2d.swapaxes(1, 2).reshape(k * cout, cin)
 
     def _corr(args, eff_idx, tiles_sel):
         # eff_idx (., tm, K) flagged entries (miss -> n); tiles_sel (.,)
@@ -519,16 +540,16 @@ def gather_matmul_onehot_symbwd(features: jnp.ndarray,
         dwc = jnp.einsum("atc,atkd->kcd", fsel,
                          gsel.astype(jnp.float32),
                          preferred_element_type=jnp.float32)
-        dw = dw + jnp.flip(dwc, axis=0)
+        dw = dw + (jnp.flip(dwc, axis=0) if flip else dwc)
         return dfeats[:n], dw
 
     def _tile_correction(args):
         sel_idx = idx.reshape(n_tiles, tm, k)[selt]
-        eff_idx = jnp.where(oow[selt], sel_idx, n)
+        eff_idx = jnp.where(oow[selt], sel_idx, m)
         return _corr(args, eff_idx, selt)
 
     def _full_correction(args):
-        eff_idx = jnp.where(oow, idx.reshape(n_tiles, tm, k), n)
+        eff_idx = jnp.where(oow, idx.reshape(n_tiles, tm, k), m)
         return _corr(args, eff_idx, jnp.arange(n_tiles, dtype=jnp.int32))
 
     dfeats, dw = jax.lax.cond(covered == total_oow,

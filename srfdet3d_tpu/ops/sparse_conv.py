@@ -640,10 +640,37 @@ def _onehot_conv_bwd(res, g):
     """Backward identical to the XLA path's autodiff: re-gather for dW,
     scatter-add for dfeats (the forward kernel is gather+matmul exactly).
 
-    With SRFDET_GATHER_BWD=onehot the windowed transposed-one-hot kernel
-    (ops/pallas_onehot_bwd.py) replaces both XLA ops."""
+    With SRFDET_GATHER_BWD=revsym (default) the rulebook is transposed
+    once — rev[r, j] = the unique output m with idx[m, j] = r (one int32
+    scatter; unique because a fixed offset maps each input cell to at
+    most one output cell, any kernel/stride) — and the backward becomes
+    a forward-style one-hot GATHER of the grads over rev (no
+    read-modify-write window accumulation) with fused dW, exactly like
+    the submanifold symmetric backward but without the offset flip.
+    SRFDET_GATHER_BWD=onehot keeps the RMW transposed-one-hot kernel
+    (ops/pallas_onehot_bwd.py::gather_matmul_onehot_bwd)."""
     flat_feats, flat_idx, weights = res
     n, cin = flat_feats.shape
+    if ONEHOT_BWD == "revsym" and (ONEHOT_INTERPRET or
+                                   jax.default_backend() not in ("cpu",)):
+        from .pallas_onehot_bwd import gather_matmul_onehot_symbwd
+        m, k = flat_idx.shape
+        cout = weights.shape[2]
+        # transpose the rulebook: one flat int32 set-scatter; forward
+        # misses (idx == n) land out of range and drop
+        mm = jnp.arange(m, dtype=jnp.int32)[:, None]
+        dest = flat_idx * k + jnp.arange(k, dtype=jnp.int32)[None, :]
+        rev = jnp.full((n * k,), m, jnp.int32).at[dest.reshape(-1)].set(
+            jnp.broadcast_to(mm, (m, k)).reshape(-1),
+            mode="drop").reshape(n, k)
+        _, wp, tm = onehot_tile_params(cout, k, bwd=True)
+        dfe, dw = gather_matmul_onehot_symbwd(
+            flat_feats, rev, weights, g, tm=tm, wp=wp,
+            correction_tiles=ONEHOT_CORRECTION_TILES,
+            group_mode=ONEHOT_GROUPS, interpret=ONEHOT_INTERPRET,
+            flip=False)
+        return (dfe.astype(flat_feats.dtype), None,
+                dw.astype(weights.dtype))
     if ONEHOT_BWD == "onehot" and (ONEHOT_INTERPRET or
                                    jax.default_backend() not in ("cpu",)):
         from .pallas_onehot_bwd import gather_matmul_onehot_bwd

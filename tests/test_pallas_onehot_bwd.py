@@ -158,3 +158,73 @@ def test_symbwd_overflow_falls_back_to_full_correction():
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_revsym_strided_bwd_matches_autodiff():
+    """Reverse-rulebook backward (sparse_conv ONEHOT_BWD=revsym) on a REAL
+    strided rulebook: transposing the rulebook (one int32 scatter) and
+    running the symbwd kernel with flip=False must reproduce autodiff of
+    the XLA gather forward — misses, capacity padding, never-referenced
+    inputs and OOW corrections (wp=16) included."""
+    import srfdet3d_tpu.ops.sparse_conv as sc
+    from srfdet3d_tpu.ops.pallas_onehot_bwd import gather_matmul_onehot_symbwd
+    from srfdet3d_tpu.ops.sparse_conv import (
+        SparseTensor, generate_output_sites, strided_gather_indices_batched)
+
+    rng = np.random.default_rng(17)
+    shape, n_active, v_in, v_out = (6, 12, 12), 300, 384, 256
+    cin, cout, k = 5, 7, 27
+    d, h, w_ = shape
+    lin = np.sort(rng.choice(d * h * w_, size=n_active, replace=False))
+    coords = np.stack([lin // (h * w_), (lin // w_) % h, lin % w_], -1)
+    coords = np.concatenate(
+        [coords, np.zeros((v_in - n_active, 3), np.int64)], 0)
+    mask = np.arange(v_in) < n_active
+    st = SparseTensor(jnp.zeros((v_in, 1)), jnp.asarray(coords, jnp.int32),
+                      jnp.asarray(mask), shape)
+    kernel, stride, pad = (3, 3, 3), (2, 2, 2), (1, 1, 1)
+    oc, om = generate_output_sites(st, kernel, stride, pad, v_out)
+    idx = strided_gather_indices_batched(
+        st.coords[None], st.mask[None], shape, oc[None], om[None],
+        kernel, stride, pad).reshape(v_out, k)
+
+    feats = jnp.asarray(rng.normal(size=(v_in, cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(k, cin, cout)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(v_out, cout)).astype(np.float32))
+
+    def ref_loss(f, ww):
+        f0 = jnp.concatenate([f, jnp.zeros((1, cin))], axis=0)
+        return jnp.sum(jnp.einsum("mkc,kcd->md", f0[idx], ww) * g)
+
+    dfe_ref, dw_ref = jax.grad(ref_loss, argnums=(0, 1))(feats, w)
+
+    # build rev like sparse_conv._onehot_conv_bwd does
+    mm = jnp.arange(v_out, dtype=jnp.int32)[:, None]
+    dest = idx * k + jnp.arange(k, dtype=jnp.int32)[None, :]
+    rev = jnp.full((v_in * k,), v_out, jnp.int32).at[
+        dest.reshape(-1)].set(
+        jnp.broadcast_to(mm, (v_out, k)).reshape(-1),
+        mode="drop").reshape(v_in, k)
+
+    for wp, ct in ((64, 64), (16, 4)):   # roomy + forced-OOW layouts
+        dfe, dw = gather_matmul_onehot_symbwd(
+            feats, rev, w, g, tm=128, wp=wp, correction_tiles=ct,
+            interpret=True, flip=False)
+        np.testing.assert_allclose(np.asarray(dfe), np.asarray(dfe_ref),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                                   rtol=1e-3, atol=1e-3)
+
+    # and through the custom_vjp route (interpret kernels)
+    prev_b, prev_i = sc.ONEHOT_BWD, sc.ONEHOT_INTERPRET
+    sc.ONEHOT_BWD, sc.ONEHOT_INTERPRET = "revsym", True
+    try:
+        dfe, dw = jax.grad(
+            lambda fe, we: jnp.sum(sc._onehot_conv(fe, idx, we) * g),
+            argnums=(0, 1))(feats, w)
+    finally:
+        sc.ONEHOT_BWD, sc.ONEHOT_INTERPRET = prev_b, prev_i
+    np.testing.assert_allclose(np.asarray(dfe), np.asarray(dfe_ref),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(dw), np.asarray(dw_ref),
+                               rtol=1e-3, atol=1e-3)
