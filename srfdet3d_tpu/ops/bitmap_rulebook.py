@@ -134,6 +134,111 @@ def decimate_bits(lo: jnp.ndarray, hi: jnp.ndarray, pz: int, zout: int
     return out & _mask_below(jnp.int32(zout))
 
 
+def _shift_bits_up(bm: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Shift a word-array bit sequence toward higher bit positions:
+    out bit i = in bit (i - n), across word boundaries (bit i of word k is
+    sequence position k*32 + i; zeros shift in).  n in [0, 32)."""
+    if n == 0:
+        return bm
+    un, comp = jnp.uint32(n), jnp.uint32(32 - n)
+    prev = jnp.concatenate(
+        [jnp.zeros_like(bm[..., :1]), bm[..., :-1]], axis=-1)
+    return jnp.left_shift(bm, un) | jnp.right_shift(prev, comp)
+
+
+def _shift_bits_down(bm: jnp.ndarray, n: int) -> jnp.ndarray:
+    """out bit i = in bit (i + n), across word boundaries; n in [0, 32)."""
+    if n == 0:
+        return bm
+    un, comp = jnp.uint32(n), jnp.uint32(32 - n)
+    nxt = jnp.concatenate(
+        [bm[..., 1:], jnp.zeros_like(bm[..., :1])], axis=-1)
+    return jnp.right_shift(bm, un) | jnp.left_shift(nxt, comp)
+
+
+def _plan_bitmap(cs: ColumnSet, emits: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W32) uint32 plan-occupancy bitmap of the columns selected by
+    `emits` (B, P): bit x%32 of word (y, x//32).  Distinct columns are
+    distinct cells, so scatter-add of single bits is exact OR."""
+    b, p, _ = cs.ccoords.shape
+    _, h, w = cs.shape
+    w32 = (w + 31) // 32
+    y, x = cs.ccoords[..., 0], cs.ccoords[..., 1]
+    word = y * w32 + jnp.right_shift(x, 5)
+    gword = jnp.where(emits,
+                      word + jnp.arange(b, dtype=jnp.int32)[:, None] *
+                      (h * w32), b * h * w32)
+    bits = _shl1(x & 31)
+    bm = jnp.zeros((b * h * w32 + 1,), jnp.uint32).at[
+        gword.reshape(-1)].add(bits.reshape(-1), mode="drop")
+    return bm[:b * h * w32].reshape(b, h, w32)
+
+
+def _decimate_plan(bm: jnp.ndarray, py: int, px: int, oh: int, ow: int
+                   ) -> jnp.ndarray:
+    """2D occupancy transform of a k3 s2 conv over the plan: out cell
+    (oy, ox) is set iff any input cell (2oy - py + dy, 2ox - px + dx),
+    dy/dx in {0..2}, is set.  bm (B, H, W32) -> (B, OH, OW32).
+
+    The x axis is decimate_bits generalized to a word array (shift by the
+    padding first, OR the three taps, compress even positions pairing
+    adjacent words); the y axis is three strided row slices OR'd."""
+    b, h, w32 = bm.shape
+    # pad BEFORE shifting: the px up-shift can carry the top word's high
+    # bits into a new word (w=96, px=1 pushes bit 95 to 96), and the
+    # even-word compress pairs words — one headroom word, rounded even
+    w32p = w32 + 1
+    w32p += w32p % 2
+    bm = jnp.pad(bm, ((0, 0), (0, 0), (0, w32p - w32)))
+    # x: out bit ox of a row = taps t at bit 2*ox
+    u = _shift_bits_up(bm, px)
+    t = u | _shift_bits_down(u, 1) | _shift_bits_down(u, 2)
+    ce = _compress_even(t)
+    ox_words = ce[..., 0::2] | jnp.left_shift(ce[..., 1::2], jnp.uint32(16))
+    ow32 = (ow + 31) // 32
+    ox_words = ox_words[..., :ow32]
+    if ox_words.shape[-1] < ow32:           # defensive; cannot happen
+        ox_words = jnp.pad(
+            ox_words, ((0, 0), (0, 0), (0, ow32 - ox_words.shape[-1])))
+    tail = ow - (ow32 - 1) * 32             # valid bits in the last word
+    mask = jnp.full((ow32,), 0xFFFFFFFF, jnp.uint32)
+    if tail < 32:
+        mask = mask.at[-1].set(
+            jnp.left_shift(_U1, jnp.uint32(tail)) - _U1 if tail > 0
+            else jnp.uint32(0))
+    ox_words = ox_words & mask[None, None, :]
+    # y: out row oy = input rows (2*oy - py + {0, 1, 2})
+    need = 2 * (oh - 1) + 3                 # padded rows consumed
+    padded = jnp.pad(ox_words, ((0, 0), (py, max(0, need - h - py)), (0, 0)))
+    return (padded[:, 0::2][:, :oh] | padded[:, 1::2][:, :oh] |
+            padded[:, 2::2][:, :oh])
+
+
+def _expand_columns(obm: jnp.ndarray, ow: int, out_cap: int):
+    """Output plan bitmap (B, OH, OW32) -> compact plan-major column list
+    (cc_o (B, P_out, 2) int32, cm_o (B, P_out) bool).  Word order is plan
+    order and bits ascend x, so ranks are plan-major; overflow drops the
+    highest plan keys (start_local >= out_cap), like the candidate-scatter
+    construction this replaces."""
+    b, oh, ow32 = obm.shape
+    nw = oh * ow32
+    words = obm.reshape(b, nw)
+    counts = _popcount(words)
+    inc = prefix_sum(counts.reshape(-1))
+    wstarts = jnp.arange(b, dtype=jnp.int32) * nw
+    base = jnp.where(wstarts > 0, inc[jnp.maximum(wstarts - 1, 0)], 0)
+    sb = jnp.repeat(jnp.arange(b, dtype=jnp.int32), nw)
+    start_local = ((inc - counts.reshape(-1)) - base[sb]).reshape(b, nw)
+    wslot, bit, vm = _expand_sites(words, words != jnp.uint32(0), counts,
+                                   start_local, out_cap)
+    widx = wslot - jnp.arange(b, dtype=jnp.int32)[:, None] * nw
+    cy = widx // ow32
+    cx = (widx % ow32) * 32 + bit
+    cc_o = jnp.where(vm[..., None],
+                     jnp.stack([cy, cx], axis=-1), 0)
+    return cc_o, vm
+
+
 def _select_bit(word: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
     """Position of the (k+1)-th set bit of a uint32 (k in [0, popcount))."""
     pos = jnp.zeros_like(k)
@@ -351,6 +456,83 @@ def plan_neighbors9(table: jnp.ndarray, ybase: jnp.ndarray,
     return jnp.where(valid, out, miss).reshape(b, q, 9)
 
 
+import os as _os
+
+# A/B knobs for the two round-2 rulebook experiments (36726ab), re-landed
+# SEPARATELY after the unsplit commit regressed flagship predict 2.9x
+# end-to-end while every micro-part measured faster.  Isolated on-device
+# (round 3, /tmp/bench_ab_*.log):
+#   sites=bitmap ALONE:      7.258 f/s / p50 163.9 ms  (base 6.078/195.2)
+#   neighbors=slice2d ALONE: 1.774 f/s / p50 593.4 ms  <- the regression:
+#     the vmapped (3,3) dynamic-slice gather collapses in the full
+#     program despite fast micro-benches.
+# Hence bitmap sites are the DEFAULT and slice2d stays opt-in only.
+# Flip a default ONLY with a same-session end-to-end bench.py number.
+NEIGHBORS_METHOD = _os.environ.get("SRFDET_RB_NEIGHBORS", "slice3")
+SITES_METHOD = _os.environ.get("SRFDET_RB_SITES", "bitmap")
+
+
+def plan_table2d(cs: ColumnSet) -> jnp.ndarray:
+    """Bordered (B*(H+2), W+2) int32 plan table: row b*(H+2) + y + 1,
+    col x + 1 hold the GLOBAL column slot of cell (b, y, x); the 1-cell
+    per-sample border holds the miss slot B*P.  One (3, 3) dynamic slice
+    per query then fetches all 9 plan neighbors — 3x fewer gather
+    descriptor rows than three 1D row slices (the gather wall is per-row
+    overhead, not bytes; PERF.md).  Valid only for neighbor bases in
+    [-1, dim-2], i.e. kernel-3 queries with padding <= 1 — every shipped
+    config; larger pads take the slice3 path."""
+    b, p, _ = cs.ccoords.shape
+    _, h, w = cs.shape
+    rows, cols = b * (h + 2), w + 2
+    key = ((jnp.arange(b, dtype=jnp.int32)[:, None] * (h + 2) +
+            cs.ccoords[..., 0] + 1) * cols + cs.ccoords[..., 1] + 1)
+    gkey = jnp.where(cs.cmask, key, rows * cols)
+    slots = (jnp.arange(b, dtype=jnp.int32)[:, None] * p +
+             jnp.arange(p, dtype=jnp.int32)[None, :])
+    t = jnp.full((rows * cols + 1,), b * p, jnp.int32).at[
+        gkey.reshape(-1)].set(slots.reshape(-1), mode="drop")
+    return t[:rows * cols].reshape(rows, cols)
+
+
+def plan_neighbors9_2d(table2d: jnp.ndarray, ybase: jnp.ndarray,
+                       xbase: jnp.ndarray, qmask: jnp.ndarray,
+                       hw: Tuple[int, int], b: int, p: int) -> jnp.ndarray:
+    """plan_neighbors9 via one (3, 3) slice per query on a plan_table2d.
+
+    Requires ybase in [-1, h-2] and xbase in [-1, w-2] (guaranteed for
+    kernel-3 pads <= 1): the per-sample border absorbs the -1/+1 cells, so
+    slices never cross into a neighboring sample's rows."""
+    h, w = hw
+    q = ybase.shape[1]
+    gb = jnp.arange(b, dtype=jnp.int32)[:, None]
+    r0 = gb * (h + 2) + ybase + 1
+    c0 = xbase + 1
+    out = jax.vmap(
+        lambda r, c: jax.lax.dynamic_slice(table2d, (r, c), (3, 3)))(
+        r0.reshape(-1), c0.reshape(-1)).reshape(b, q, 3, 3)
+    d3 = jnp.arange(3, dtype=jnp.int32)
+    vy = ((ybase[..., None] + d3 >= 0) & (ybase[..., None] + d3 < h))
+    vx = ((xbase[..., None] + d3 >= 0) & (xbase[..., None] + d3 < w))
+    valid = (vy[..., :, None] & vx[..., None, :] & qmask[..., None, None])
+    return jnp.where(valid, out, b * p).reshape(b, q, 9)
+
+
+def _use_slice2d(pads: Tuple[int, int]) -> bool:
+    return (NEIGHBORS_METHOD == "slice2d" and pads[0] <= 1 and pads[1] <= 1)
+
+
+def _plan_neighbors(cs: ColumnSet, ybase, xbase, qmask,
+                    pads: Tuple[int, int] = (1, 1)) -> jnp.ndarray:
+    """Dispatch: bordered-2D-slice table when the query geometry allows,
+    else the general 1D 3-slice table."""
+    b, p, _ = cs.ccoords.shape
+    if _use_slice2d(pads):
+        return plan_neighbors9_2d(plan_table2d(cs), ybase, xbase, qmask,
+                                  cs.shape[1:], b, p)
+    return plan_neighbors9(plan_table(cs), ybase, xbase, qmask,
+                           cs.shape[1:], b, p)
+
+
 def _packed_columns(cs: ColumnSet) -> jnp.ndarray:
     """(B*P + 1, 3) int32 rows [cstart, lo, hi]; miss row = empty column."""
     b, p, _ = cs.ccoords.shape
@@ -386,10 +568,8 @@ def subm_rulebook_bitmap(cs: ColumnSet, vcol: jnp.ndarray, vz: jnp.ndarray,
     row_cap = cs.row_cap
     miss_row = b * row_cap
 
-    table = plan_table(cs)
-    nbr = plan_neighbors9(
-        table, cs.ccoords[..., 0] - 1, cs.ccoords[..., 1] - 1,
-        cs.cmask, cs.shape[1:], b, p)                    # (B, P, 9)
+    nbr = _plan_neighbors(cs, cs.ccoords[..., 0] - 1,
+                          cs.ccoords[..., 1] - 1, cs.cmask)  # (B, P, 9)
     pk = _packed_columns(cs)[nbr.reshape(-1)].reshape(b * p, 27)
     pk = jnp.concatenate(                                # miss column row
         [pk, jnp.tile(jnp.array([[0, 0, 0]], jnp.int32), (1, 9))], axis=0)
@@ -418,13 +598,6 @@ def _strided_sites_impl(cs: ColumnSet, padding: Tuple[int, int, int],
     if od <= 0 or oh <= 0 or ow <= 0 or od > 32:
         raise ValueError("bitmap strided conv needs 0 < out depth <= 32")
 
-    y, x = cs.ccoords[..., 0], cs.ccoords[..., 1]
-    # per-dim candidate outputs: o in [ceil((i+p-2)/2), (i+p)//2]
-    ylo = -(-(y + py - 2) // 2)
-    yhi = (y + py) // 2
-    xlo = -(-(x + px - 2) // 2)
-    xhi = (x + px) // 2
-
     # a column whose DECIMATED z bits are empty (every voxel's output taps
     # clip past the output depth) contributes no site to ANY candidate
     # cell — gating it out of candidate emission keeps the '#columns <=
@@ -434,56 +607,73 @@ def _strided_sites_impl(cs: ColumnSet, padding: Tuple[int, int, int],
     dlo = decimate_bits(cs.lo, cs.hi, pz, od)           # (B, P_in)
     emits = cs.cmask & (dlo != jnp.uint32(0))
 
-    # 2D occupancy of candidate cells (<= 4 per input column)
-    ohw = oh * ow
-    occ = jnp.zeros((b * ohw + 1,), bool)
-    offs_b = (jnp.arange(b, dtype=jnp.int32) * ohw)[:, None]
-    for iy in range(2):
-        for ix in range(2):
-            cy = ylo + iy
-            cx = xlo + ix
-            ok = ((cy <= yhi) & (cx <= xhi) & (cy >= 0) & (cx >= 0) &
-                  (cy < oh) & (cx < ow) & emits)
-            key = jnp.where(ok, cy * ow + cx + offs_b, b * ohw)
-            occ = occ.at[key.reshape(-1)].set(True, mode="drop")
-    occ = occ[:b * ohw]
-
-    pref = prefix_count(occ)                            # inclusive - 1
-    starts = jnp.arange(b, dtype=jnp.int32) * ohw
-    base = jnp.where(starts > 0, pref[jnp.maximum(starts - 1, 0)] + 1, 0)
-
-    # scatter output-column coords from the candidate side (duplicate
-    # writers write identical values)
+    # Output-column occupancy as a 2D plan-bitmap dilate-decimate — the
+    # k3 s2 occupancy transform applied to (y, x) exactly as decimate_bits
+    # applies it to z.  The previous candidate-side construction scattered
+    # <= 4 candidate cells per input column (12 scatters + a 4x pref
+    # gather + a B*OH*OW prefix over ~1.5M rows total at stage 0,
+    # ~17 ms of its 27 ms — tools/bench_rb_parts.py); the bitmap form is
+    # one P-row scatter plus VPU bit math on a (H, W/32) word image.
     p_out = out_cap
-    trash = b * (p_out + 1) - 1
-    cc_o = jnp.zeros((b * (p_out + 1), 2), jnp.int32)
-    cm_o = jnp.zeros((b * (p_out + 1),), bool)
-    for iy in range(2):
-        for ix in range(2):
-            cy = ylo + iy
-            cx = xlo + ix
-            ok = ((cy <= yhi) & (cx <= xhi) & (cy >= 0) & (cx >= 0) &
-                  (cy < oh) & (cx < ow) & emits)
-            key = jnp.where(ok, cy * ow + cx + offs_b, 0)
-            slot = pref[key.reshape(-1)].reshape(b, p) - base[:, None]
-            ok &= slot < p_out
-            gslot = jnp.where(
-                ok, slot + jnp.arange(b, dtype=jnp.int32)[:, None] *
-                (p_out + 1), trash)
-            cc_o = cc_o.at[gslot.reshape(-1)].set(
-                jnp.stack([cy, cx], -1).reshape(-1, 2), mode="drop")
-            cm_o = cm_o.at[gslot.reshape(-1)].set(
-                ok.reshape(-1), mode="drop")
-    cc_o = cc_o.reshape(b, p_out + 1, 2)[:, :p_out]
-    cm_o = cm_o.reshape(b, p_out + 1)[:, :p_out]
+    if SITES_METHOD == "bitmap":
+        bm = _plan_bitmap(cs, emits)                    # (B, H, W32)
+        obm = _decimate_plan(bm, py, px, oh, ow)        # (B, OH, OW32)
+        cc_o, cm_o = _expand_columns(obm, ow, p_out)
+    else:
+        # candidate-side construction (round-1 path): <= 4 candidate
+        # cells per input column; same plan-major order and overflow
+        # semantics as the bitmap form (equivalence fuzz-pinned)
+        y, x = cs.ccoords[..., 0], cs.ccoords[..., 1]
+        ylo = -(-(y + py - 2) // 2)
+        yhi = (y + py) // 2
+        xlo = -(-(x + px - 2) // 2)
+        xhi = (x + px) // 2
+        ohw = oh * ow
+        occ = jnp.zeros((b * ohw + 1,), bool)
+        offs_b = (jnp.arange(b, dtype=jnp.int32) * ohw)[:, None]
+        for iy in range(2):
+            for ix in range(2):
+                cy = ylo + iy
+                cx = xlo + ix
+                ok = ((cy <= yhi) & (cx <= xhi) & (cy >= 0) & (cx >= 0) &
+                      (cy < oh) & (cx < ow) & emits)
+                key = jnp.where(ok, cy * ow + cx + offs_b, b * ohw)
+                occ = occ.at[key.reshape(-1)].set(True, mode="drop")
+        occ = occ[:b * ohw]
+
+        pref = prefix_count(occ)                        # inclusive - 1
+        starts = jnp.arange(b, dtype=jnp.int32) * ohw
+        base = jnp.where(starts > 0,
+                         pref[jnp.maximum(starts - 1, 0)] + 1, 0)
+
+        trash = b * (p_out + 1) - 1
+        cc_o = jnp.zeros((b * (p_out + 1), 2), jnp.int32)
+        cm_o = jnp.zeros((b * (p_out + 1),), bool)
+        for iy in range(2):
+            for ix in range(2):
+                cy = ylo + iy
+                cx = xlo + ix
+                ok = ((cy <= yhi) & (cx <= xhi) & (cy >= 0) & (cx >= 0) &
+                      (cy < oh) & (cx < ow) & emits)
+                key = jnp.where(ok, cy * ow + cx + offs_b, 0)
+                slot = pref[key.reshape(-1)].reshape(b, p) - base[:, None]
+                ok &= slot < p_out
+                gslot = jnp.where(
+                    ok, slot + jnp.arange(b, dtype=jnp.int32)[:, None] *
+                    (p_out + 1), trash)
+                cc_o = cc_o.at[gslot.reshape(-1)].set(
+                    jnp.stack([cy, cx], -1).reshape(-1, 2), mode="drop")
+                cm_o = cm_o.at[gslot.reshape(-1)].set(
+                    ok.reshape(-1), mode="drop")
+        cc_o = cc_o.reshape(b, p_out + 1, 2)[:, :p_out]
+        cm_o = cm_o.reshape(b, p_out + 1)[:, :p_out]
 
     # output z bits: OR of the 9 input neighbors' decimated bits
     dpk = jnp.concatenate(
         [dlo.reshape(-1), jnp.zeros((1,), jnp.uint32)])
-    in_table = plan_table(cs)
-    nbr = plan_neighbors9(in_table, 2 * cc_o[..., 0] - py,
+    nbr = _plan_neighbors(cs, 2 * cc_o[..., 0] - py,
                           2 * cc_o[..., 1] - px, cm_o,
-                          (h, w), b, p)                  # (B, P_out, 9)
+                          pads=(py, px))                 # (B, P_out, 9)
     obits = dpk[nbr.reshape(-1)].reshape(b, p_out, 9)
     olo = obits[..., 0]
     for k in range(1, 9):
@@ -554,10 +744,9 @@ def strided_rulebook_bitmap(cs_in: ColumnSet, cs_out: ColumnSet,
     miss_row = b * row_cap
 
     if nbr is None:
-        in_table = plan_table(cs_in)
-        nbr = plan_neighbors9(in_table, 2 * cs_out.ccoords[..., 0] - py,
+        nbr = _plan_neighbors(cs_in, 2 * cs_out.ccoords[..., 0] - py,
                               2 * cs_out.ccoords[..., 1] - px, cs_out.cmask,
-                              cs_in.shape[1:], b, p_in)  # (B, P_out, 9)
+                              pads=(py, px))             # (B, P_out, 9)
     pk = _packed_columns(cs_in)[nbr.reshape(-1)].reshape(b * p_out, 27)
     pk = jnp.concatenate(
         [pk, jnp.tile(jnp.array([[0, 0, 0]], jnp.int32), (1, 9))], axis=0)

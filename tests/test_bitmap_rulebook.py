@@ -111,6 +111,30 @@ def test_subm_rulebook_matches_table_backend():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_plan_neighbor_methods_agree():
+    """The bordered-2D-slice plan table must return the same 9 neighbor
+    slots as the general 1D 3-slice table, including at grid borders and
+    for both subm (base = coord - 1) and strided (base = 2*coord - pad)
+    query geometries."""
+    from srfdet3d_tpu.ops import bitmap_rulebook as br
+    _, c2, m2, cs, vcol, vz = _columns(seed=3)
+    b, p, _ = cs.ccoords.shape
+    queries = [
+        (cs.ccoords[..., 0] - 1, cs.ccoords[..., 1] - 1, cs.cmask, (1, 1)),
+        (2 * cs.ccoords[..., 0], 2 * cs.ccoords[..., 1], cs.cmask, (0, 0)),
+    ]
+    for ybase, xbase, qmask, pads in queries:
+        # strided bases query the OUTPUT grid of a downsample; clip to the
+        # contract's valid base range for the input grid being tested
+        ybase = jnp.clip(ybase, -1, cs.shape[1] - 2)
+        xbase = jnp.clip(xbase, -1, cs.shape[2] - 2)
+        a = br.plan_neighbors9_2d(br.plan_table2d(cs), ybase, xbase,
+                                  qmask, cs.shape[1:], b, p)
+        c = br.plan_neighbors9(br.plan_table(cs), ybase, xbase, qmask,
+                               cs.shape[1:], b, p)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
 def test_strided_bitmap_matches_dense_conv():
     f2, c2, m2, cs, vcol, vz = _columns(seed=5)
     rng = np.random.RandomState(6)
@@ -304,10 +328,17 @@ def test_strided_bitmap_fuzz_shapes_and_pads():
     conv must equal a dense lax conv masked to the active output sites
     (spconv semantics) for every draw."""
     rng = np.random.RandomState(7)
-    for trial in range(6):
+    for trial in range(9):
         d = int(rng.randint(5, 42))
-        h = int(rng.randint(5, 20))
-        w = int(rng.randint(5, 20))
+        if trial < 6:
+            h = int(rng.randint(5, 20))
+            w = int(rng.randint(5, 20))
+        else:
+            # multi-word plan widths: the bitmap site generation shifts
+            # bits ACROSS word boundaries and masks the tail word — cover
+            # w > 64 incl. exact word multiples
+            h = int(rng.randint(5, 40))
+            w = int(rng.choice([63, 64, 65, 70, 96, 97, 130]))
         pad = tuple(int(p) for p in rng.randint(0, 2, size=3))
         od = (d + 2 * pad[0] - 3) // 2 + 1
         if od <= 0 or od > 32 or (h + 2 * pad[1] - 3) // 2 + 1 <= 0 \
@@ -350,3 +381,55 @@ def test_strided_bitmap_fuzz_shapes_and_pads():
         np.testing.assert_allclose(
             np.asarray(dense_out), np.asarray(want), rtol=1e-4, atol=1e-4,
             err_msg=f"trial {trial}: shape={shape} pad={pad} n={n}")
+
+
+def test_sites_methods_agree():
+    """SITES_METHOD='bitmap' (plan dilate-decimate) and 'candidates'
+    (candidate-cell scatter) must emit IDENTICAL output columns — same
+    plan-major order, same masks, same z bitmaps — including multi-word
+    plan widths and capacity overflow (both drop the highest plan keys)."""
+    from srfdet3d_tpu.ops import bitmap_rulebook as br
+    rng = np.random.RandomState(11)
+    for trial in range(8):
+        d = int(rng.randint(5, 42))
+        h = int(rng.randint(5, 40))
+        w = int(rng.choice([9, 17, 63, 64, 65, 96, 130]))
+        pad = tuple(int(p) for p in rng.randint(0, 2, size=3))
+        od = (d + 2 * pad[0] - 3) // 2 + 1
+        if od <= 0 or od > 32 or (h + 2 * pad[1] - 3) // 2 + 1 <= 0 \
+                or (w + 2 * pad[2] - 3) // 2 + 1 <= 0:
+            continue
+        shape = (d, h, w)
+        n = int(rng.randint(1, min(110, d * h * w)))
+        lin = np.sort(rng.choice(d * h * w, size=n, replace=False))
+        c = np.stack([lin // (h * w), (lin // w) % h, lin % w],
+                     -1).astype(np.int32)
+        v_cap = 128
+        coords = np.zeros((1, v_cap, 3), np.int32)
+        coords[0, :n] = c
+        mask = np.zeros((1, v_cap), bool)
+        mask[0, :n] = True
+        _, c2, m2 = sort_plan_major(
+            jnp.zeros((1, v_cap, 1)), jnp.array(coords), jnp.array(mask),
+            shape)
+        cs, vcol, vz = build_columns(c2, m2, shape)
+        # cap 16 on one draw exercises the overflow-drop parity
+        cap = 16 if trial == 3 else 256
+        outs = {}
+        prev = br.SITES_METHOD
+        try:
+            for meth in ("candidates", "bitmap"):
+                br.SITES_METHOD = meth
+                outs[meth] = strided_sites_bitmap(cs, pad, cap)
+        finally:
+            br.SITES_METHOD = prev
+        for a, b_ in zip(outs["candidates"], outs["bitmap"]):
+            if hasattr(a, "ccoords"):
+                np.testing.assert_array_equal(np.asarray(a.ccoords),
+                                              np.asarray(b_.ccoords))
+                np.testing.assert_array_equal(np.asarray(a.cmask),
+                                              np.asarray(b_.cmask))
+                np.testing.assert_array_equal(np.asarray(a.lo),
+                                              np.asarray(b_.lo))
+            else:
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
