@@ -390,7 +390,7 @@ def test_sites_methods_agree():
     plan widths and capacity overflow (both drop the highest plan keys)."""
     from srfdet3d_tpu.ops import bitmap_rulebook as br
     rng = np.random.RandomState(11)
-    for trial in range(8):
+    for trial in range(5):
         d = int(rng.randint(5, 42))
         h = int(rng.randint(5, 40))
         w = int(rng.choice([9, 17, 63, 64, 65, 96, 130]))

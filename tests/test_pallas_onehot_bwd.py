@@ -206,7 +206,8 @@ def test_revsym_strided_bwd_matches_autodiff():
         jnp.broadcast_to(mm, (v_out, k)).reshape(-1),
         mode="drop").reshape(v_in, k)
 
-    for wp, ct in ((64, 64), (16, 4)):   # roomy + forced-OOW layouts
+    for wp, ct in ((16, 4),):            # forced-OOW layout (covers both
+                                         # kernel and correction paths)
         dfe, dw = gather_matmul_onehot_symbwd(
             feats, rev, w, g, tm=128, wp=wp, correction_tiles=ct,
             interpret=True, flip=False)
