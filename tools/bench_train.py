@@ -81,6 +81,20 @@ def main():
         print(f"{fwd}/{bwd}: train step p50 {p50:.0f} ms "
               f"({1000.0 / p50:.2f} steps/s)", flush=True)
 
+        # stream-amortized: dispatch N steps, sync once — the real
+        # training-loop configuration (logging reads back every
+        # log_interval steps, not every step), without the ~28 ms
+        # per-step tunnel readback the p50 above includes
+        n_stream = 10
+        t0 = time.perf_counter()
+        for _ in range(n_stream - 1):
+            s2, metrics = step(holder["state"], batch, jax.random.PRNGKey(2))
+            holder["state"] = s2
+        run()
+        stream = (time.perf_counter() - t0) / n_stream * 1000
+        print(f"{fwd}/{bwd}: train step stream {stream:.0f} ms/step "
+              f"({1000.0 / stream:.2f} steps/s)", flush=True)
+
 
 if __name__ == "__main__":
     main()
