@@ -95,14 +95,73 @@ def compute_statistics(ious: np.ndarray, gt_ign: np.ndarray,
                        min_overlap: float, thresh: float,
                        compute_fp: bool
                        ) -> Tuple[int, int, int, List[float]]:
-    """Official `compute_statistics_jit` for the 3D metric: one frame.
+    """Official `compute_statistics_jit` for the 3D metric: one frame —
+    detection loop vectorized with numpy (the official port numba-jits
+    the same double loop; `compute_statistics_ref` below keeps the
+    literal scalar form as the fuzz oracle).
 
     ious (n_det, n_gt); gt_ign/det_ign in {0 valid, 1 ignored, -1 skip};
     detections below `thresh` are invisible when compute_fp.  GT loop runs
     IN INDEX ORDER (the official semantics — an ignored GT earlier in the
     frame absorbs a detection a later valid GT could have claimed).
     Returns (tp, fp, fn, matched-TP scores).
+
+    Selection semantics reproduced exactly (derivation from the official
+    scan: `assigned_ignored_det` makes any valid candidate override an
+    ignored one, and strict `>` comparisons make ties resolve to the
+    FIRST maximum — which is what np.argmax returns):
+      - compute_fp=False: among visible unassigned dets with
+        overlap > min_overlap, the highest-SCORE one (first on ties);
+      - compute_fp=True: the highest-OVERLAP det_ign==0 candidate; if
+        none, the FIRST det_ign==1 candidate (absorbs, neither TP/FP).
     """
+    n_det, n_gt = ious.shape
+    assigned = np.zeros(n_det, bool)
+    ignored_threshold = (det_scores < thresh) if compute_fp else \
+        np.zeros(n_det, bool)
+    base_ok = (det_ign != -1) & ~ignored_threshold
+    ov = ious > min_overlap
+    tp = fp = fn = 0
+    tp_scores: List[float] = []
+    for i in range(n_gt):
+        if gt_ign[i] == -1:
+            continue
+        cand = base_ok & ~assigned & ov[:, i]
+        det_idx = -1
+        if not compute_fp:
+            idxs = np.nonzero(cand)[0]
+            if len(idxs):
+                det_idx = int(idxs[np.argmax(det_scores[idxs])])
+        else:
+            vi = np.nonzero(cand & (det_ign == 0))[0]
+            if len(vi):
+                det_idx = int(vi[np.argmax(ious[vi, i])])
+            else:
+                ii = np.nonzero(cand & (det_ign == 1))[0]
+                if len(ii):
+                    det_idx = int(ii[0])
+        if det_idx == -1:
+            if gt_ign[i] == 0:
+                fn += 1
+        elif gt_ign[i] == 1 or det_ign[det_idx] == 1:
+            assigned[det_idx] = True
+        else:
+            tp += 1
+            tp_scores.append(float(det_scores[det_idx]))
+            assigned[det_idx] = True
+    if compute_fp:
+        fp = int(np.sum(~assigned & (det_ign == 0) & ~ignored_threshold))
+    return tp, fp, fn, tp_scores
+
+
+def compute_statistics_ref(ious: np.ndarray, gt_ign: np.ndarray,
+                           det_ign: np.ndarray, det_scores: np.ndarray,
+                           min_overlap: float, thresh: float,
+                           compute_fp: bool
+                           ) -> Tuple[int, int, int, List[float]]:
+    """Literal scalar-loop port of the official `compute_statistics_jit`
+    — kept as the oracle for the vectorized version above (fuzz-tested
+    equal in tests/test_evals_oracle.py)."""
     n_det, n_gt = ious.shape
     assigned = np.zeros(n_det, bool)
     ignored_threshold = (det_scores < thresh) if compute_fp else \

@@ -1,7 +1,9 @@
 """Native Waymo detection metrics (AP / APH, LEVEL_1 / LEVEL_2).
 
-Replaces the Waymo C++ `compute_detection_metrics_main` bazel binary the
-reference shells out to (README.md:72-93).  Protocol:
+Replaces the Waymo `compute_detection_metrics_main` bazel binary the
+reference shells out to (README.md:72-93) for the OBJECT_TYPE, RANGE and
+VELOCITY breakdown axes; the camera-synced-box variant of the binary is
+NOT implemented (see "Remaining simplifications" below).  Protocol:
 
   - match by 3D IoU: Car/Vehicle 0.7, Pedestrian/Cyclist 0.5, greedy in
     score order,
@@ -14,18 +16,26 @@ reference shells out to (README.md:72-93).  Protocol:
     compute_detection_metrics semantics (a 90°-heading detector halves
     recall too, not just precision),
   - RANGE breakdown shards ([0, 30), [30, 50), [50, inf) m by BEV center
-    distance, the official OBJECT_TYPE x RANGE axes): GTs and predictions
-    are sharded by their own center range; a detection matched to a GT in
-    a different shard is ignored in both shards (neither TP nor FP —
-    boundary-straddling pairs don't double-count),
+    distance, the official OBJECT_TYPE x RANGE axes): GTs shard by their
+    own center range; a matched detection is credited as a TP to its
+    *GT's* shard (official semantics — the pair scores in the bucket the
+    ground truth lives in), unmatched detections count as FPs in their
+    own shard,
+  - VELOCITY breakdown shards by GT speed magnitude, the official
+    buckets: STATIONARY [0, 0.2), SLOW [0.2, 1), MEDIUM [1, 3),
+    FAST [3, 10), VERY_FAST [10, inf) m/s.  Matched pairs shard by the
+    GT's speed; unmatched detections by their own reported velocity
+    (zero — STATIONARY — when the export carries none).  Velocity comes
+    from a "velocity" (N, 2) key or columns 7:9 of 9-wide boxes,
   - NLZ: predictions flagged `overlap_nlz` that fail to match any GT are
     ignored rather than counted FP (the official pair-metrics rule; the
     mmdet3d-style .bin export carries no NLZ info, so the flag is
     optional and defaults to False everywhere).
 
 Remaining simplifications vs the binary (documented, not claimed):
-velocity/acceleration breakdowns and the camera-synced boxes variant are
-not implemented; matching is greedy by score (the official matcher
+the camera-synced boxes variant (separate prediction files projected to
+camera-synchronized box frames) and the acceleration axis are not
+implemented; matching is greedy by score (the official matcher
 maximizes total IoU via Hungarian on ties — indistinguishable on
 real score distributions).
 """
@@ -46,6 +56,11 @@ IOU_THRESHOLDS = {"Car": 0.7, "Vehicle": 0.7, "Pedestrian": 0.5,
 RANGE_BUCKETS: Tuple[Tuple[float, float], ...] = (
     (0.0, 30.0), (30.0, 50.0), (50.0, float("inf")))
 RANGE_NAMES = ("0_30", "30_50", "50_inf")
+
+# official VELOCITY breakdown edges (speed magnitude, m/s)
+VELOCITY_BUCKETS: Tuple[Tuple[float, float], ...] = (
+    (0.0, 0.2), (0.2, 1.0), (1.0, 3.0), (3.0, 10.0), (10.0, float("inf")))
+VELOCITY_NAMES = ("stationary", "slow", "medium", "fast", "very_fast")
 
 
 def _heading_acc(yaw_p: float, yaw_g: float) -> float:
@@ -76,6 +91,25 @@ def _bev_range(boxes: np.ndarray) -> np.ndarray:
     return np.hypot(boxes[:, 0], boxes[:, 1])
 
 
+def _speed(d: Dict) -> np.ndarray:
+    boxes = d["boxes"]
+    if "velocity" in d:
+        v = np.asarray(d["velocity"], float)
+        return np.hypot(v[:, 0], v[:, 1])
+    if boxes.shape[1] >= 9:
+        return np.hypot(boxes[:, 7], boxes[:, 8])
+    return np.zeros(len(boxes))
+
+
+def _bucketize(vals: np.ndarray, buckets, names) -> np.ndarray:
+    """Per-row shard name (object dtype) for one breakdown axis."""
+    out = np.empty(len(vals), object)
+    for (lo, hi), nm in zip(buckets, names):
+        sel = (vals >= lo) & (vals < hi)
+        out[sel] = nm
+    return out
+
+
 class _Accum:
     """One (level, shard) PR accumulator."""
 
@@ -101,21 +135,28 @@ class _Accum:
 def waymo_eval(gts: List[Dict], preds: List[Dict],
                class_names: Sequence[str] = ("Car", "Pedestrian",
                                              "Cyclist"),
-               range_breakdown: bool = False) -> Dict:
+               range_breakdown: bool = False,
+               velocity_breakdown: bool = False) -> Dict:
     """gts: {"boxes" (N, 7) with GRAVITY-center z (iou_3d derives z
     extents as cz -/+ h/2), "labels_name", optional "num_points" (N,),
-    optional "difficulty" (N,)}; preds add "scores" and optionally
-    "overlap_nlz" (M,) bool (unmatched NLZ-overlapping detections are
-    ignored, not FPs).
+    optional "difficulty" (N,), optional "velocity" (N, 2)}; preds add
+    "scores" and optionally "overlap_nlz" (M,) bool (unmatched
+    NLZ-overlapping detections are ignored, not FPs).
 
     Returns {"{cls}_AP_L1", "{cls}_APH_L1", "{cls}_AP_L2", "{cls}_APH_L2",
     "mAPH_L1", "mAPH_L2"} plus, when range_breakdown=True,
-    "{cls}_AP[H]_L{1,2}_{0_30,30_50,50_inf}" per-range shards.
+    "{cls}_AP[H]_L{1,2}_{0_30,30_50,50_inf}" per-range shards, and when
+    velocity_breakdown=True, "{cls}_AP[H]_L{1,2}_{stationary,slow,medium,
+    fast,very_fast}" per-speed shards.  Matched pairs are credited to the
+    GT's shard on every axis (official breakdown semantics); unmatched
+    FPs to the prediction's own shard.
     """
     out = {}
     shard_names: Tuple[Optional[str], ...] = (None,)
     if range_breakdown:
-        shard_names = (None,) + RANGE_NAMES
+        shard_names = shard_names + RANGE_NAMES
+    if velocity_breakdown:
+        shard_names = shard_names + VELOCITY_NAMES
     for cls in class_names:
         thr = IOU_THRESHOLDS.get(cls, 0.5)
         # IoU depends only on (frame, class) — compute once, reuse for
@@ -145,22 +186,31 @@ def waymo_eval(gts: List[Dict], preds: List[Dict],
                     lvl_ok = (npts > 5) & (diff < 2)
                 else:
                     lvl_ok = np.ones(len(g["boxes"]), bool)
-                g_rng = _bev_range(g["boxes"]) if range_breakdown else None
-                p_rng = _bev_range(p["boxes"]) if range_breakdown else None
 
-                def shards_of(rng_val: float):
-                    names = [None]
+                # per-object shard membership: [None] + one shard per
+                # active breakdown axis
+                def shard_table(d: Dict) -> List[List[Optional[str]]]:
+                    n = len(d["boxes"])
+                    tbl: List[List[Optional[str]]] = [[None] for _ in
+                                                      range(n)]
                     if range_breakdown:
-                        for (lo, hi), nm in zip(RANGE_BUCKETS, RANGE_NAMES):
-                            if lo <= rng_val < hi:
-                                names.append(nm)
-                    return names
+                        rng = _bucketize(_bev_range(d["boxes"]),
+                                         RANGE_BUCKETS, RANGE_NAMES)
+                        for i in range(n):
+                            tbl[i].append(rng[i])
+                    if velocity_breakdown:
+                        vel = _bucketize(_speed(d), VELOCITY_BUCKETS,
+                                         VELOCITY_NAMES)
+                        for i in range(n):
+                            tbl[i].append(vel[i])
+                    return tbl
+
+                g_shards = shard_table(g)
+                p_shards_all = shard_table(p)
 
                 for gi in g_sel:
                     if lvl_ok[gi]:
-                        buckets = shards_of(g_rng[gi]) if range_breakdown \
-                            else [None]
-                        for s in buckets:
+                        for s in g_shards[gi]:
                             acc[s].npos += 1
                 if len(p_order) == 0:
                     continue
@@ -178,8 +228,6 @@ def waymo_eval(gts: List[Dict], preds: List[Dict],
 
                 for pi in range(len(p_order)):
                     score = float(p["scores"][p_order[pi]])
-                    p_shards = shards_of(p_rng[p_order[pi]]) \
-                        if range_breakdown else [None]
                     # valid (in-level) GTs first: an out-of-level GT must
                     # not steal a detection a counted GT can claim
                     gi = best(pi, True)
@@ -188,14 +236,11 @@ def waymo_eval(gts: List[Dict], preds: List[Dict],
                         h = _heading_acc(
                             float(p["boxes"][p_order[pi]][6]),
                             float(g["boxes"][g_sel[gi]][6]))
-                        g_shards = shards_of(g_rng[g_sel[gi]]) \
-                            if range_breakdown else [None]
-                        # TP lands in the shard(s) BOTH ends agree on;
-                        # a boundary-straddling pair is ignored in the
-                        # disagreeing shards (neither TP nor FP)
-                        for s in p_shards:
-                            if s in g_shards:
-                                acc[s].add(True, score, h)
+                        # official breakdown semantics: the TP is
+                        # credited to the shard the GT lives in (its
+                        # npos was counted there), on every axis
+                        for s in g_shards[g_sel[gi]]:
+                            acc[s].add(True, score, h)
                         continue
                     gi = best(pi, False)
                     if gi >= 0:          # ignored GT absorbs the det
@@ -203,7 +248,7 @@ def waymo_eval(gts: List[Dict], preds: List[Dict],
                         continue
                     if nlz[p_order[pi]]:
                         continue         # unmatched NLZ detection: ignored
-                    for s in p_shards:
+                    for s in p_shards_all[p_order[pi]]:
                         acc[s].add(False, score, 0.0)
             for s in shard_names:
                 ap, aph = acc[s].result()

@@ -640,7 +640,10 @@ def _onehot_conv_bwd(res, g):
     """Backward identical to the XLA path's autodiff: re-gather for dW,
     scatter-add for dfeats (the forward kernel is gather+matmul exactly).
 
-    With SRFDET_GATHER_BWD=revsym (default) the rulebook is transposed
+    With SRFDET_GATHER_BWD=revsym (opt-in; the shipped default is
+    "onehot" — revsym measured NEUTRAL end-to-end, PERF.md round-3, so
+    flipping the default requires a fresh bench.py number) the rulebook
+    is transposed
     once — rev[r, j] = the unique output m with idx[m, j] = r (one int32
     scatter; unique because a fixed offset maps each input cell to at
     most one output cell, any kernel/stride) — and the backward becomes

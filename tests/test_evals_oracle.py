@@ -191,10 +191,11 @@ def test_waymo_range_breakdown_golden():
                                atol=1e-9)
 
 
-def test_waymo_range_boundary_pair_ignored():
+def test_waymo_range_boundary_pair_credits_gt_shard():
     """A detection at range 29.9 matching a GT at range 30.1 (shards
-    disagree): the pair is ignored in BOTH shards — not an FP in 0_30,
-    not a TP in 30_50 — while the unsharded metric still counts the TP."""
+    disagree): official breakdown semantics credit the TP to the *GT's*
+    shard (30_50, where its npos was counted) — not the detection's —
+    so 30_50 scores AP 1.0 and 0_30 stays clean (npos 0, no FP)."""
     gt = {"boxes": np.array([[30.1, 0, 0, 1.8, 4.2, 1.5, 0.0]], float),
           "labels_name": np.array(["Car"]),
           "num_points": np.array([10])}
@@ -205,7 +206,37 @@ def test_waymo_range_boundary_pair_ignored():
                      range_breakdown=True)
     assert out["Car_AP_L1"] > 0.9            # matched overall (IoU ~0.83)
     assert out["Car_AP_L1_0_30"] == 0.0      # npos 0, and no FP recorded
-    assert out["Car_AP_L1_30_50"] == 0.0     # npos 1, no TP
+    np.testing.assert_allclose(out["Car_AP_L1_30_50"], 1.0, atol=1e-9)
+
+
+def test_waymo_velocity_breakdown_golden():
+    """VELOCITY shards (official speed buckets, m/s): a stationary GT and
+    a fast GT (5 m/s) each matched exactly land AP 1.0 in their own
+    shards; an unmatched no-velocity FP pollutes only `stationary`.
+    Matched pairs shard by the GT's speed even when the prediction
+    reports a different one."""
+    gt = {"boxes": np.array([[10, 0, 0, 1.8, 4.2, 1.5, 0.0],
+                             [40, 0, 0, 1.8, 4.2, 1.5, 0.0]], float),
+          "labels_name": np.array(["Car", "Car"]),
+          "num_points": np.array([10, 10]),
+          "velocity": np.array([[0.0, 0.0], [5.0, 0.0]])}
+    pred = {"boxes": np.array([[10, 0, 0, 1.8, 4.2, 1.5, 0.0],
+                               [40, 0, 0, 1.8, 4.2, 1.5, 0.0],
+                               [60, 0, 0, 1.8, 4.2, 1.5, 0.0]], float),
+            "labels_name": np.array(["Car", "Car", "Car"]),
+            "scores": np.array([0.9, 0.8, 0.7]),
+            # pred #1 mis-reports 20 m/s; the pair still shards by GT
+            "velocity": np.array([[0.0, 0.0], [20.0, 0.0], [0.0, 0.0]])}
+    out = waymo_eval([gt], [pred], class_names=("Car",),
+                     velocity_breakdown=True)
+    np.testing.assert_allclose(out["Car_AP_L1_fast"], 1.0, atol=1e-9)
+    assert out["Car_AP_L1_very_fast"] == 0.0  # npos 0 there
+    # stationary: 1 TP (score .9) + 1 FP (score .7), npos 1 -> the FP
+    # sits after full recall: AP = 1.0 on the 101-pt grid except r=1
+    # takes the last duplicate precision 1/2... actually prec at the FP
+    # is 1/2 at rec 1; interp right-continuity: grid r=1 -> 0.5
+    np.testing.assert_allclose(out["Car_AP_L1_stationary"],
+                               (100 + 0.5) / 101, atol=1e-9)
 
 
 def test_waymo_nlz_prediction_ignored():
@@ -226,3 +257,28 @@ def test_waymo_nlz_prediction_ignored():
     pred_plain = {k: v for k, v in pred_nlz.items() if k != "overlap_nlz"}
     out2 = waymo_eval([gt], [pred_plain], class_names=("Car",))
     assert out2["Car_AP_L1"] < 1.0
+
+
+def test_kitti_statistics_vectorized_matches_scalar_oracle():
+    """The vectorized compute_statistics equals the literal scalar port
+    of the official compute_statistics_jit on randomized frames covering
+    every ignore state (-1/0/1 GTs and dets), both compute_fp modes, tie
+    overlaps, and threshold-invisible detections."""
+    from srfdet3d_tpu.evals.kitti_eval import (compute_statistics,
+                                               compute_statistics_ref)
+    rng = np.random.RandomState(0)
+    for trial in range(60):
+        n_det = rng.randint(0, 12)
+        n_gt = rng.randint(0, 10)
+        # quantized IoUs force frequent exact ties
+        ious = rng.randint(0, 5, size=(n_det, n_gt)) / 4.0
+        gt_ign = rng.choice([-1, 0, 1], size=n_gt)
+        det_ign = rng.choice([-1, 0, 1], size=n_det)
+        scores = np.round(rng.rand(n_det), 1)
+        for compute_fp in (False, True):
+            for thresh in (0.0, 0.45):
+                a = compute_statistics(ious, gt_ign, det_ign, scores,
+                                       0.5, thresh, compute_fp)
+                b = compute_statistics_ref(ious, gt_ign, det_ign, scores,
+                                           0.5, thresh, compute_fp)
+                assert a == b, (trial, compute_fp, thresh, a, b)
