@@ -208,6 +208,14 @@ class AugConfig:
     trans_std: Tuple[float, float, float] = (0.5, 0.5, 0.5)
     flip_horizontal: float = 0.5
     flip_vertical: float = 0.5
+    # synced 2D/3D horizontal flip (reference kitti_LC RandomFlip3D
+    # sync_2d=True, srfdet_voxel_kitti_LC.py:256 + mmdet3d
+    # RandomFlip3D / plugin transform_3d.py:374-430): with probability
+    # flip_horizontal, flip the images AND the 3D scene together, with
+    # exact lidar2img compensation (image-flip row transform + 3D-flip
+    # column negation) so projections stay consistent.  Supersedes the
+    # plain flip block when set.
+    sync_flip_2d: bool = False
     # per-object noise (mmdet3d ObjectNoise; used by the KITTI L pipeline,
     # reference srfdet_voxel_kitti_L.py:247-251)
     object_noise: bool = False

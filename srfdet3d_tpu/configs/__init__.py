@@ -192,10 +192,14 @@ def srfdet_voxel_kitti_LC() -> SRFDetConfig:
         # 366,384)
         optim=OptimConfig(freeze_lidar=True, batch_size_per_device=4,
                           epochs=20, warmup_iters=200),
-        # reference kitti LC keeps a sync_2d horizontal flip (image
-        # flipped with the boxes); we drop it instead — documented
-        # train-aug deviation, projection consistency preserved
-        aug=AugConfig.none())
+        # reference kitti LC keeps a sync_2d horizontal flip
+        # (srfdet_voxel_kitti_LC.py:256: RandomFlip3D
+        # flip_ratio_bev_horizontal=0.5, sync_2d default True — image
+        # and 3D scene flip together).  Reproduced with EXACT lidar2img
+        # compensation (the reference leaves the matrix stale, a known
+        # mmdet3d quirk; see AugConfig.sync_flip_2d)
+        aug=dataclasses.replace(AugConfig.none(), flip_horizontal=0.5,
+                                sync_flip_2d=True))
 
 
 def _waymo_base(name: str) -> SRFDetConfig:

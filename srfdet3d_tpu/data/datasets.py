@@ -74,8 +74,11 @@ class SRFDetDataset:
     def load_annotations(self, info: Dict):
         raise NotImplementedError
 
-    def load_images(self, info: Dict):
-        """Returns (images (n_cam, H, W, 3), lidar2img (n_cam, 4, 4))."""
+    def load_images(self, info: Dict, flip: bool = False):
+        """Returns (images (n_cam, H, W, 3), lidar2img (n_cam, 4, 4)).
+        flip=True mirrors every raw view horizontally and folds the
+        flip's projection compensation into lidar2img (the synced-2D/3D
+        flip path; the caller adds the 3D-flip column negation)."""
         raise NotImplementedError
 
     def sample_categories(self, idx: int) -> Sequence[int]:
@@ -182,15 +185,17 @@ class SRFDetDataset:
         points = self.load_points(info, rng=rng if self.augment else None)
 
         sample: Dict[str, np.ndarray] = {}
+        sync_flip = False
         if not self.test_mode:
             boxes, labels = self.load_annotations(info)
             if self.augment:
                 if self.db_sampler is not None:
                     points, boxes, labels = self.db_sampler.apply(
                         points, boxes, labels, rng)
-                # geometric augs are config-gated: the reference's LC
-                # pipelines drop them (no lidar2img compensation — see
-                # AugConfig)
+                # geometric augs are config-gated: the reference's
+                # nuScenes LC pipelines drop them (no lidar2img
+                # compensation — see AugConfig); kitti_LC keeps a
+                # sync_2d flip, handled below with exact compensation
                 if cfg.aug.object_noise:
                     points, boxes = T.object_noise(
                         points, boxes, rng,
@@ -203,7 +208,17 @@ class SRFDetDataset:
                         rot_range=tuple(cfg.aug.rot_range),
                         scale_range=tuple(cfg.aug.scale_range),
                         trans_std=tuple(cfg.aug.trans_std))
-                if cfg.aug.flip_horizontal or cfg.aug.flip_vertical:
+                if cfg.aug.sync_flip_2d and cfg.use_img:
+                    # synced 2D/3D horizontal flip (reference kitti_LC
+                    # RandomFlip3D sync_2d, transform_3d.py:374-430 /
+                    # mmdet3d RandomFlip3D): flip the 3D scene here; the
+                    # image flip + lidar2img compensation happens at
+                    # load_images below with the same decision
+                    sync_flip = rng.uniform() < cfg.aug.flip_horizontal
+                    if sync_flip:
+                        points, boxes = T.flip_horizontal_3d(
+                            points.copy(), boxes.copy())
+                elif cfg.aug.flip_horizontal or cfg.aug.flip_vertical:
                     points, boxes, _ = T.random_flip_3d(
                         points, boxes, rng,
                         flip_ratio_horizontal=cfg.aug.flip_horizontal,
@@ -227,7 +242,16 @@ class SRFDetDataset:
         sample.update(points=pts, points_mask=mask)
 
         if cfg.use_img:
-            images, lidar2img = self.load_images(info)
+            images, lidar2img = self.load_images(info, flip=sync_flip)
+            if sync_flip:
+                # compensate the 3D y-flip: world p -> Fp with
+                # F = diag(1,-1,1,1), so M' = M_img_flipped @ F (negate
+                # column 1).  Combined with the image-flip row transform
+                # in _prep_image, M' @ (Fp) lands the flipped box exactly
+                # on the mirrored pixel — projection-consistent (unlike
+                # the reference's stale matrix, a known mmdet3d quirk)
+                lidar2img = lidar2img.copy()
+                lidar2img[:, :, 1] *= -1.0
             sample.update(images=images.astype(np.float32),
                           lidar2img=lidar2img.astype(np.float32))
         return sample
@@ -252,7 +276,8 @@ NUS_CAMS = ("CAM_FRONT", "CAM_FRONT_RIGHT", "CAM_FRONT_LEFT", "CAM_BACK",
             "CAM_BACK_LEFT", "CAM_BACK_RIGHT")
 
 
-def _prep_image(img: np.ndarray, icfg) -> "tuple[np.ndarray, float, float]":
+def _prep_image(img: np.ndarray, icfg, flip: bool = False
+                ) -> "tuple[np.ndarray, float, float, int]":
     """Normalize + fit one RGB image to icfg.img_shape.
 
     mode="pad": mmcv Normalize + Pad(size_divisor) semantics (reference
@@ -266,9 +291,17 @@ def _prep_image(img: np.ndarray, icfg) -> "tuple[np.ndarray, float, float]":
     icfg.bgr flips the channel axis AFTER RGB normalization — identical
     to mmcv's to_rgb=False BGR mean/std on a BGR-loaded image (the
     constants are exact mirrors), reference img_norm_cfg.
-    Returns (normalized (H, W, 3) float32, sx, sy).
+
+    flip=True mirrors the RAW image horizontally first (reference
+    pipeline order: RandomFlip3D flips the loaded image, THEN
+    Normalize/Pad — so padding stays on the right edge); the returned
+    sx/sy stay valid and the caller applies the flip's projection
+    compensation via `_hflip_mat(w0)` with the RAW width returned here.
+    Returns (normalized (H, W, 3) float32, sx, sy, w0_raw).
     """
     h0, w0 = img.shape[:2]
+    if flip:
+        img = img[:, ::-1]
     h_t, w_t = icfg.img_shape
     if icfg.mode == "pad" and h0 <= h_t and w0 <= w_t:
         norm = (img.astype(np.float32) - IMAGENET_MEAN) / IMAGENET_STD
@@ -284,9 +317,19 @@ def _prep_image(img: np.ndarray, icfg) -> "tuple[np.ndarray, float, float]":
         sx, sy = w_t / w0, h_t / h0
     if icfg.bgr:
         out = out[..., ::-1]
-    return np.ascontiguousarray(out), sx, sy
+    return np.ascontiguousarray(out), sx, sy, w0
 IMAGENET_MEAN = np.array([123.675, 116.28, 103.53], np.float32)
 IMAGENET_STD = np.array([58.395, 57.12, 57.375], np.float32)
+
+
+def _hflip_mat(w: int) -> np.ndarray:
+    """4x4 left-multiplier for a horizontal image flip at raw width w:
+    u' = (w-1) - u, i.e. row0 -> -row0 + (w-1)*row2 (same convention as
+    img_transforms.horizontal_flip_multiview)."""
+    hf = np.eye(4, dtype=np.float32)
+    hf[0, 0] = -1.0
+    hf[0, 2] = float(w - 1)
+    return hf
 
 
 class NuScenesDataset(SRFDetDataset):
@@ -339,7 +382,7 @@ class NuScenesDataset(SRFDetDataset):
                 info.get("valid_flag", np.ones(len(boxes), bool)), bool)
         return boxes[valid], labels[valid]
 
-    def load_images(self, info: Dict):
+    def load_images(self, info: Dict, flip: bool = False):
         imgs, l2is = [], []
         for cam in NUS_CAMS:
             c = info["cams"][cam]
@@ -359,7 +402,9 @@ class NuScenesDataset(SRFDetDataset):
             l2i = intr @ l2c
             # pad or resize to network input (see _prep_image); scale the
             # projection by the applied resize factors
-            img, sx, sy = _prep_image(img, self.cfg.img)
+            img, sx, sy, w0 = _prep_image(img, self.cfg.img, flip=flip)
+            if flip:
+                l2i = _hflip_mat(w0) @ l2i
             l2i = np.diag([sx, sy, 1.0, 1.0]) @ l2i
             imgs.append(img)
             l2is.append(l2i)
@@ -399,7 +444,8 @@ class KittiDataset(SRFDetDataset):
         keep = labels >= 0
         return boxes[keep], labels[keep]
 
-    def _load_view(self, path: str, p_mat: np.ndarray, calib: Dict):
+    def _load_view(self, path: str, p_mat: np.ndarray, calib: Dict,
+                   flip: bool = False):
         """One camera: image padded or resized to cfg.img.img_shape (see
         _prep_image — KITTI LC pads; Waymo LC resizes, rescaling the
         lidar2img projection @ R0_rect @ Tr_velo_to_cam)."""
@@ -414,14 +460,17 @@ class KittiDataset(SRFDetDataset):
         ph = np.eye(4, dtype=np.float32)
         ph[:3, :4] = np.asarray(p_mat, np.float32)[:3, :4]
         l2i = ph @ r0 @ tr
-        img, sx, sy = _prep_image(img, self.cfg.img)
+        img, sx, sy, w0 = _prep_image(img, self.cfg.img, flip=flip)
+        if flip:
+            l2i = _hflip_mat(w0) @ l2i
         l2i = np.diag([sx, sy, 1.0, 1.0]).astype(np.float32) @ l2i
         return img, l2i
 
-    def load_images(self, info: Dict):
+    def load_images(self, info: Dict, flip: bool = False):
         img_info = info.get("image", {})
         img, l2i = self._load_view(img_info.get("image_path"),
-                                   info["calib"]["P2"], info["calib"])
+                                   info["calib"]["P2"], info["calib"],
+                                   flip=flip)
         return img[None], l2i[None]
 
 
@@ -441,7 +490,7 @@ class WaymoDataset(KittiDataset):
             path = os.path.join(self.data_root, path)
         return T.load_points_bin(path, 6, (0, 1, 2, 3, 4))
 
-    def load_images(self, info: Dict):
+    def load_images(self, info: Dict, flip: bool = False):
         """All num_cams surround views (reference CustomWaymoDataset
         num_views=5, waymo_dataset_custom.py:22,47): the mmdet3d
         waymo-kitti conversion stores view k's image under image_k/ with
@@ -455,7 +504,8 @@ class WaymoDataset(KittiDataset):
             path = path0.replace("image_0", f"image_{v}") if n_cam > 1 \
                 else path0
             p_key = f"P{v}" if f"P{v}" in calib else "P2"
-            img, l2i = self._load_view(path, calib[p_key], calib)
+            img, l2i = self._load_view(path, calib[p_key], calib,
+                                       flip=flip)
             imgs.append(img)
             l2is.append(l2i)
         return np.stack(imgs), np.stack(l2is)
@@ -501,13 +551,16 @@ class SyntheticDataset(SRFDetDataset):
         labels = rng.integers(0, self.cfg.num_classes, g)
         return boxes, labels.astype(np.int64)
 
-    def load_images(self, info: Dict):
+    def load_images(self, info: Dict, flip: bool = False):
         rng = np.random.default_rng(info["idx"] + 2000)
         n_cam = self.cfg.img.num_cams
         h, w = self.cfg.img.img_shape
         imgs = rng.normal(size=(n_cam, h, w, 3)).astype(np.float32)
         l2i = np.broadcast_to(np.eye(4, dtype=np.float32),
                               (n_cam, 4, 4)).copy()
+        if flip:
+            imgs = imgs[:, :, ::-1].copy()
+            l2i = np.einsum("ij,njk->nik", _hflip_mat(w), l2i)
         return imgs, l2i
 
 

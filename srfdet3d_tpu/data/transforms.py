@@ -148,6 +148,18 @@ def global_rot_scale_trans(points: np.ndarray,
     return points, boxes
 
 
+def flip_horizontal_3d(points: np.ndarray, boxes: Optional[np.ndarray]):
+    """In-place horizontal (y-axis) flip of points and boxes: y -> -y,
+    yaw -> -yaw, vy -> -vy (mmdet3d LiDARInstance3DBoxes.flip)."""
+    points[:, 1] = -points[:, 1]
+    if boxes is not None and len(boxes):
+        boxes[:, 1] = -boxes[:, 1]
+        boxes[:, 6] = -boxes[:, 6]
+        if boxes.shape[1] > 7:
+            boxes[:, 8] = -boxes[:, 8]
+    return points, boxes
+
+
 def random_flip_3d(points: np.ndarray,
                    boxes: Optional[np.ndarray],
                    rng: np.random.Generator,
@@ -160,12 +172,7 @@ def random_flip_3d(points: np.ndarray,
     flip_h = rng.uniform() < flip_ratio_horizontal
     flip_v = rng.uniform() < flip_ratio_vertical
     if flip_h:
-        points[:, 1] = -points[:, 1]
-        if boxes is not None and len(boxes):
-            boxes[:, 1] = -boxes[:, 1]
-            boxes[:, 6] = -boxes[:, 6]
-            if boxes.shape[1] > 7:
-                boxes[:, 8] = -boxes[:, 8]
+        points, boxes = flip_horizontal_3d(points, boxes)
     if flip_v:
         points[:, 0] = -points[:, 0]
         if boxes is not None and len(boxes):

@@ -162,6 +162,10 @@ def test_voxel_kitti_LC():
     assert c.optim.epochs == 20 and c.optim.warmup_iters == 200   # :384,366
     assert c.optim.freeze_lidar
     assert not c.aug.object_noise                                 # LC: none
+    # synced 2D/3D horizontal flip, ratio 0.5 (:256 RandomFlip3D
+    # flip_ratio_bev_horizontal=0.5, sync_2d default True)
+    assert c.aug.sync_flip_2d and c.aug.flip_horizontal == 0.5
+    assert not c.aug.rot_scale_trans and c.aug.flip_vertical == 0
 
 
 def test_dvoxel_waymo_L():

@@ -321,3 +321,75 @@ def test_nuscenes_create_data_roundtrip(tmp_path):
         atol=1e-4)
     np.testing.assert_allclose(np.sort(got[:, 7] ** 2 + got[:, 8] ** 2),
                                np.sort((vel_xy ** 2).sum(1)), rtol=1e-4)
+
+
+def test_kitti_sync_flip_2d_projection_consistency(tmp_path):
+    """kitti_LC synced 2D/3D flip (reference RandomFlip3D sync_2d,
+    srfdet_voxel_kitti_LC.py:256; plugin transform_3d.py:374-430): with
+    the flip forced on, (a) the flipped GT box's center projected through
+    the compensated lidar2img lands exactly on the mirrored pixel of the
+    unflipped projection, and (b) the image content is mirrored about the
+    RAW width (padding stays on the right edge, reference pipeline order
+    flip -> pad)."""
+    import dataclasses
+    from PIL import Image
+    root = os.path.join(tmp_path, "kitti")
+    lidar_boxes = np.array([
+        [12.0, 3.0, -1.4, 4.2, 1.8, 1.6, 0.4],
+        [15.0, -6.0, -1.2, 0.8, 0.7, 1.7, -2.2],
+    ], np.float64)
+    _kitti_fixture(root, lidar_boxes, ("Car", "Pedestrian"))
+    # raw 100x160 gradient image (pads to 128x160)
+    w0, h0 = 160, 100
+    grad = (np.arange(h0 * w0 * 3).reshape(h0, w0, 3) % 255).astype(
+        np.uint8)
+    Image.fromarray(grad).save(
+        os.path.join(root, "training", "image_2", "000000.png"))
+    create_main(["kitti", "--root", root])
+
+    from srfdet3d_tpu.configs import tiny_kitti_test_config
+    from srfdet3d_tpu.config import AugConfig, ImgBranchConfig
+    from srfdet3d_tpu.data import KittiDataset
+
+    def build(flip_ratio):
+        cfg = tiny_kitti_test_config().replace(
+            use_img=True,
+            img=ImgBranchConfig(backbone="vovnet-19-slim", num_cams=1,
+                                img_shape=(128, 160), mode="pad"),
+            aug=dataclasses.replace(AugConfig.none(),
+                                    flip_horizontal=flip_ratio,
+                                    sync_flip_2d=True))
+        return KittiDataset(cfg, info_path=os.path.join(
+            root, "kitti_infos_train.pkl"), data_root=root, augment=True)
+
+    s_plain = build(0.0)[0]
+    s_flip = build(1.0)[0]
+
+    # (a) 3D geometry flipped
+    g0 = s_plain["gt_boxes"][s_plain["gt_mask"]]
+    g1 = s_flip["gt_boxes"][s_flip["gt_mask"]]
+    assert len(g0) == len(g1) >= 1
+    np.testing.assert_allclose(g1[:, 1], -g0[:, 1], atol=1e-5)
+    np.testing.assert_allclose(g1[:, 6], -g0[:, 6], atol=1e-5)
+
+    # (b) projection consistency: project each GT center through its
+    # sample's lidar2img; flipped projection = mirrored unflipped one
+    def project(l2i, xyz):
+        hom = np.concatenate([xyz, np.ones((len(xyz), 1))], axis=1)
+        cam = hom @ l2i.T
+        return cam[:, :2] / cam[:, 2:3], cam[:, 2]
+
+    uv0, z0 = project(s_plain["lidar2img"][0], g0[:, :3])
+    uv1, z1 = project(s_flip["lidar2img"][0], g1[:, :3])
+    np.testing.assert_allclose(z1, z0, rtol=1e-5)          # depth same
+    np.testing.assert_allclose(uv1[:, 1], uv0[:, 1], rtol=1e-5)  # v same
+    np.testing.assert_allclose(uv1[:, 0], (w0 - 1) - uv0[:, 0],
+                               rtol=1e-5)                  # u mirrored
+
+    # (c) image content mirrored inside the raw region, pad untouched
+    im0 = s_plain["images"][0]
+    im1 = s_flip["images"][0]
+    np.testing.assert_allclose(im1[:h0, :w0], im0[:h0, :w0][:, ::-1],
+                               atol=1e-6)
+    np.testing.assert_allclose(im1[h0:], 0.0, atol=1e-6)
+    np.testing.assert_allclose(im1[:, w0:], 0.0, atol=1e-6)

@@ -103,7 +103,11 @@ def test_lc_configs_disable_geometric_augs():
         cfg = get_config(name)
         if cfg.use_img:
             assert not cfg.aug.rot_scale_trans, name
-            assert cfg.aug.flip_horizontal == 0.0, name
+            # kitti_LC ships the reference's sync_2d flip — allowed
+            # because it compensates lidar2img exactly; any OTHER
+            # lidar-frame aug on an LC config is a projection bug
+            if not cfg.aug.sync_flip_2d:
+                assert cfg.aug.flip_horizontal == 0.0, name
             assert cfg.aug.flip_vertical == 0.0, name
         elif name.startswith("srfdet"):
             assert cfg.aug.rot_scale_trans, name
@@ -215,7 +219,7 @@ def test_prep_image_pad_mode():
     rng = np.random.default_rng(1)
     img = rng.integers(0, 255, (9, 16, 3)).astype(np.float32)
     icfg = ImgBranchConfig(img_shape=(12, 16), mode="pad", bgr=False)
-    out, sx, sy = _prep_image(img, icfg)
+    out, sx, sy, _ = _prep_image(img, icfg)
     assert out.shape == (12, 16, 3) and sx == 1.0 and sy == 1.0
     np.testing.assert_allclose(
         out[:9], (img - IMAGENET_MEAN) / IMAGENET_STD, rtol=1e-5)
@@ -232,7 +236,7 @@ def test_prep_image_bgr_mirrors_reference_norm():
     rng = np.random.default_rng(2)
     img = rng.integers(0, 255, (8, 8, 3)).astype(np.float32)
     icfg = ImgBranchConfig(img_shape=(8, 8), mode="pad", bgr=True)
-    out, _, _ = _prep_image(img, icfg)
+    out, _, _, _ = _prep_image(img, icfg)
     bgr_img = img[..., ::-1]
     expect = (bgr_img - IMAGENET_MEAN[::-1]) / IMAGENET_STD[::-1]
     np.testing.assert_allclose(out, expect, rtol=1e-5)
@@ -245,7 +249,7 @@ def test_prep_image_resize_fallback():
     from srfdet3d_tpu.data.datasets import _prep_image
     img = np.zeros((20, 40, 3), np.float32)
     icfg = ImgBranchConfig(img_shape=(10, 20), mode="pad", bgr=False)
-    out, sx, sy = _prep_image(img, icfg)
+    out, sx, sy, _ = _prep_image(img, icfg)
     assert out.shape == (10, 20, 3)
     assert sx == 0.5 and sy == 0.5
 
