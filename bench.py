@@ -71,11 +71,39 @@ def _fail_fast_if_tunnel_dead():
         s.close()
 
 
+def _code_fingerprint() -> str:
+    """Hash of every source file the predict program traces from — a
+    stale AOT artifact must NOT be benched (it silently measures old
+    code; bit us in round 4 when a voxelizer change showed zero delta)."""
+    import hashlib
+    root = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    files = [os.path.join(root, "__graft_entry__.py")]
+    for dirpath, _dirs, names in os.walk(os.path.join(root,
+                                                      "srfdet3d_tpu")):
+        files.extend(os.path.join(dirpath, n) for n in sorted(names)
+                     if n.endswith(".py"))
+    for f in sorted(files):
+        with open(f, "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()
+
+
 def main():
     _fail_fast_if_tunnel_dead()
     import pickle
 
     extra = {}
+    fingerprint = _code_fingerprint()
+    if USE_AOT and os.path.exists(AOT_PATH):
+        with open(AOT_PATH, "rb") as f:
+            try:
+                stale = pickle.load(f).get("code_sha") != fingerprint
+            except Exception:
+                stale = True
+        if stale:
+            os.remove(AOT_PATH)
+            extra["aot_stale_rebuilt"] = True
     if USE_AOT and os.path.exists(AOT_PATH):
         t0 = time.perf_counter()
         with open(AOT_PATH, "rb") as f:
@@ -101,7 +129,8 @@ def main():
                     variables, batch)
                 art = {"exported": exported.serialize(),
                        "variables": jax.device_get(variables),
-                       "batch": jax.device_get(batch)}
+                       "batch": jax.device_get(batch),
+                       "code_sha": fingerprint}
                 with open(AOT_PATH, "wb") as f:
                     pickle.dump(art, f, protocol=4)
                 extra["aot_written"] = True

@@ -122,6 +122,7 @@ class SRFDet(nn.Module):
                 block_type=cfg.middle.block_type,
                 capacities=cfg.middle.capacities,
                 rulebook=cfg.middle.rulebook,
+                presorted=True,   # voxelizer emits plan-major order
                 dtype=self.dtype, name="pts_middle_encoder")(
                 voxel_feats, vox.voxel_coords, vox.voxel_mask, train=train)
         elif cfg.middle.kind == "pillar_scatter":

@@ -40,8 +40,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.bitmap_rulebook import (
-    build_columns, convout_rulebook_bitmap, convout_sites_bitmap,
-    sort_plan_major, strided_downsample_bitmap, subm_rulebook_bitmap)
+    _use_eqmatch, build_columns, convout_rulebook_bitmap,
+    convout_sites_bitmap, sort_plan_major, strided_downsample_bitmap,
+    subm_rulebook_bitmap, subm_rulebook_eqmatch)
 from ..ops.sparse_conv import (
     SparseTensor, subm_gather_indices_batched,
     strided_gather_indices_batched, gathered_conv_apply_batched,
@@ -120,20 +121,31 @@ class _TableRulebooks:
 
 
 class _BitmapRulebooks:
-    """z-bitmap column backend (ops/bitmap_rulebook.py)."""
+    """z-bitmap column backend (ops/bitmap_rulebook.py).
+
+    Tracks per-voxel plan coords (vyx) through the stage chain so the
+    eq-match kernel path (ops/pallas_eqmatch.py) can query cells directly
+    — no per-voxel column gathers anywhere in the rulebook walk."""
 
     def __init__(self, coords, mask, shape):
         self.cs, self.vcol, self.vz = build_columns(coords, mask, shape)
         self.mask = mask
+        self.vyx = coords[..., 1:3]
 
     def subm(self):
+        if _use_eqmatch():
+            coords = jnp.concatenate([self.vz[..., None], self.vyx],
+                                     axis=-1)
+            return subm_rulebook_eqmatch(self.cs, coords, self.vcol,
+                                         self.vz, self.mask)
         return subm_rulebook_bitmap(self.cs, self.vcol, self.vz, self.mask)
 
     def downsample(self, pad, capacity):
         pad = _pad3(pad)
-        cs_o, vcol_o, vz_o, vm_o, gidx = strided_downsample_bitmap(
-            self.cs, pad, capacity)
+        cs_o, vcol_o, vz_o, vm_o, gidx, vyx_o = strided_downsample_bitmap(
+            self.cs, pad, capacity, return_yx=True)
         self.cs, self.vcol, self.vz, self.mask = cs_o, vcol_o, vz_o, vm_o
+        self.vyx = vyx_o
         return gidx
 
     def convout(self, capacity):
@@ -210,6 +222,11 @@ class SparseEncoder(nn.Module):
     # materializing an early-stage dense grid (22 GB at stage-1 resolution,
     # tools/bench_encoder_grad_parts.py)
     densify: bool = True
+    # True: caller guarantees voxels arrive plan-major ((y, x) major, z
+    # minor, invalid at each sample's tail) — the voxelizer's native
+    # order since its sort key went plan-major — skipping the encoder's
+    # own sort + 3 re-order gathers.  Leave False for arbitrary orders.
+    presorted: bool = False
     dtype: Any = jnp.float32
 
     def _down_pads(self) -> List:
@@ -228,8 +245,9 @@ class SparseEncoder(nn.Module):
                       _bitmap_supported(shape, self._down_pads(),
                                         self.block_type))
         if use_bitmap:
-            feats, coords, mask = sort_plan_major(feats, coords, mask,
-                                                  shape)
+            if not self.presorted:
+                feats, coords, mask = sort_plan_major(feats, coords, mask,
+                                                      shape)
             rb = _BitmapRulebooks(coords, mask, shape)
         else:
             rb = _TableRulebooks(coords, mask, shape)

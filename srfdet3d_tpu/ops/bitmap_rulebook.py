@@ -249,8 +249,9 @@ def _select_bit(word: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
 
 
 def _expand_sites(olo: jnp.ndarray, cm: jnp.ndarray, counts: jnp.ndarray,
-                  start_local: jnp.ndarray, out_cap: int):
-    """Column z-bitmaps -> per-site (vcol, vz, vm) rows, plan-major.
+                  start_local: jnp.ndarray, out_cap: int,
+                  ccoords: jnp.ndarray | None = None):
+    """Column z-bitmaps -> per-site (vcol, vz, vm[, vyx]) rows, plan-major.
 
     olo/cm/counts/start_local are (B, P); rows are (B, M=out_cap), local
     row r of column c at rank k holds z = _select_bit(olo[c], k).
@@ -258,7 +259,13 @@ def _expand_sites(olo: jnp.ndarray, cm: jnp.ndarray, counts: jnp.ndarray,
     Built gather-side: one P-sized scatter of column HEAD flags into the
     row axis + MXU prefix counts + rank-table gathers.  The previous
     formulation scattered every (column, z) pair ((B, P, D) index tensors,
-    ~35 ms at stage 0); this one never materializes per-site scatters."""
+    ~35 ms at stage 0); this one never materializes per-site scatters.
+
+    ccoords (B, P, 2): when given, the rank table also carries each
+    column's (y, x) so per-site plan coords ride the SAME row gather
+    (row-gather cost is per row, not bytes — PERF.md) and a fourth
+    return value vyx (B, M, 2) is appended (eqmatch rulebooks need site
+    coords as query bases)."""
     b, p = olo.shape
     m = out_cap
     gb = jnp.arange(b, dtype=jnp.int32)[:, None]
@@ -273,19 +280,22 @@ def _expand_sites(olo: jnp.ndarray, cm: jnp.ndarray, counts: jnp.ndarray,
     rowrank = prefix_count(heads)                     # (B*M,) inclusive-1
     crank = prefix_count(nz.reshape(-1))              # (B*P,)
 
-    # rank -> packed column row [global slot, start_local, bits]
+    # rank -> packed column row [global slot, start_local, bits(, y, x)]
     slots = gb * p + jnp.arange(p, dtype=jnp.int32)[None, :]
-    packed = jnp.stack([
-        slots, start_local,
-        jax.lax.bitcast_convert_type(olo, jnp.int32)], axis=-1)
+    parts = [slots, start_local,
+             jax.lax.bitcast_convert_type(olo, jnp.int32)]
+    if ccoords is not None:
+        parts += [ccoords[..., 0], ccoords[..., 1]]
+    width = len(parts)
+    packed = jnp.stack(parts, axis=-1)
     trash = b * p
-    tbl = jnp.zeros((b * p + 1, 3), jnp.int32).at[
+    poison = jnp.zeros((width,), jnp.int32).at[0].set(trash).at[1].set(m)
+    tbl = jnp.zeros((b * p + 1, width), jnp.int32).at[
         jnp.where(nz.reshape(-1), crank, trash)].set(
-        packed.reshape(-1, 3), mode="drop")
-    tbl = tbl.at[trash].set(
-        jnp.array([trash, m, 0], jnp.int32))          # poison the miss row
+        packed.reshape(-1, width), mode="drop")
+    tbl = tbl.at[trash].set(poison)                   # poison the miss row
 
-    pk = tbl[jnp.clip(rowrank, 0, trash)].reshape(b, m, 3)
+    pk = tbl[jnp.clip(rowrank, 0, trash)].reshape(b, m, width)
     slot, st = pk[..., 0], pk[..., 1]
     bits = jax.lax.bitcast_convert_type(pk[..., 2], jnp.uint32)
     row_local = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None, :],
@@ -295,6 +305,9 @@ def _expand_sites(olo: jnp.ndarray, cm: jnp.ndarray, counts: jnp.ndarray,
           (slot // p == gb) & (k >= 0) & (k < _popcount(bits)))
     vz = jnp.where(vm, _select_bit(bits, jnp.maximum(k, 0)), 0)
     vcol = jnp.where(vm, slot, b * p)
+    if ccoords is not None:
+        vyx = jnp.where(vm[..., None], pk[..., 3:5], 0)
+        return vcol, vz, vm, vyx
     return vcol, vz, vm
 
 
@@ -691,12 +704,13 @@ def _strided_sites_impl(cs: ColumnSet, padding: Tuple[int, int, int],
     start_global = start_local + jnp.arange(
         b, dtype=jnp.int32)[:, None] * out_cap
 
-    vcol_o, vz_o, vm_o = _expand_sites(olo, cm_o, counts, start_local,
-                                       out_cap)
+    vcol_o, vz_o, vm_o, vyx_o = _expand_sites(olo, cm_o, counts,
+                                              start_local, out_cap,
+                                              ccoords=cc_o)
     cs_out = ColumnSet(ccoords=cc_o, cmask=cm_o, cstart=start_global,
                        lo=olo, hi=jnp.zeros_like(olo),
                        shape=(od, oh, ow), row_cap=out_cap)
-    return cs_out, vcol_o, vz_o, vm_o, nbr
+    return cs_out, vcol_o, vz_o, vm_o, nbr, vyx_o
 
 
 def strided_sites_bitmap(cs: ColumnSet, padding: Tuple[int, int, int],
@@ -711,17 +725,32 @@ def strided_sites_bitmap(cs: ColumnSet, padding: Tuple[int, int, int],
 
 
 def strided_downsample_bitmap(cs: ColumnSet, padding: Tuple[int, int, int],
-                              out_cap: int):
+                              out_cap: int, eqmatch: bool | None = None,
+                              interpret: bool | None = None,
+                              return_yx: bool = False):
     """Fused sites + rulebook of a k3 s2 downsample.
 
     Shares the output-column plan-neighbor gather between site generation
     and the rulebook (the two queries are identical; sharing makes the
     saving structural instead of relying on XLA CSE).  Returns
-    (cs_out, vcol_out, vz_out, vmask_out, gidx (B, M, 27))."""
-    cs_out, vcol_o, vz_o, vm_o, nbr = _strided_sites_impl(cs, padding,
-                                                          out_cap)
-    gidx = strided_rulebook_bitmap(cs, cs_out, vcol_o, vz_o, vm_o, padding,
-                                   nbr=nbr)
+    (cs_out, vcol_out, vz_out, vmask_out, gidx (B, M, 27)).
+
+    eqmatch (default EQMATCH_METHOD): build the rulebook with the
+    windowed equality-match kernel (ops/pallas_eqmatch.py) instead of the
+    gather chain; exact-fallback guarded (see subm_rulebook_eqmatch)."""
+    cs_out, vcol_o, vz_o, vm_o, nbr, vyx_o = _strided_sites_impl(
+        cs, padding, out_cap)
+    if eqmatch is None:
+        eqmatch = _use_eqmatch()
+    if eqmatch:
+        gidx = strided_rulebook_eqmatch(cs, vyx_o, vz_o, vm_o, padding,
+                                        cs_out=cs_out, vcol_out=vcol_o,
+                                        nbr=nbr, interpret=interpret)
+    else:
+        gidx = strided_rulebook_bitmap(cs, cs_out, vcol_o, vz_o, vm_o,
+                                       padding, nbr=nbr)
+    if return_yx:
+        return cs_out, vcol_o, vz_o, vm_o, gidx, vyx_o
     return cs_out, vcol_o, vz_o, vm_o, gidx
 
 
@@ -809,3 +838,128 @@ def convout_rulebook_bitmap(cs_in: ColumnSet, vcol_out: jnp.ndarray,
                                       sample_of))
     out = jnp.stack(outs, axis=2)
     return jnp.where(vmask_out[:, :, None], out, miss_row)
+
+
+# ------------------------------------------------- eq-match kernel path
+# Windowed equality-match rulebooks (ops/pallas_eqmatch.py): the gather
+# chain (plan_neighbors -> packed gather -> per-row gather -> bit math)
+# becomes one Pallas kernel; an exact XLA fallback fires under lax.cond
+# when any tile's window fails to cover its queries (expected zero at
+# every shipped shape — tools/probe_eqmatch.py).
+EQMATCH_METHOD = _os.environ.get("SRFDET_RB_EQMATCH", "auto")
+EQMATCH_INTERPRET = _os.environ.get("SRFDET_EQMATCH_INTERPRET", "0") == "1"
+EQMATCH_WC = int(_os.environ.get("SRFDET_EQMATCH_WC", "1024"))
+EQMATCH_TM = int(_os.environ.get("SRFDET_EQMATCH_TM", "256"))
+
+
+def _use_eqmatch() -> bool:
+    if EQMATCH_METHOD == "eqmatch":
+        return True
+    if EQMATCH_METHOD == "auto":
+        try:
+            return jax.default_backend() not in ("cpu",) or \
+                EQMATCH_INTERPRET
+        except Exception:
+            return False
+    return False
+
+
+def _flat_column_tables(cs: ColumnSet, wc: int):
+    """ColumnSet -> (kwin, ctab) for the eq-match kernel: globally
+    ascending column keys b*(H*W+1) + y*W + x (invalid slots hold the
+    per-sample sentinel b*(H*W+1) + H*W with ZERO payload — a sentinel
+    can never equal a query, and duplicate sentinels sum zero rows)."""
+    from .pallas_eqmatch import build_column_tables
+    b, p, _ = cs.ccoords.shape
+    _, h, w = cs.shape
+    key = cs.ccoords[..., 0] * w + cs.ccoords[..., 1]
+    gkey = (jnp.where(cs.cmask, key, h * w) +
+            jnp.arange(b, dtype=jnp.int32)[:, None] * (h * w + 1))
+    cstart = jnp.where(cs.cmask, cs.cstart, 0)
+    lo = jnp.where(cs.cmask, cs.lo, jnp.uint32(0))
+    hi = jnp.where(cs.cmask, cs.hi, jnp.uint32(0))
+    kwin, ctab, _ = build_column_tables(
+        gkey.reshape(-1), cstart.reshape(-1), lo.reshape(-1),
+        hi.reshape(-1), wc)
+    return kwin, ctab
+
+
+def _eqmatch_call(cs_in: ColumnSet, ybase, xbase, zbase, rvalid,
+                  wc: int, tm: int, interpret: bool):
+    """Shared (B, Q)-query driver: pads Q per sample to a tile multiple
+    (tiles must not straddle samples — the per-tile window start derives
+    from the tile-min query key) and runs the kernel.
+    Returns (idx (B, Q, 27), oow scalar)."""
+    from .pallas_eqmatch import eqmatch_rulebook
+    b, q = ybase.shape
+    _, h, w = cs_in.shape
+    row_cap = cs_in.row_cap
+    kwin, ctab = _flat_column_tables(cs_in, wc)
+    qp = -(-q // tm) * tm
+
+    def flat(a, cval=0):
+        return jnp.pad(a, ((0, 0), (0, qp - q)),
+                       constant_values=cval).reshape(-1)
+
+    gb = jnp.arange(b, dtype=jnp.int32)[:, None]
+    rowbase = jnp.broadcast_to(gb * row_cap, (b, q))
+    kbase = jnp.broadcast_to(gb * (h * w + 1), (b, q))
+    idx, oow = eqmatch_rulebook(
+        kwin, ctab,
+        flat(ybase, -10), flat(xbase, -10), flat(zbase),
+        flat(rowbase), flat(kbase), flat(rvalid.astype(jnp.int32)),
+        w_in=w, h_in=h, row_cap=row_cap, n_batch=b, wc=wc, tm=tm,
+        interpret=interpret)
+    return idx.reshape(b, qp, 27)[:, :q], oow
+
+
+def subm_rulebook_eqmatch(cs: ColumnSet, coords: jnp.ndarray,
+                          vcol: jnp.ndarray, vz: jnp.ndarray,
+                          vmask: jnp.ndarray,
+                          wc: int | None = None, tm: int | None = None,
+                          interpret: bool | None = None) -> jnp.ndarray:
+    """subm_rulebook_bitmap via the eq-match kernel (identical output).
+
+    coords (B, V, 3) zyx of the PLAN-MAJOR-sorted voxels (the kernel
+    queries cells directly — no per-voxel column gather at all); vcol/vz
+    feed the exact fallback only."""
+    wc = EQMATCH_WC if wc is None else wc
+    tm = EQMATCH_TM if tm is None else tm
+    interpret = EQMATCH_INTERPRET if interpret is None else interpret
+    idx, oow = _eqmatch_call(
+        cs, coords[..., 1] - 1, coords[..., 2] - 1, coords[..., 0] - 1,
+        vmask, wc, tm, interpret)
+
+    def fallback(_):
+        return subm_rulebook_bitmap(cs, vcol, vz, vmask)
+
+    return jax.lax.cond(oow == 0, lambda x: x, fallback, idx)
+
+
+def strided_rulebook_eqmatch(cs_in: ColumnSet, vyx_out: jnp.ndarray,
+                             vz_out: jnp.ndarray, vmask_out: jnp.ndarray,
+                             padding: Tuple[int, int, int],
+                             cs_out: ColumnSet | None = None,
+                             vcol_out: jnp.ndarray | None = None,
+                             nbr: jnp.ndarray | None = None,
+                             wc: int | None = None, tm: int | None = None,
+                             interpret: bool | None = None) -> jnp.ndarray:
+    """strided_rulebook_bitmap via the eq-match kernel (identical
+    output).  vyx_out (B, M, 2): per-site output-column (y, x) from
+    _expand_sites; query bases are the input cells 2*(y,x) - (py,px),
+    z taps 2*z' - pz + dz.  cs_out/vcol_out/nbr feed the fallback."""
+    wc = EQMATCH_WC if wc is None else wc
+    tm = EQMATCH_TM if tm is None else tm
+    interpret = EQMATCH_INTERPRET if interpret is None else interpret
+    pz, py, px = padding
+    idx, oow = _eqmatch_call(
+        cs_in, 2 * vyx_out[..., 0] - py, 2 * vyx_out[..., 1] - px,
+        2 * vz_out - pz, vmask_out, wc, tm, interpret)
+
+    def fallback(_):
+        return strided_rulebook_bitmap(cs_in, cs_out, vcol_out, vz_out,
+                                       vmask_out, padding, nbr=nbr)
+
+    if cs_out is None:
+        return idx   # no fallback available (probe use only)
+    return jax.lax.cond(oow == 0, lambda x: x, fallback, idx)

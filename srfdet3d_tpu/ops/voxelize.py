@@ -106,8 +106,11 @@ def voxelize_points(points: jnp.ndarray,
     coords, in_range = compute_voxel_coords(points, spec)
     valid = point_valid & in_range
 
-    # linear key, z-major (z*ny + y)*nx + x ; fits int32 for all configs
-    key = (coords[:, 0] * ny + coords[:, 1]) * nx + coords[:, 2]
+    # linear key, PLAN-major (y*nx + x)*nz + z; fits int32 for all
+    # configs.  Plan-major output order makes the sparse encoder's
+    # column invariant hold straight out of the voxelizer — its
+    # sort_plan_major becomes a no-op (detector passes presorted=True)
+    key = (coords[:, 1] * nx + coords[:, 2]) * nz + coords[:, 0]
     sentinel = jnp.int32(nx * ny * nz)
     key = jnp.where(valid, key, sentinel)
 
@@ -185,7 +188,8 @@ def voxelize_points_batched(points: jnp.ndarray,
     coords, in_range = compute_voxel_coords(flat_pts, spec)
     valid = point_valid.reshape(-1) & in_range
 
-    key = (coords[:, 0] * ny + coords[:, 1]) * nx + coords[:, 2]
+    # PLAN-major key (see voxelize_points): encoder-ready voxel order
+    key = (coords[:, 1] * nx + coords[:, 2]) * nz + coords[:, 0]
     b_of = jnp.repeat(jnp.arange(b, dtype=jnp.int32), p)
     key = jnp.where(valid, key, cells) + b_of * shift     # (B*P,)
 

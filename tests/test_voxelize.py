@@ -179,3 +179,29 @@ def test_batched_dynamic_voxelize_matches():
                                       np.asarray(ref.point_voxel_idx))
         np.testing.assert_array_equal(np.asarray(got.voxel_coords[i]),
                                       np.asarray(ref.voxel_coords))
+
+
+def test_voxelizer_output_is_plan_major():
+    """The batched voxelizer emits voxels PLAN-major ((y, x) major, z
+    minor, invalid at the tail) — the sparse encoder's column invariant
+    (SparseEncoder(presorted=True) / detector wiring depends on this; if
+    the key order ever changes, presorted must be dropped)."""
+    import numpy as np
+    from srfdet3d_tpu.ops.voxelize import (VoxelizationSpec,
+                                           voxelize_points_batched)
+    rng = np.random.default_rng(7)
+    spec = VoxelizationSpec(
+        voxel_size=(0.5, 0.5, 0.25),
+        point_cloud_range=(-8, -8, -2, 8, 8, 2),
+        max_num_points=4, max_voxels=512)
+    pts = rng.uniform(-9, 9, size=(2, 800, 4)).astype(np.float32)
+    mask = rng.uniform(size=(2, 800)) < 0.9
+    vox = voxelize_points_batched(jnp.asarray(pts), jnp.asarray(mask), spec)
+    nx, ny, nz = spec.grid_size
+    for b in range(2):
+        c = np.asarray(vox.voxel_coords[b])
+        m = np.asarray(vox.voxel_mask[b])
+        n = int(m.sum())
+        assert m[:n].all() and not m[n:].any()      # packed, tail invalid
+        key = (c[:n, 1] * nx + c[:n, 2]) * nz + c[:n, 0]
+        assert np.all(np.diff(key) > 0)             # strictly plan-major
