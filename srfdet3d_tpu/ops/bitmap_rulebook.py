@@ -735,13 +735,18 @@ def strided_downsample_bitmap(cs: ColumnSet, padding: Tuple[int, int, int],
     saving structural instead of relying on XLA CSE).  Returns
     (cs_out, vcol_out, vz_out, vmask_out, gidx (B, M, 27)).
 
-    eqmatch (default EQMATCH_METHOD): build the rulebook with the
-    windowed equality-match kernel (ops/pallas_eqmatch.py) instead of the
-    gather chain; exact-fallback guarded (see subm_rulebook_eqmatch)."""
+    eqmatch (default FALSE): build the rulebook with the windowed
+    equality-match kernel (ops/pallas_eqmatch.py) instead of the gather
+    chain.  Measured at flagship stage-0 (sorted fixture, v5e): the
+    gather path wins here — 13.0 ms vs 16.2 — because it REUSES the site
+    generation's plan-neighbor gather (nbr) so its marginal rulebook cost
+    is ~2 ms, while the kernel pays a fresh 2048-column window pass
+    (tools/bench_eqmatch.py).  The subm rulebooks (no such sharing) keep
+    the kernel: 12.7 -> 7.5 stage 0, 6.0 -> 3.7 stage 1."""
     cs_out, vcol_o, vz_o, vm_o, nbr, vyx_o = _strided_sites_impl(
         cs, padding, out_cap)
     if eqmatch is None:
-        eqmatch = _use_eqmatch()
+        eqmatch = False
     if eqmatch:
         gidx = strided_rulebook_eqmatch(cs, vyx_o, vz_o, vm_o, padding,
                                         cs_out=cs_out, vcol_out=vcol_o,
@@ -850,6 +855,12 @@ EQMATCH_METHOD = _os.environ.get("SRFDET_RB_EQMATCH", "auto")
 EQMATCH_INTERPRET = _os.environ.get("SRFDET_EQMATCH_INTERPRET", "0") == "1"
 EQMATCH_WC = int(_os.environ.get("SRFDET_EQMATCH_WC", "1024"))
 EQMATCH_TM = int(_os.environ.get("SRFDET_EQMATCH_TM", "256"))
+# strided queries span ~2x the input columns of a subm tile (stride-2:
+# each output row reads 2-3 input rows); wc=1024 leaves ~82 OOW tiles at
+# flagship stage-0 (fallback fires, paying both paths), wc=2048 covers
+# with zero (tools/bench_eqmatch.py oow rows)
+EQMATCH_WC_STRIDED = int(_os.environ.get("SRFDET_EQMATCH_WC_STRIDED",
+                                         "2048"))
 
 
 def _use_eqmatch() -> bool:
@@ -885,12 +896,14 @@ def _flat_column_tables(cs: ColumnSet, wc: int):
 
 
 def _eqmatch_call(cs_in: ColumnSet, ybase, xbase, zbase, rvalid,
-                  wc: int, tm: int, interpret: bool):
+                  wc: int, tm: int, interpret: bool,
+                  stats_only: bool = False):
     """Shared (B, Q)-query driver: pads Q per sample to a tile multiple
     (tiles must not straddle samples — the per-tile window start derives
     from the tile-min query key) and runs the kernel.
-    Returns (idx (B, Q, 27), oow scalar)."""
-    from .pallas_eqmatch import eqmatch_rulebook
+    Returns (idx (B, Q, 27), oow scalar); stats_only skips the kernel
+    and returns (None, oow) — the layout probe's path."""
+    from .pallas_eqmatch import eqmatch_rulebook, window_layout
     b, q = ybase.shape
     _, h, w = cs_in.shape
     row_cap = cs_in.row_cap
@@ -904,6 +917,12 @@ def _eqmatch_call(cs_in: ColumnSet, ybase, xbase, zbase, rvalid,
     gb = jnp.arange(b, dtype=jnp.int32)[:, None]
     rowbase = jnp.broadcast_to(gb * row_cap, (b, q))
     kbase = jnp.broadcast_to(gb * (h * w + 1), (b, q))
+    if stats_only:
+        _starts, oow = window_layout(
+            kwin, flat(ybase, -10), flat(xbase, -10), flat(kbase),
+            flat(rvalid.astype(jnp.int32)) > 0, w_in=w, h_in=h, wc=wc,
+            tm=tm)
+        return None, oow
     idx, oow = eqmatch_rulebook(
         kwin, ctab,
         flat(ybase, -10), flat(xbase, -10), flat(zbase),
@@ -948,7 +967,7 @@ def strided_rulebook_eqmatch(cs_in: ColumnSet, vyx_out: jnp.ndarray,
     output).  vyx_out (B, M, 2): per-site output-column (y, x) from
     _expand_sites; query bases are the input cells 2*(y,x) - (py,px),
     z taps 2*z' - pz + dz.  cs_out/vcol_out/nbr feed the fallback."""
-    wc = EQMATCH_WC if wc is None else wc
+    wc = EQMATCH_WC_STRIDED if wc is None else wc
     tm = EQMATCH_TM if tm is None else tm
     interpret = EQMATCH_INTERPRET if interpret is None else interpret
     pz, py, px = padding

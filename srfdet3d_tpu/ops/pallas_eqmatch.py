@@ -160,6 +160,59 @@ def build_column_tables(ckey_sorted: jnp.ndarray, cstart: jnp.ndarray,
     return kwin, ctab, np_rows
 
 
+def window_layout(kwin: jnp.ndarray, ybase: jnp.ndarray,
+                  xbase: jnp.ndarray, kbase: jnp.ndarray,
+                  rvalid: jnp.ndarray, *, w_in: int, h_in: int,
+                  wc: int, tm: int):
+    """Per-(tile, dy) window starts + out-of-window tile count.
+
+    starts: searchsorted of each tile's min valid query key (first valid
+    row, dx=0 — queries are plan-major sorted), snapped down to the
+    128-lane chunk and clamped in-table.  oow counts (tile, dy) pairs
+    whose max VALID query key exceeds the window's last key — the kernel
+    would silently miss those matches, so the caller must take the exact
+    fallback when oow > 0.  Shared by eqmatch_rulebook and the layout
+    probe (tools/probe_eqmatch.py) so the diagnostic can never drift
+    from the kernel."""
+    m = ybase.shape[0]
+    np_rows = kwin.shape[0] * LANE
+    pad_m = (-m) % tm
+    n_tiles = (m + pad_m) // tm
+
+    def padm(a, cval=0):
+        return jnp.pad(a, (0, pad_m), constant_values=cval)
+
+    kflat = kwin.reshape(-1)
+    qmin = jnp.where(rvalid, kbase + ybase * w_in + xbase,
+                     jnp.int32(2**31 - 1))
+    qmin = padm(qmin, 2**31 - 1).reshape(n_tiles, tm)
+    starts = []
+    ends = []
+    for g in range(3):
+        tq = jnp.min(qmin, axis=1) + g * w_in            # (T,)
+        s = jnp.searchsorted(kflat, tq).astype(jnp.int32)
+        s = jnp.minimum((s // LANE) * LANE,
+                        jnp.int32(np_rows - wc))
+        s = jnp.maximum(s, 0)
+        starts.append(s)
+        # last key covered by the window (padding keys are int32-max)
+        ends.append(kflat[jnp.minimum(s + wc - 1, np_rows - 1)])
+    starts = jnp.stack(starts, axis=1)                    # (T, 3)
+    wend = jnp.stack(ends, axis=1)                        # (T, 3)
+
+    # out-of-window detection: the max VALID query key per (tile, dy)
+    # must not exceed the window's last key
+    xpart = jnp.minimum(xbase + 2, w_in - 1)
+    oow = jnp.zeros((), jnp.int32)
+    for g in range(3):
+        yg = ybase + g
+        qg = jnp.where(rvalid & (yg >= 0) & (yg < h_in) & (xbase < w_in),
+                       kbase + yg * w_in + xpart, jnp.int32(-2**31))
+        tmax = jnp.max(padm(qg, -2**31).reshape(n_tiles, tm), axis=1)
+        oow += jnp.sum((tmax > wend[:, g]).astype(jnp.int32))
+    return starts, oow
+
+
 @functools.partial(jax.jit, static_argnames=(
     "w_in", "h_in", "row_cap", "n_batch", "wc", "tm", "interpret"))
 def eqmatch_rulebook(kwin: jnp.ndarray, ctab: jnp.ndarray,
@@ -193,37 +246,8 @@ def eqmatch_rulebook(kwin: jnp.ndarray, ctab: jnp.ndarray,
     mp = m + pad_m
     n_tiles = mp // tm
 
-    # per-(tile, dy) window starts: searchsorted of the tile's min valid
-    # query key (first valid row, dx=0), snapped down to the 128-lane
-    # chunk and clamped to keep the window in-table
-    kflat = kwin.reshape(-1)
-    qmin = jnp.where(rvalid, kbase + (ybase + 0) * w_in + xbase,
-                     jnp.int32(2**31 - 1))
-    qmin = padm(qmin, 2**31 - 1).reshape(n_tiles, tm)
-    starts = []
-    ends = []
-    for g in range(3):
-        tq = jnp.min(qmin, axis=1) + g * w_in            # (T,)
-        s = jnp.searchsorted(kflat, tq).astype(jnp.int32)
-        s = jnp.minimum((s // LANE) * LANE,
-                        jnp.int32(np_rows - wc))
-        s = jnp.maximum(s, 0)
-        starts.append(s)
-        # last key covered by the window (padding keys are int32-max)
-        ends.append(kflat[jnp.minimum(s + wc - 1, np_rows - 1)])
-    starts = jnp.stack(starts, axis=1)                    # (T, 3)
-    wend = jnp.stack(ends, axis=1)                        # (T, 3)
-
-    # out-of-window detection: the max VALID query key per (tile, dy)
-    # must not exceed the window's last key
-    xpart = jnp.minimum(xbase + 2, w_in - 1)
-    oow = jnp.zeros((), jnp.int32)
-    for g in range(3):
-        yg = ybase + g
-        qg = jnp.where(rvalid & (yg >= 0) & (yg < h_in) & (xbase < w_in),
-                       kbase + yg * w_in + xpart, jnp.int32(-2**31))
-        tmax = jnp.max(padm(qg, -2**31).reshape(n_tiles, tm), axis=1)
-        oow += jnp.sum((tmax > wend[:, g]).astype(jnp.int32))
+    starts, oow = window_layout(kwin, ybase, xbase, kbase, rvalid,
+                                w_in=w_in, h_in=h_in, wc=wc, tm=tm)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

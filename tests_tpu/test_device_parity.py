@@ -168,3 +168,40 @@ def test_symbwd_on_device():
         a, b = np.asarray(a), np.asarray(b)
         np.testing.assert_allclose(a, b, rtol=2e-2,
                                    atol=2e-2 * np.abs(b).max())
+
+
+def test_eqmatch_rulebook_on_device():
+    """Eq-match rulebook kernel vs the gather-chain bitmap path, REAL
+    Mosaic lowering (interpret mode can't catch DMA alignment or the
+    bf16 one-hot x payload exactness): bit-identical subm + strided
+    rulebooks on a plan-major random scene."""
+    from srfdet3d_tpu.ops import bitmap_rulebook as br
+    rng = np.random.default_rng(5)
+    shape = (12, 48, 48)
+    d, h, w_ = shape
+    v = 2048
+    n = 1600
+    cells = rng.choice(d * h * w_, size=n, replace=False)
+    z, yx = cells % d, cells // d
+    y, x = yx // w_, yx % w_
+    order = np.argsort((y * w_ + x) * d + z)
+    coords = np.zeros((1, v, 3), np.int32)
+    coords[0, :n] = np.stack([z[order], y[order], x[order]], -1)
+    mask = np.zeros((1, v), bool)
+    mask[0, :n] = True
+    coords, mask = jnp.asarray(coords), jnp.asarray(mask)
+
+    cs, vcol, vz = br.build_columns(coords, mask, shape)
+    ref = np.asarray(jax.jit(br.subm_rulebook_bitmap)(cs, vcol, vz, mask))
+    got = np.asarray(jax.jit(
+        lambda cs, c, vc, vz, m: br.subm_rulebook_eqmatch(
+            cs, c, vc, vz, m, wc=512, tm=256))(
+        cs, coords, vcol, vz, mask))
+    np.testing.assert_array_equal(got, ref)
+
+    ref_d = jax.jit(lambda cs: br.strided_downsample_bitmap(
+        cs, (1, 1, 1), 1024, eqmatch=False))(cs)
+    got_d = jax.jit(lambda cs: br.strided_downsample_bitmap(
+        cs, (1, 1, 1), 1024, eqmatch=True))(cs)
+    np.testing.assert_array_equal(np.asarray(got_d[4]),
+                                  np.asarray(ref_d[4]))

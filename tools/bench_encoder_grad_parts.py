@@ -50,7 +50,12 @@ def _flagship_batch(cfg, scale=1):
     rng = np.random.default_rng(0)
     flat = rng.choice(d * h * w, size=v, replace=False).astype(np.int64)
     coords = np.stack([flat // (h * w), (flat // w) % h, flat % w],
-                      axis=-1).astype(np.int32)[None]
+                      axis=-1).astype(np.int32)
+    # PLAN-major order — the encoder's input contract (the voxelizer
+    # emits it; benches that skipped this measured the eqmatch kernel
+    # with shuffled queries, firing its fallback on every tile)
+    coords = coords[np.argsort((coords[:, 1].astype(np.int64) * w +
+                                coords[:, 2]) * d + coords[:, 0])][None]
     feats = rng.normal(size=(1, v, mid.in_channels)).astype(np.float32)
     mask = np.ones((1, v), bool)
     return (d, h, w), (jnp.asarray(feats), jnp.asarray(coords),

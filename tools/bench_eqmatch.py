@@ -47,10 +47,10 @@ def main():
     def subm_eq(cs, coords, vcol, vz, mask):
         return _sum(br.subm_rulebook_eqmatch(cs, coords, vcol, vz, mask))
 
-    print(f"subm0 old: {_time(lambda: subm_old(cs, vcol, vz, mask)):.1f} ms",
+    print(f"subm0 old: {_time(lambda: subm_old(cs, vcol, vz, mask), 'x'):.1f} ms",
           flush=True)
     print(f"subm0 eqmatch: "
-          f"{_time(lambda: subm_eq(cs, coords, vcol, vz, mask)):.1f} ms",
+          f"{_time(lambda: subm_eq(cs, coords, vcol, vz, mask), 'x'):.1f} ms",
           flush=True)
 
     pad0 = (0, 1, 1)
@@ -70,11 +70,11 @@ def main():
         out = br.strided_sites_bitmap(cs, pad0, caps[0])
         return _sum(out[2]) + _sum(out[3])
 
-    print(f"down0 old (sites+rulebook): {_time(lambda: down_old(cs)):.1f} ms",
+    print(f"down0 old (sites+rulebook): {_time(lambda: down_old(cs), 'x'):.1f} ms",
           flush=True)
     print(f"down0 eqmatch (sites+rulebook): "
-          f"{_time(lambda: down_eq(cs)):.1f} ms", flush=True)
-    print(f"down0 sites only: {_time(lambda: sites_only(cs)):.1f} ms",
+          f"{_time(lambda: down_eq(cs), 'x'):.1f} ms", flush=True)
+    print(f"down0 sites only: {_time(lambda: sites_only(cs), 'x'):.1f} ms",
           flush=True)
 
     # stage-1 subm on the downsampled set
@@ -101,11 +101,28 @@ def main():
                                              vm1))
 
     print(f"subm1 old: "
-          f"{_time(lambda: subm1_old(cs1, vcol1, vz1, vm1)):.1f} ms",
+          f"{_time(lambda: subm1_old(cs1, vcol1, vz1, vm1), 'x'):.1f} ms",
           flush=True)
     print(f"subm1 eqmatch: "
-          f"{_time(lambda: subm1_eq(cs1, coords1, vcol1, vz1, vm1)):.1f} ms",
+          f"{_time(lambda: subm1_eq(cs1, coords1, vcol1, vz1, vm1), 'x'):.1f} ms",
           flush=True)
+
+    # OOW diagnostics: nonzero means the exact fallback fires and the
+    # call pays BOTH paths — window/tile sizes must change, not ship
+    for label, (csq, yb, xb, zb, vm) in {
+        "subm0": (cs, coords[..., 1] - 1, coords[..., 2] - 1,
+                  coords[..., 0] - 1, mask),
+        "down0": (cs, 2 * vyx1[..., 0] - pad0[1],
+                  2 * vyx1[..., 1] - pad0[2], 2 * vz1 - pad0[0], vm1),
+        "subm1": (cs1, coords1[..., 1] - 1, coords1[..., 2] - 1,
+                  coords1[..., 0] - 1, vm1),
+    }.items():
+        for wc, tm in ((1024, 256), (1024, 128), (2048, 256), (512, 128)):
+            _idx, oow = jax.jit(
+                lambda csq=csq, yb=yb, xb=xb, zb=zb, vm=vm, wc=wc, tm=tm:
+                br._eqmatch_call(csq, yb, xb, zb, vm, wc, tm, False))()
+            print(f"oow[{label} wc={wc} tm={tm}] = {int(oow)} tiles",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -54,36 +54,130 @@ def conv_bench(label, hw, cin, cout, k=3):
 
 
 def block_bench(label, hw, cin, conv_ch, out_ch, n=5, identity=False,
-                variant="full"):
+                variant="full", reps=3):
+    """reps copies of the block in one program (dispatch-amortized)."""
     h, w = hw
     x = jnp.ones((6, h, w, cin), DT)
-    blk = _OSABlock(conv_ch=conv_ch, out_ch=out_ch, layer_per_block=n,
-                    identity=identity, dtype=DT)
+    if variant == "full":
+        blk = _OSABlock(conv_ch=conv_ch, out_ch=out_ch, layer_per_block=n,
+                        identity=identity, dtype=DT)
+    else:
+        blk = _VariantBlock(conv_ch=conv_ch, out_ch=out_ch, layers=n,
+                            variant=variant, dtype=DT)
     params = blk.init(jax.random.PRNGKey(0), x)
-    f = jax.jit(lambda p, x: blk.apply(p, x))
-    ms = _time(lambda: f(params, x))
+
+    # rep only when shapes chain (out_ch == cin)
+    if out_ch == cin and reps > 1:
+        f = jax.jit(lambda p, x: _chain_apply(blk, p, x, reps))
+        div = reps
+    else:
+        f = jax.jit(lambda p, x: blk.apply(p, x))
+        div = 1
+    ms = _time(lambda: f(params, x)) / div
     px = 6 * h * w
     macs = px * (9 * cin * conv_ch + (n - 1) * 9 * conv_ch * conv_ch +
                  (cin + n * conv_ch) * out_ch)
     print(f"{label} [{variant}]: {ms:.2f} ms  "
-          f"{2 * macs / ms / 1e9:.0f} GFLOP/s", flush=True)
+          f"{2 * macs / ms / 1e9:.0f} TFLOP/s-ish", flush=True)
     return ms
+
+
+def _chain_apply(blk, p, x, reps):
+    for _ in range(reps):
+        x = blk.apply(p, x)
+    return x
+
+
+class _VariantBlock(nn.Module):
+    """OSA block ablations: sum-split aggregation / no BN / no eSE."""
+    conv_ch: int
+    out_ch: int
+    layers: int = 5
+    variant: str = "sumagg"
+    dtype: object = DT
+
+    @nn.compact
+    def __call__(self, x):
+        from srfdet3d_tpu.models.vovnet import _eSE
+        use_bn = "nobn" not in self.variant
+        feats = [x]
+        for i in range(self.layers):
+            x = nn.Conv(self.conv_ch, (3, 3), padding="SAME",
+                        use_bias=False, dtype=DT, name=f"c{i}")(x)
+            if use_bn:
+                x = nn.BatchNorm(use_running_average=True, momentum=0.9,
+                                 epsilon=1e-5, dtype=DT)(x)
+            x = nn.relu(x)
+            feats.append(x)
+        if "sumagg" in self.variant:
+            # concat + 1x1  ==  sum of per-feature 1x1 projections
+            # (identical math, no wide concat tensor materialized)
+            y = 0.0
+            for i, f in enumerate(feats):
+                y = y + nn.Conv(self.out_ch, (1, 1), use_bias=False,
+                                dtype=DT, name=f"agg{i}")(f)
+        else:
+            y = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=DT,
+                        name="agg")(jnp.concatenate(feats, -1))
+        if use_bn:
+            y = nn.BatchNorm(use_running_average=True, momentum=0.9,
+                             epsilon=1e-5, dtype=DT)(y)
+        y = nn.relu(y)
+        if "noese" not in self.variant:
+            y = _eSE(self.out_ch, dtype=DT)(y)
+        return y
+
+
+def matmul_bench(label, m, k, n):
+    a = jnp.ones((m, k), DT)
+    b = jnp.ones((k, n), DT)
+    f = jax.jit(lambda a, b: jnp.dot(a, b,
+                                     preferred_element_type=jnp.float32))
+    ms = _time(lambda: f(a, b))
+    print(f"{label}: {ms:.2f} ms  {2 * m * k * n / ms / 1e9:.0f} TFLOP/s-ish",
+          flush=True)
+    return ms
+
+
+def chain_bench(label, hw, ch, n_convs=5, reps=4):
+    """n_convs sequential 3x3 convs REPEATED reps times in one program —
+    amortizes dispatch so the per-conv number is honest."""
+    h, w = hw
+    x = jnp.ones((6, h, w, ch), DT)
+    conv = nn.Conv(ch, (3, 3), padding="SAME", use_bias=False, dtype=DT)
+    params = conv.init(jax.random.PRNGKey(0), x)
+
+    def chain(p, x):
+        for _ in range(n_convs * reps):
+            x = conv.apply(p, x)
+        return x
+
+    f = jax.jit(chain)
+    ms = _time(lambda: f(params, x))
+    per = ms / (n_convs * reps)
+    fl = 2 * 6 * h * w * 9 * ch * ch
+    print(f"{label}: {per:.3f} ms/conv  {fl / per / 1e9:.0f} TFLOP/s-ish",
+          flush=True)
+    return per
 
 
 def main():
     print(f"device {jax.devices()[0]} dtype {DT.__name__}", flush=True)
-    # single convs, per stage
-    conv_bench("s2 conv 128->128 @232x400", (232, 400), 128, 128)
-    conv_bench("s3 conv 160->160 @116x200", (116, 200), 160, 160)
-    conv_bench("s4 conv 192->192 @58x100", (58, 100), 192, 192)
-    conv_bench("s4 conv 256->256 @58x100 (pad-free ref)", (58, 100),
-               256, 256)
-    conv_bench("s4 conv0 768->192 @58x100", (58, 100), 768, 192)
-    conv_bench("s3 1x1 1056->512 @116x200", (116, 200), 1056, 512, k=1)
-    # full OSA blocks
+    # pure matmuls at the conv GEMM shapes: the MXU ceiling for each
+    matmul_bench("GEMM s3 (139200x1440x160)", 139200, 1440, 160)
+    matmul_bench("GEMM s4 (34800x1728x192)", 34800, 1728, 192)
+    matmul_bench("GEMM s3 1x1 (139200x1056x512)", 139200, 1056, 512)
+    # dispatch-amortized conv chains (the honest per-conv number)
+    chain_bench("s3 conv chain 160ch @116x200", (116, 200), 160)
+    chain_bench("s4 conv chain 192ch @58x100", (58, 100), 192)
+    chain_bench("s2 conv chain 128ch @232x400", (232, 400), 128)
+    # full OSA blocks + ablations (s4 chains reps=3: cin == out_ch)
     block_bench("s3 block (256->160x5->512)", (116, 200), 256, 160, 512)
     block_bench("s4 block (768->192x5->768)", (58, 100), 768, 192, 768,
                 identity=True)
+    for var in ("concat", "sumagg", "concat_nobn", "sumagg_noese_nobn"):
+        block_bench("s4 block", (58, 100), 768, 192, 768, variant=var)
+        block_bench("s3ish block", (116, 200), 512, 160, 512, variant=var)
 
 
 if __name__ == "__main__":
