@@ -59,43 +59,20 @@ def _eqmatch_kernel(starts_ref, rows_ref, kwin_hbm, ctab_hbm, out_ref,
     rows (TM, 8) int32 lanes [ybase, xbase, zbase, rowbase, kbase, valid,
     0, 0]; kwin_hbm (Np/128, 128) int32 column keys; ctab_hbm (Np, PAYL)
     bf16 payload; out (TM, 27) int32.
-    kwin scratch (2, 3, wc/128, 128) int32 double-buffered;
-    cwin (2, 3, wc, PAYL) bf16.
+    kwin scratch (3, wc/128, 128) int32; cwin (3, wc, PAYL) bf16.
     """
     t = pl.program_id(0)
-    nt = pl.num_programs(0)
     tm = rows_ref.shape[0]
     nchunk = wc // LANE
 
-    # double-buffered window DMAs: tile t+1's copies start before tile
-    # t's waits, hiding the 6-copy issue+wait latency behind the eq
-    # matmuls (same pattern and rationale as pallas_onehot._kernel)
-    def dma_k(slot, tt, g):
-        s = pl.multiple_of(starts_ref[tt, g], LANE)
-        return pltpu.make_async_copy(
-            kwin_hbm.at[pl.ds(s // LANE, nchunk), :], kwin.at[slot, g],
-            sems.at[slot, g])
-
-    def dma_c(slot, tt, g):
-        s = pl.multiple_of(starts_ref[tt, g], LANE)
-        return pltpu.make_async_copy(
-            ctab_hbm.at[pl.ds(s, wc), :], cwin.at[slot, g],
-            sems.at[slot, 3 + g])
-
-    cur = jax.lax.rem(t, 2)
-    nxt = jax.lax.rem(t + 1, 2)
-
-    @pl.when(t == 0)
-    def _():
-        for g in range(3):
-            dma_k(cur, t, g).start()
-            dma_c(cur, t, g).start()
-
-    @pl.when(t + 1 < nt)
-    def _():
-        for g in range(3):
-            dma_k(nxt, t + 1, g).start()
-            dma_c(nxt, t + 1, g).start()
+    for g in range(3):
+        s = pl.multiple_of(starts_ref[t, g], LANE)
+        pltpu.make_async_copy(
+            kwin_hbm.at[pl.ds(s // LANE, nchunk), :], kwin.at[g],
+            sems.at[g]).start()
+        pltpu.make_async_copy(
+            ctab_hbm.at[pl.ds(s, wc), :], cwin.at[g],
+            sems.at[3 + g]).start()
 
     ybase = rows_ref[:, 0][:, None]
     xbase = rows_ref[:, 1][:, None]
@@ -107,8 +84,13 @@ def _eqmatch_kernel(starts_ref, rows_ref, kwin_hbm, ctab_hbm, out_ref,
     lanes64 = jax.lax.broadcasted_iota(jnp.int32, (tm, _NBITS), 1)
     cols = []
     for g in range(3):
-        dma_k(cur, t, g).wait()
-        dma_c(cur, t, g).wait()
+        s = pl.multiple_of(starts_ref[t, g], LANE)
+        pltpu.make_async_copy(
+            kwin_hbm.at[pl.ds(s // LANE, nchunk), :], kwin.at[g],
+            sems.at[g]).wait()
+        pltpu.make_async_copy(
+            ctab_hbm.at[pl.ds(s, wc), :], cwin.at[g],
+            sems.at[3 + g]).wait()
         yq = ybase + g
         for dx in range(3):
             xq = xbase + dx
@@ -117,9 +99,9 @@ def _eqmatch_kernel(starts_ref, rows_ref, kwin_hbm, ctab_hbm, out_ref,
             q = kbase + yq * w_in + xq
             acc = jnp.zeros((tm, _PAYL), jnp.float32)
             for c in range(nchunk):
-                eq = (q == kwin[cur, g][c, :][None, :]) & ok  # (TM, 128)
+                eq = (q == kwin[g][c, :][None, :]) & ok    # (TM, 128)
                 acc += jnp.dot(eq.astype(jnp.bfloat16),
-                               cwin[cur, g][c * LANE:(c + 1) * LANE, :],
+                               cwin[g][c * LANE:(c + 1) * LANE, :],
                                preferred_element_type=jnp.float32)
             bits = acc[:, :_NBITS]                          # 0/1 exact
             cstart = (acc[:, _NBITS] + 256.0 * acc[:, _NBITS + 1] +
@@ -279,9 +261,9 @@ def eqmatch_rulebook(kwin: jnp.ndarray, ctab: jnp.ndarray,
         out_specs=pl.BlockSpec((tm, 27), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, wc // LANE, LANE), jnp.int32),
-            pltpu.VMEM((2, 3, wc, _PAYL), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, 6)),
+            pltpu.VMEM((3, wc // LANE, LANE), jnp.int32),
+            pltpu.VMEM((3, wc, _PAYL), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((6,)),
         ],
     )
     kernel = functools.partial(

@@ -73,15 +73,8 @@ def _kernel(starts_ref, plidx_ref, sub_ref, feats_hbm, wt_ref, out_ref,
     sub (TM, K) sub-slot in [0, pack); feats (Np, pack*Cin) HBM packed table;
     wt (G, per*pack*Cin, Cout) group-stacked pack-tiled weights (per =
     offsets per group); out (TM, Cout);
-    win_scratch (2, G, Wp, pack*Cin) DOUBLE-BUFFERED; acc (TM, Cout) f32;
-    sems (2, G) DMA.  groups: tuple of tuples — offset ids per group.
-
-    Window DMAs are double-buffered across grid steps: tile t+1's windows
-    start before tile t waits on its own, so the ~5-10 us issue+wait
-    latency of the 3 window copies is hidden behind tile t's matmuls
-    (unhidden it dominated: ~17 us/tile = 4.0 ms at stage 0 vs a ~6 us
-    compute+traffic budget; L-path bf16 measured == fp32, proving the
-    matmul passes were never the wall).
+    win_scratch (G, Wp, pack*Cin); acc (TM, Cout) f32; sems (G,) DMA.
+    groups: tuple of tuples — offset ids per window group.
 
     Per group ALL offsets' one-hot rows are stacked into one
     (per*TM, Wp) x (Wp, 128) MXU matmul, and the weight stage is one
@@ -89,35 +82,19 @@ def _kernel(starts_ref, plidx_ref, sub_ref, feats_hbm, wt_ref, out_ref,
     MXU (measured 44.7 ms vs 29.3 XLA at stage 1 before this batching).
     """
     t = pl.program_id(0)
-    nt = pl.num_programs(0)
     tm, k = plidx_ref.shape
     cout = out_ref.shape[-1]
     lanes = pack * cin_pad
     # starts are host-snapped to the sublane tile; multiple_of lets Mosaic
     # prove slice alignment (bf16 tables otherwise fail to lower)
     snap = 8 if win_scratch.dtype == jnp.float32 else 16
-    n_groups = len(groups)
 
-    def dma(slot, tt, g):
-        return pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(pl.multiple_of(starts_ref[tt, g], snap),
-                               wp), :],
-            win_scratch.at[slot, g],
-            sems.at[slot, g],
-        )
-
-    cur = jax.lax.rem(t, 2)
-    nxt = jax.lax.rem(t + 1, 2)
-
-    @pl.when(t == 0)
-    def _():
-        for g in range(n_groups):
-            dma(cur, t, g).start()
-
-    @pl.when(t + 1 < nt)
-    def _():
-        for g in range(n_groups):
-            dma(nxt, t + 1, g).start()
+    for g in range(len(groups)):
+        pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(pl.multiple_of(starts_ref[t, g], snap), wp), :],
+            win_scratch.at[g],
+            sems.at[g],
+        ).start()
 
     acc_ref[:] = jnp.zeros((tm, cout), jnp.float32)
     lane_group = jax.lax.broadcasted_iota(
@@ -125,8 +102,12 @@ def _kernel(starts_ref, plidx_ref, sub_ref, feats_hbm, wt_ref, out_ref,
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (tm, wp), 1)
 
     for g, offs in enumerate(groups):
-        dma(cur, t, g).wait()
-        window = win_scratch[cur, g]                  # (Wp, pack*Cin)
+        pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(pl.multiple_of(starts_ref[t, g], snap), wp), :],
+            win_scratch.at[g],
+            sems.at[g],
+        ).wait()
+        window = win_scratch[g]                       # (Wp, pack*Cin)
         oh_b = jnp.concatenate(
             [(plidx_ref[:, j][:, None] == row_iota) for j in offs],
             axis=0)                                   # (per*TM, Wp) bool
@@ -316,9 +297,9 @@ def gather_matmul_onehot(features: jnp.ndarray,
         out_specs=pl.BlockSpec((tm, cout), lambda i, s: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, len(groups), wp, pack * cin_pad), dtype),
+            pltpu.VMEM((len(groups), wp, pack * cin_pad), dtype),
             pltpu.VMEM((tm, cout), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, len(groups))),
+            pltpu.SemaphoreType.DMA((len(groups),)),
         ],
     )
     kernel = functools.partial(_kernel, groups=groups, pack=pack,

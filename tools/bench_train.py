@@ -27,6 +27,14 @@ def main():
     import dataclasses
     cfg = srfdet_voxel_nusc_L()
     rulebook = sys.argv[1] if len(sys.argv) > 1 else cfg.middle.rulebook
+    if rulebook not in ("bitmap", "table"):
+        # "onehot"/"xla" are GATHER combos (argv[2]), not rulebooks —
+        # a wrong arg here silently benches the slow table backend
+        # (cost us three phantom-regression runs, 2026-08-21)
+        raise SystemExit(
+            f"argv[1] is the RULEBOOK backend (bitmap|table), got "
+            f"{rulebook!r}; gather combos go in argv[2], e.g. "
+            f"bench_train.py bitmap onehot")
     if rulebook != cfg.middle.rulebook:
         cfg = dataclasses.replace(
             cfg, middle=dataclasses.replace(cfg.middle, rulebook=rulebook))
