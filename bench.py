@@ -78,7 +78,10 @@ def _code_fingerprint() -> str:
     import hashlib
     root = os.path.dirname(os.path.abspath(__file__))
     h = hashlib.sha256()
-    files = [os.path.join(root, "__graft_entry__.py")]
+    files = [os.path.join(root, "__graft_entry__.py"),
+             os.path.abspath(__file__)]  # bench.py itself is on the
+    # export path — edits to the AOT serialization code must also
+    # invalidate the artifact (ADVICE r4).
     for dirpath, _dirs, names in os.walk(os.path.join(root,
                                                       "srfdet3d_tpu")):
         files.extend(os.path.join(dirpath, n) for n in sorted(names)

@@ -296,8 +296,13 @@ def _prep_image(img: np.ndarray, icfg, flip: bool = False
     pipeline order: RandomFlip3D flips the loaded image, THEN
     Normalize/Pad — so padding stays on the right edge); the returned
     sx/sy stay valid and the caller applies the flip's projection
-    compensation via `_hflip_mat(w0)` with the RAW width returned here.
-    Returns (normalized (H, W, 3) float32, sx, sy, w0_raw).
+    compensation via `_hflip_mat(w_c)` in POST-resize coordinates
+    (u' = (w_c-1) - sx*u), where the returned w_c is the width the
+    image CONTENT occupies after fitting: w0 in pad mode, the target
+    width in resize mode.  Applying the flip at the raw width before
+    the scale is off by (sx-1) px whenever the image is resized
+    (ADVICE r4); the two orders coincide exactly when sx == 1.
+    Returns (normalized (H, W, 3) float32, sx, sy, w_content).
     """
     h0, w0 = img.shape[:2]
     if flip:
@@ -315,6 +320,7 @@ def _prep_image(img: np.ndarray, icfg, flip: bool = False
         img = _resize(img.astype(np.float32), (h_t, w_t))
         out = (img - IMAGENET_MEAN) / IMAGENET_STD
         sx, sy = w_t / w0, h_t / h0
+        w0 = w_t  # content now spans the full target width
     if icfg.bgr:
         out = out[..., ::-1]
     return np.ascontiguousarray(out), sx, sy, w0
@@ -402,10 +408,10 @@ class NuScenesDataset(SRFDetDataset):
             l2i = intr @ l2c
             # pad or resize to network input (see _prep_image); scale the
             # projection by the applied resize factors
-            img, sx, sy, w0 = _prep_image(img, self.cfg.img, flip=flip)
-            if flip:
-                l2i = _hflip_mat(w0) @ l2i
+            img, sx, sy, w_c = _prep_image(img, self.cfg.img, flip=flip)
             l2i = np.diag([sx, sy, 1.0, 1.0]) @ l2i
+            if flip:
+                l2i = _hflip_mat(w_c) @ l2i
             imgs.append(img)
             l2is.append(l2i)
         return np.stack(imgs), np.stack(l2is).astype(np.float32)
@@ -460,10 +466,10 @@ class KittiDataset(SRFDetDataset):
         ph = np.eye(4, dtype=np.float32)
         ph[:3, :4] = np.asarray(p_mat, np.float32)[:3, :4]
         l2i = ph @ r0 @ tr
-        img, sx, sy, w0 = _prep_image(img, self.cfg.img, flip=flip)
-        if flip:
-            l2i = _hflip_mat(w0) @ l2i
+        img, sx, sy, w_c = _prep_image(img, self.cfg.img, flip=flip)
         l2i = np.diag([sx, sy, 1.0, 1.0]).astype(np.float32) @ l2i
+        if flip:
+            l2i = _hflip_mat(w_c) @ l2i
         return img, l2i
 
     def load_images(self, info: Dict, flip: bool = False):

@@ -16,17 +16,18 @@ NOT implemented (see "Remaining simplifications" below).  Protocol:
     compute_detection_metrics semantics (a 90°-heading detector halves
     recall too, not just precision),
   - RANGE breakdown shards ([0, 30), [30, 50), [50, inf) m by BEV center
-    distance, the official OBJECT_TYPE x RANGE axes): GTs shard by their
-    own center range; a matched detection is credited as a TP to its
-    *GT's* shard (official semantics — the pair scores in the bucket the
-    ground truth lives in), unmatched detections count as FPs in their
-    own shard,
-  - VELOCITY breakdown shards by GT speed magnitude, the official
-    buckets: STATIONARY [0, 0.2), SLOW [0.2, 1), MEDIUM [1, 3),
-    FAST [3, 10), VERY_FAST [10, inf) m/s.  Matched pairs shard by the
-    GT's speed; unmatched detections by their own reported velocity
-    (zero — STATIONARY — when the export carries none).  Velocity comes
-    from a "velocity" (N, 2) key or columns 7:9 of 9-wide boxes,
+    distance, the official OBJECT_TYPE x RANGE axes) and VELOCITY
+    breakdown shards (official speed buckets STATIONARY [0, 0.2),
+    SLOW [0.2, 1), MEDIUM [1, 3), FAST [3, 10), VERY_FAST [10, inf)
+    m/s) follow the official per-shard Matcher semantics: predictions
+    and ground truths are each assigned to a shard by their OWN
+    range/velocity and matching is RE-RUN inside every shard subset —
+    a cross-shard pair therefore scores as an FN in the GT's shard
+    plus an FP in the prediction's shard (ADVICE r4 fixed the earlier
+    global-match-then-credit-GT-shard scheme, which inflated breakdown
+    AP).  Velocity comes from a "velocity" (N, 2) key or columns 7:9
+    of 9-wide boxes (zero — STATIONARY — when the export carries
+    none),
   - NLZ: predictions flagged `overlap_nlz` that fail to match any GT are
     ignored rather than counted FP (the official pair-metrics rule; the
     mmdet3d-style .bin export carries no NLZ info, so the flag is
@@ -147,9 +148,10 @@ def waymo_eval(gts: List[Dict], preds: List[Dict],
     "mAPH_L1", "mAPH_L2"} plus, when range_breakdown=True,
     "{cls}_AP[H]_L{1,2}_{0_30,30_50,50_inf}" per-range shards, and when
     velocity_breakdown=True, "{cls}_AP[H]_L{1,2}_{stationary,slow,medium,
-    fast,very_fast}" per-speed shards.  Matched pairs are credited to the
-    GT's shard on every axis (official breakdown semantics); unmatched
-    FPs to the prediction's own shard.
+    fast,very_fast}" per-speed shards.  Every shard re-runs matching on
+    its own subset (predictions sharded by their own value, GTs by
+    theirs — official per-shard Matcher semantics); a cross-shard pair
+    is an FN in the GT's shard and an FP in the prediction's shard.
     """
     out = {}
     shard_names: Tuple[Optional[str], ...] = (None,)
@@ -157,6 +159,21 @@ def waymo_eval(gts: List[Dict], preds: List[Dict],
         shard_names = shard_names + RANGE_NAMES
     if velocity_breakdown:
         shard_names = shard_names + VELOCITY_NAMES
+
+    def shard_mask(d: Dict, sel: np.ndarray, s: Optional[str]
+                   ) -> np.ndarray:
+        """Membership of rows `sel` of frame-dict d in shard s (each
+        object shards by its OWN range/velocity)."""
+        if s is None:
+            return np.ones(len(sel), bool)
+        if s in RANGE_NAMES:
+            vals = _bucketize(_bev_range(d["boxes"]), RANGE_BUCKETS,
+                              RANGE_NAMES)
+        else:
+            vals = _bucketize(_speed(d), VELOCITY_BUCKETS,
+                              VELOCITY_NAMES)
+        return vals[sel] == s
+
     for cls in class_names:
         thr = IOU_THRESHOLDS.get(cls, 0.5)
         # IoU depends only on (frame, class) — compute once, reuse for
@@ -187,69 +204,47 @@ def waymo_eval(gts: List[Dict], preds: List[Dict],
                 else:
                     lvl_ok = np.ones(len(g["boxes"]), bool)
 
-                # per-object shard membership: [None] + one shard per
-                # active breakdown axis
-                def shard_table(d: Dict) -> List[List[Optional[str]]]:
-                    n = len(d["boxes"])
-                    tbl: List[List[Optional[str]]] = [[None] for _ in
-                                                      range(n)]
-                    if range_breakdown:
-                        rng = _bucketize(_bev_range(d["boxes"]),
-                                         RANGE_BUCKETS, RANGE_NAMES)
-                        for i in range(n):
-                            tbl[i].append(rng[i])
-                    if velocity_breakdown:
-                        vel = _bucketize(_speed(d), VELOCITY_BUCKETS,
-                                         VELOCITY_NAMES)
-                        for i in range(n):
-                            tbl[i].append(vel[i])
-                    return tbl
+                for s in shard_names:
+                    # per-shard subsets; matching is re-run inside each
+                    g_in = np.nonzero(shard_mask(g, g_sel, s))[0]
+                    p_in = np.nonzero(shard_mask(p, p_order, s))[0]
+                    a = acc[s]
+                    a.npos += int(np.sum(lvl_ok[g_sel[g_in]]))
+                    if len(p_in) == 0:
+                        continue
+                    taken = np.zeros(len(g_in), bool)
 
-                g_shards = shard_table(g)
-                p_shards_all = shard_table(p)
+                    def best(pi, want_valid):
+                        bi, bv = -1, thr
+                        for k in range(len(g_in)):
+                            gi = g_in[k]
+                            if taken[k] or \
+                                    bool(lvl_ok[g_sel[gi]]) != want_valid:
+                                continue
+                            if ious[pi, gi] >= bv:
+                                bv, bi = ious[pi, gi], k
+                        return bi
 
-                for gi in g_sel:
-                    if lvl_ok[gi]:
-                        for s in g_shards[gi]:
-                            acc[s].npos += 1
-                if len(p_order) == 0:
-                    continue
-                taken = np.zeros(len(g_sel), bool)
-
-                def best(pi, want_valid):
-                    bi, bv = -1, thr
-                    for gi in range(len(g_sel)):
-                        if taken[gi] or \
-                                bool(lvl_ok[g_sel[gi]]) != want_valid:
+                    for pi in p_in:
+                        score = float(p["scores"][p_order[pi]])
+                        # valid (in-level) GTs first: an out-of-level GT
+                        # must not steal a detection a counted GT can
+                        # claim
+                        k = best(pi, True)
+                        if k >= 0:
+                            taken[k] = True
+                            h = _heading_acc(
+                                float(p["boxes"][p_order[pi]][6]),
+                                float(g["boxes"][g_sel[g_in[k]]][6]))
+                            a.add(True, score, h)
                             continue
-                        if ious[pi, gi] >= bv:
-                            bv, bi = ious[pi, gi], gi
-                    return bi
-
-                for pi in range(len(p_order)):
-                    score = float(p["scores"][p_order[pi]])
-                    # valid (in-level) GTs first: an out-of-level GT must
-                    # not steal a detection a counted GT can claim
-                    gi = best(pi, True)
-                    if gi >= 0:
-                        taken[gi] = True
-                        h = _heading_acc(
-                            float(p["boxes"][p_order[pi]][6]),
-                            float(g["boxes"][g_sel[gi]][6]))
-                        # official breakdown semantics: the TP is
-                        # credited to the shard the GT lives in (its
-                        # npos was counted there), on every axis
-                        for s in g_shards[g_sel[gi]]:
-                            acc[s].add(True, score, h)
-                        continue
-                    gi = best(pi, False)
-                    if gi >= 0:          # ignored GT absorbs the det
-                        taken[gi] = True
-                        continue
-                    if nlz[p_order[pi]]:
-                        continue         # unmatched NLZ detection: ignored
-                    for s in p_shards_all[p_order[pi]]:
-                        acc[s].add(False, score, 0.0)
+                        k = best(pi, False)
+                        if k >= 0:       # ignored GT absorbs the det
+                            taken[k] = True
+                            continue
+                        if nlz[p_order[pi]]:
+                            continue     # unmatched NLZ det: ignored
+                        a.add(False, score, 0.0)
             for s in shard_names:
                 ap, aph = acc[s].result()
                 sfx = f"_L{level}" + (f"_{s}" if s else "")

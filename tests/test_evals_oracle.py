@@ -191,11 +191,13 @@ def test_waymo_range_breakdown_golden():
                                atol=1e-9)
 
 
-def test_waymo_range_boundary_pair_credits_gt_shard():
+def test_waymo_range_boundary_pair_is_fn_plus_fp():
     """A detection at range 29.9 matching a GT at range 30.1 (shards
-    disagree): official breakdown semantics credit the TP to the *GT's*
-    shard (30_50, where its npos was counted) — not the detection's —
-    so 30_50 scores AP 1.0 and 0_30 stays clean (npos 0, no FP)."""
+    disagree): official per-shard semantics re-run matching inside each
+    shard, so the cross-shard pair scores as an FN in the GT's shard
+    (30_50: npos 1, no TP -> AP 0) plus an FP in the detection's shard
+    (0_30: npos 0 -> AP 0).  The overall (unsharded) keys still match
+    the pair."""
     gt = {"boxes": np.array([[30.1, 0, 0, 1.8, 4.2, 1.5, 0.0]], float),
           "labels_name": np.array(["Car"]),
           "num_points": np.array([10])}
@@ -205,16 +207,15 @@ def test_waymo_range_boundary_pair_credits_gt_shard():
     out = waymo_eval([gt], [pred], class_names=("Car",),
                      range_breakdown=True)
     assert out["Car_AP_L1"] > 0.9            # matched overall (IoU ~0.83)
-    assert out["Car_AP_L1_0_30"] == 0.0      # npos 0, and no FP recorded
-    np.testing.assert_allclose(out["Car_AP_L1_30_50"], 1.0, atol=1e-9)
+    assert out["Car_AP_L1_0_30"] == 0.0      # FP only, npos 0
+    assert out["Car_AP_L1_30_50"] == 0.0     # FN: GT unmatched in-shard
 
 
 def test_waymo_velocity_breakdown_golden():
     """VELOCITY shards (official speed buckets, m/s): a stationary GT and
-    a fast GT (5 m/s) each matched exactly land AP 1.0 in their own
-    shards; an unmatched no-velocity FP pollutes only `stationary`.
-    Matched pairs shard by the GT's speed even when the prediction
-    reports a different one."""
+    a fast GT (5 m/s) each matched exactly — with agreeing predicted
+    speeds — land AP 1.0 in their own shards; an unmatched no-velocity
+    FP pollutes only `stationary`."""
     gt = {"boxes": np.array([[10, 0, 0, 1.8, 4.2, 1.5, 0.0],
                              [40, 0, 0, 1.8, 4.2, 1.5, 0.0]], float),
           "labels_name": np.array(["Car", "Car"]),
@@ -225,8 +226,7 @@ def test_waymo_velocity_breakdown_golden():
                                [60, 0, 0, 1.8, 4.2, 1.5, 0.0]], float),
             "labels_name": np.array(["Car", "Car", "Car"]),
             "scores": np.array([0.9, 0.8, 0.7]),
-            # pred #1 mis-reports 20 m/s; the pair still shards by GT
-            "velocity": np.array([[0.0, 0.0], [20.0, 0.0], [0.0, 0.0]])}
+            "velocity": np.array([[0.0, 0.0], [5.0, 0.0], [0.0, 0.0]])}
     out = waymo_eval([gt], [pred], class_names=("Car",),
                      velocity_breakdown=True)
     np.testing.assert_allclose(out["Car_AP_L1_fast"], 1.0, atol=1e-9)
@@ -237,6 +237,26 @@ def test_waymo_velocity_breakdown_golden():
     # is 1/2 at rec 1; interp right-continuity: grid r=1 -> 0.5
     np.testing.assert_allclose(out["Car_AP_L1_stationary"],
                                (100 + 0.5) / 101, atol=1e-9)
+
+
+def test_waymo_velocity_misreport_is_fn_plus_fp():
+    """A prediction whose reported speed (20 m/s, very_fast) disagrees
+    with its matched GT's (5 m/s, fast): per-shard matching scores it
+    as an FN in `fast` and an FP in `very_fast` — the official
+    cross-shard outcome — while the unsharded keys still match."""
+    gt = {"boxes": np.array([[40, 0, 0, 1.8, 4.2, 1.5, 0.0]], float),
+          "labels_name": np.array(["Car"]),
+          "num_points": np.array([10]),
+          "velocity": np.array([[5.0, 0.0]])}
+    pred = {"boxes": np.array([[40, 0, 0, 1.8, 4.2, 1.5, 0.0]], float),
+            "labels_name": np.array(["Car"]),
+            "scores": np.array([0.9]),
+            "velocity": np.array([[20.0, 0.0]])}
+    out = waymo_eval([gt], [pred], class_names=("Car",),
+                     velocity_breakdown=True)
+    np.testing.assert_allclose(out["Car_AP_L1"], 1.0, atol=1e-9)
+    assert out["Car_AP_L1_fast"] == 0.0       # FN: GT unmatched in-shard
+    assert out["Car_AP_L1_very_fast"] == 0.0  # FP only, npos 0
 
 
 def test_waymo_nlz_prediction_ignored():
