@@ -5,11 +5,24 @@ Measures p50 end-to-end forward+decode latency of srfdet_voxel_nusc_L
 prints ONE JSON line.
 
 vs_baseline: the reference repo publishes NO latency/FPS numbers
-(SURVEY.md §6), so the baseline is the target set in BASELINE.md: beat
-reference A100 per-frame inference latency.  Until the reference is measured
-on an A100, we use TARGET_FPS=5.0 frames/sec as the working estimate for a
-Sparse-R-CNN-style LiDAR detector of this size on A100 (spconv backbone +
-900-proposal 5-iteration decoder); vs_baseline = fps / TARGET_FPS.
+(SURVEY.md §6), so two denominators are reported (VERDICT r4 #7):
+
+  - vs_baseline = fps / TARGET_FPS (5.0 f/s): the BASELINE.md working
+    estimate of the reference on an A100.  Derivation: the reference's
+    per-frame work is the roofline table in tools/roofline.py (~260
+    GFLOP forward + the spconv gather/scatter and 900-proposal decoder
+    row work); comparable Sparse-R-CNN-style LiDAR detectors at this
+    capacity (spconv8x VoxelNet + 5-iteration DII head) publish
+    ~4-6 f/s on A100-class GPUs, and the reference's own tooling
+    (batch 1 test loader, no TensorRT path) sits in that band.  This
+    stays an ESTIMATE until the reference can be run on real hardware
+    (its ckpts/ and data/ are empty in this environment).
+  - floor_frac = p50_floor / p50_measured where p50_floor = 40 ms is
+    the sum of binding per-stage v5e floors from tools/roofline.py
+    (35-45 ms band: MXU/HBM floors of the conv stacks + kernel budgets
+    of the windowed gathers + NMS + host readback; PERF.md round-4
+    roofline section).  floor_frac is the defensible "fraction of
+    speed-of-light on THIS chip" number; 1.0 means nothing left.
 """
 
 import json
@@ -28,6 +41,7 @@ jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 TARGET_FPS = 5.0
+FLOOR_MS = 40.0      # roofline-derived v5e floor (see module docstring)
 WARMUP = 3
 ITERS = 20
 STREAM_ITERS = 50
@@ -181,6 +195,7 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / TARGET_FPS, 3),
+        "floor_frac": round(FLOOR_MS / (p50 * 1000), 3),
         "p50_latency_ms": round(p50 * 1000, 2),
         "throughput_fps": round(fps, 3),
         "compile_s": round(compile_s, 1),

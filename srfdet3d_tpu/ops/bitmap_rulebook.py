@@ -681,17 +681,42 @@ def _strided_sites_impl(cs: ColumnSet, padding: Tuple[int, int, int],
         cc_o = cc_o.reshape(b, p_out + 1, 2)[:, :p_out]
         cm_o = cm_o.reshape(b, p_out + 1)[:, :p_out]
 
-    # output z bits: OR of the 9 input neighbors' decimated bits
-    dpk = jnp.concatenate(
-        [dlo.reshape(-1), jnp.zeros((1,), jnp.uint32)])
+    # output z bits: OR of the 9 input neighbors' decimated bits.
+    # NOT a 9-row-per-column gather (P_out x 9 single uint32 rows ~5.4 ms
+    # at stage 0, the round-5 site-gen target): the 3x3 neighbor OR is a
+    # 2D DILATION of the dense per-plan-cell word image — one column-cap
+    # scatter + 9 fused shifted ORs over the (padded) word image + ONE
+    # P_out-row gather.  Scatter/gather rows drop ~5x.
+    h2, w2 = h + 2 * py, w + 2 * px
+    yx_in = cs.ccoords
+    bi = jnp.arange(b, dtype=jnp.int32)[:, None]
+    didx = jnp.where(
+        emits,
+        (bi * h2 + yx_in[..., 0] + py) * w2 + yx_in[..., 1] + px,
+        jnp.int32(b * h2 * w2))
+    dense = jnp.zeros((b * h2 * w2 + 1,), jnp.uint32).at[
+        didx.reshape(-1)].set(dlo.reshape(-1), mode="drop")[:-1]
+    dense = dense.reshape(b, h2, w2)
+    dh, dw = h2 - 2, w2 - 2
+    dil = dense[:, 0:dh, 0:dw]
+    for g in range(3):
+        for dx in range(3):
+            if g or dx:
+                dil = dil | dense[:, g:g + dh, dx:dx + dw]
+    dflat = jnp.concatenate(
+        [dil.reshape(-1), jnp.zeros((1,), jnp.uint32)])
+    oidx = jnp.where(
+        cm_o,
+        (bi * dh + 2 * cc_o[..., 0]) * dw + 2 * cc_o[..., 1],
+        jnp.int32(b * dh * dw))
+    olo = dflat[oidx.reshape(-1)].reshape(b, p_out)
+    olo = jnp.where(cm_o, olo, jnp.uint32(0))
+
+    # plan-neighbor indices: still needed by the shared gather-path
+    # rulebook (strided_rulebook_bitmap reuses nbr)
     nbr = _plan_neighbors(cs, 2 * cc_o[..., 0] - py,
                           2 * cc_o[..., 1] - px, cm_o,
                           pads=(py, px))                 # (B, P_out, 9)
-    obits = dpk[nbr.reshape(-1)].reshape(b, p_out, 9)
-    olo = obits[..., 0]
-    for k in range(1, 9):
-        olo = olo | obits[..., k]
-    olo = jnp.where(cm_o, olo, jnp.uint32(0))
 
     # row starts: exclusive per-sample prefix of per-column site counts
     counts = _popcount(olo)

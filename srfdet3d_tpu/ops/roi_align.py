@@ -36,11 +36,20 @@ produce garbage rows the caller masks.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+
+# slice-granular Pallas scatter for the patch-path backward (xla = flat
+# single-row scatter-add at the ~10 ns/row wall; kernel = sorted windowed
+# RMW vector adds, ops/pallas_patch_scatter.py).  Auto: kernel on TPU for
+# f32 slices of >= 8 rows, XLA elsewhere.
+SCATTER_BWD = os.environ.get("SRFDET_ROI_SCATTER_BWD", "auto")
+SCATTER_INTERPRET = os.environ.get("SRFDET_ROI_SCATTER_INTERPRET",
+                                   "0") == "1"
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -83,6 +92,54 @@ def _pair_gather_rows(table: jnp.ndarray, starts: jnp.ndarray) -> jnp.ndarray:
     """(start, start+1) row pairs — the n=2 case of the shared slice
     gather (one custom VJP to maintain)."""
     return _slice_gather_rows(table, starts, 2)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _patch_gather(table, starts, lvl, ay, ax, shapes, p):
+    """Gather every RoI's PxP-cell window: (S, C) table + (R, P) slice
+    starts -> (R, P, P, C).  Forward identical to the flat slice gather;
+    the VJP carries the RoI window structure (lvl, ay, ax) so the
+    backward can run the block-RMW kernel
+    (ops/pallas_patch_scatter.roi_window_scatter_add) instead of a
+    921k-single-row XLA scatter (~9.2 ms/iteration at flagship scale)."""
+    r = starts.shape[0]
+    c = table.shape[1]
+    pv = _slice_gather_rows(table, starts.reshape(-1), p)
+    return pv.reshape(r, p, p, c)
+
+
+def _patch_gather_fwd(table, starts, lvl, ay, ax, shapes, p):
+    return (_patch_gather(table, starts, lvl, ay, ax, shapes, p),
+            (starts, lvl, ay, ax, table.shape[0]))
+
+
+def _patch_gather_bwd(shapes, p, res, dg):
+    starts, lvl, ay, ax, s_rows = res
+    c = dg.shape[-1]
+    use_kernel = SCATTER_INTERPRET
+    if SCATTER_BWD == "auto" and not use_kernel:
+        try:
+            use_kernel = (dg.dtype == jnp.float32 and c % 128 == 0 and
+                          jax.default_backend() not in ("cpu",))
+        except Exception:
+            use_kernel = False
+    if use_kernel:
+        from .pallas_patch_scatter import roi_window_scatter_add
+        dt = roi_window_scatter_add(dg, lvl.astype(jnp.int32),
+                                    ay.astype(jnp.int32),
+                                    ax.astype(jnp.int32), shapes, p,
+                                    interpret=SCATTER_INTERPRET)
+        dt = jnp.concatenate(
+            [dt, jnp.zeros((s_rows - dt.shape[0], c), dt.dtype)], axis=0)
+    else:
+        idx = (starts.reshape(-1)[:, None] +
+               jnp.arange(p, dtype=starts.dtype)).reshape(-1)
+        dt = jnp.zeros((s_rows, c), dg.dtype).at[idx].add(
+            dg.reshape(-1, c), mode="drop")
+    return dt, None, None, None, None
+
+
+_patch_gather.defvjp(_patch_gather_fwd, _patch_gather_bwd)
 
 
 def _level_geometry(feats, rois, strides, finest_scale):
@@ -254,8 +311,8 @@ def _mla_patch(feats: Sequence[jnp.ndarray],
     """Patch-gather strategy (see module docstring)."""
     r = rois.shape[0]
     c = feats[0].shape[-1]
-    _, s, h_l, w_l, off = _level_geometry(feats, rois, strides,
-                                          finest_scale)
+    lvl, s, h_l, w_l, off = _level_geometry(feats, rois, strides,
+                                            finest_scale)
     table = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
     # `patch` zero pad rows: a weighted window row never starts past the
     # table end (see anchor bound below), but its P-cell slice may run
@@ -279,38 +336,20 @@ def _mla_patch(feats: Sequence[jnp.ndarray],
               (ay[:, None] + jnp.arange(patch, dtype=jnp.int32)[None, :]) *
               wi[:, None] + ax[:, None])               # (R, P)
 
-    # max(..., 1): R=0 RoIs must not divide by zero at trace time
-    chunk = max(min(patch_chunk, r) if patch_chunk > 0 else r, 1)
-    n_chunks = -(-r // chunk) if r else 0
-    rp = n_chunks * chunk
-
-    def pad0(a):
-        return jnp.concatenate(
-            [a, jnp.zeros((rp - r,) + a.shape[1:], a.dtype)], axis=0) \
-            if rp != r else a
-
-    starts_c = pad0(starts).reshape(n_chunks, chunk, patch)
-    wy_c = pad0(wy).reshape(n_chunks, chunk, wy.shape[1], patch)
-    wx_c = pad0(wx).reshape(n_chunks, chunk, wx.shape[1], patch)
-
-    def body(args):
-        st, wyk, wxk = args
-        pv = _slice_gather_rows(table, st.reshape(-1), patch)
-        pv = pv.reshape(chunk, patch, patch, c)        # [r, dy, dx, c]
-        # HIGHEST: the default MXU precision truncates inputs to bf16,
-        # which put the patch path ~1e-2 off the pairs path's pure-VPU
-        # f32 bilinear (tests_tpu/test_device_parity.py); these matmuls
-        # are tiny next to the patch gather, so exactness is free.
-        tmp = jnp.einsum("rip,rpqc->riqc", wyk, pv.astype(jnp.float32),
-                         preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)
-        return jnp.einsum("rjq,riqc->rijc", wxk, tmp,
-                          preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-
-    vals = jax.lax.map(body, (starts_c, wy_c, wx_c))   # (n, chunk, S, S, C)
+    shapes = tuple((f.shape[0], f.shape[1]) for f in feats)
+    pv = _patch_gather(table, starts, lvl, ay, ax, shapes, patch)
+    # HIGHEST: the default MXU precision truncates inputs to bf16,
+    # which put the patch path ~1e-2 off the pairs path's pure-VPU
+    # f32 bilinear (tests_tpu/test_device_parity.py); these matmuls
+    # are tiny next to the patch gather, so exactness is free.
+    tmp = jnp.einsum("rip,rpqc->riqc", wy, pv.astype(jnp.float32),
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    vals = jnp.einsum("rjq,riqc->rijc", wx, tmp,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
     sr = sampling_ratio
-    vals = vals.reshape(rp, out_size, sr, out_size, sr, c)[:r]
+    vals = vals.reshape(r, out_size, sr, out_size, sr, c)
     pooled = jnp.mean(vals, axis=(2, 4))               # (R, oh, ow, C)
 
     # oversized RoIs (top-level clamped, e.g. behind-camera projections):
@@ -352,7 +391,8 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray],
         strategy with a PxP cell window (32 covers mmdet level mapping).
       patch_fallback: capacity of the oversized-RoI pairs-path buffer
         (-1 = R, exact always; 0 = none, oversized RoIs produce zeros).
-      patch_chunk: RoIs per gather chunk (bounds the live patch tensor).
+      patch_chunk: unused (kept for call compatibility; the patch gather
+        is one fused custom-VJP op since the block-RMW backward landed).
 
     Returns: (R, out_size, out_size, C).
     """

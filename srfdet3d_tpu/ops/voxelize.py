@@ -124,26 +124,31 @@ def voxelize_points(points: jnp.ndarray,
     slot_sorted = jnp.where(
         svalid & (slot_sorted < v_cap), slot_sorted, v_cap).astype(jnp.int32)
 
-    # first sorted position of each voxel -> per-point rank within voxel
-    pos = jnp.arange(p, dtype=jnp.int32)
-    first_pos = jnp.zeros((v_cap + 1,), jnp.int32).at[slot_sorted].max(
-        jnp.where(head, pos, 0), mode="drop")
-    # (`.max` with head-only values: each slot written once at its head)
-    rank_sorted = pos - first_pos[slot_sorted]
-
+    # hard-voxelization point cap WITHOUT the per-point rank machinery:
+    # sorted same-voxel points are contiguous, so point i is within the
+    # first `cap` of its voxel iff the point `cap` positions back belongs
+    # to a different voxel.  One static shift-compare replaces the
+    # first-position scatter-max + gather (two 262k-row passes at the
+    # ~10 ns/row wall, PERF.md round-5).
     if spec.max_num_points > 0:
-        keep_sorted = rank_sorted < spec.max_num_points
+        cap = spec.max_num_points
+        keep_sorted = jnp.concatenate(
+            [jnp.ones((min(cap, p),), bool),
+             skey[cap:] != skey[:-cap]]) if cap < p else jnp.ones((p,),
+                                                                  bool)
     else:
         keep_sorted = jnp.ones((p,), bool)
     slot_sorted = jnp.where(
         keep_sorted & (slot_sorted < v_cap), slot_sorted, v_cap)
 
-    # scatter voxel coords at head positions
-    voxel_coords = jnp.zeros((v_cap + 1, 3), jnp.int32).at[
-        jnp.where(head, slot_sorted, v_cap)].set(
-            coords[order], mode="drop")[:v_cap]
-    voxel_mask = jnp.zeros((v_cap + 1,), bool).at[
-        jnp.where(head, slot_sorted, v_cap)].set(True, mode="drop")[:v_cap]
+    # voxel coords + occupancy in ONE packed 4-column scatter at head
+    # positions (mask rides as the 4th int32 column)
+    packed = jnp.concatenate(
+        [coords[order], jnp.ones((p, 1), jnp.int32)], axis=1)
+    buf = jnp.zeros((v_cap + 1, 4), jnp.int32).at[
+        jnp.where(head, slot_sorted, v_cap)].set(packed, mode="drop")
+    voxel_coords = buf[:v_cap, :3]
+    voxel_mask = buf[:v_cap, 3] > 0
     num_points = jnp.zeros((v_cap + 1,), jnp.int32).at[slot_sorted].add(
         1, mode="drop")[:v_cap]
 
@@ -218,13 +223,15 @@ def voxelize_points_batched(points: jnp.ndarray,
     # (invalid rows target their sample's trash slot v_cap; the final
     # gslot for fully-invalid rows uses the last sample's trash slot)
 
-    pos_in_sample = (jnp.arange(b * p, dtype=jnp.int32) - sb * p)
-    first_pos = jnp.zeros((b * (v_cap + 1),), jnp.int32).at[gslot].max(
-        jnp.where(head, pos_in_sample, 0), mode="drop")
-    rank_sorted = pos_in_sample - first_pos[gslot]
-
+    # point cap as a sorted-key shift compare (see voxelize_points): the
+    # b_of key shift keeps samples' key ranges disjoint, so the compare
+    # never credits a point against another sample's voxel
     if spec.max_num_points > 0:
-        keep_sorted = rank_sorted < spec.max_num_points
+        cap = spec.max_num_points
+        keep_sorted = jnp.concatenate(
+            [jnp.ones((min(cap, b * p),), bool),
+             skey[cap:] != skey[:-cap]]) if cap < b * p else jnp.ones(
+                 (b * p,), bool)
     else:
         keep_sorted = jnp.ones((b * p,), bool)
     slot_sorted = jnp.where(keep_sorted & (slot_sorted < v_cap),
@@ -234,17 +241,18 @@ def voxelize_points_batched(points: jnp.ndarray,
     ghead = jnp.where(head & (slot_sorted < v_cap), gslot,
                       b * (v_cap + 1) - 1)
 
-    coords_sorted = coords[order]
-    voxel_coords = jnp.zeros((b * (v_cap + 1), 3), jnp.int32).at[
-        ghead].set(coords_sorted, mode="drop")
-    voxel_mask = jnp.zeros((b * (v_cap + 1),), bool).at[
-        ghead].set(True, mode="drop")
+    # coords + occupancy in one packed 4-column scatter
+    packed = jnp.concatenate(
+        [coords[order], jnp.ones((b * p, 1), jnp.int32)], axis=1)
+    buf = jnp.zeros((b * (v_cap + 1), 4), jnp.int32).at[
+        ghead].set(packed, mode="drop")
     num_points = jnp.zeros((b * (v_cap + 1),), jnp.int32).at[
         gslot].add(1, mode="drop")
     # strip each sample's trash slot; undo any write that landed in the
     # shared last trash slot
-    voxel_coords = voxel_coords.reshape(b, v_cap + 1, 3)[:, :v_cap]
-    voxel_mask = voxel_mask.reshape(b, v_cap + 1)[:, :v_cap]
+    buf = buf.reshape(b, v_cap + 1, 4)[:, :v_cap]
+    voxel_coords = buf[..., :3]
+    voxel_mask = buf[..., 3] > 0
     num_points = num_points.reshape(b, v_cap + 1)[:, :v_cap]
 
     point_voxel_idx = jnp.zeros((b * p,), jnp.int32).at[order].set(

@@ -205,3 +205,45 @@ def test_eqmatch_rulebook_on_device():
         cs, (1, 1, 1), 1024, eqmatch=True))(cs)
     np.testing.assert_array_equal(np.asarray(got_d[4]),
                                   np.asarray(ref_d[4]))
+
+
+def test_patch_scatter_on_device():
+    """roi_window_scatter_add REAL Mosaic lowering (dynamic-offset 2D
+    window DMAs + 8-way static-slice adds — interpret mode can't catch
+    an unaligned DMA that fails to lower) vs the XLA flat single-row
+    scatter on flagship patch geometry (900 RoIs, 32x32, C=128)."""
+    from srfdet3d_tpu.ops.pallas_patch_scatter import roi_window_scatter_add
+    rng = np.random.default_rng(7)
+    shapes = ((184, 184), (92, 92), (46, 46), (23, 23))
+    p_, c, n = 32, 128, 900
+    lvl = rng.integers(0, 4, n).astype(np.int32)
+    ay = np.zeros(n, np.int32)
+    ax = np.zeros(n, np.int32)
+    dpv = rng.normal(size=(n, p_, p_, c)).astype(np.float32)
+    for i in range(n):
+        h, w = shapes[lvl[i]]
+        ay[i] = rng.integers(0, max(h - p_, 0) + 1)
+        ax[i] = rng.integers(0, max(w - p_, 0) + 1)
+        if h < p_:
+            dpv[i, h - ay[i]:] = 0.0
+        if w < p_:
+            dpv[i, :, w - ax[i]:] = 0.0
+    offs = np.cumsum([0] + [h * w for h, w in shapes])
+    s_rows = int(offs[-1])
+    ws = np.array([w for _h, w in shapes], np.int32)
+    starts = (offs[lvl].astype(np.int32)[:, None] +
+              (ay[:, None] + np.arange(p_, dtype=np.int32)) *
+              ws[lvl][:, None] + ax[:, None])        # (N, P)
+    jd, jl = jnp.asarray(dpv), jnp.asarray(lvl)
+    jy, jx, js = jnp.asarray(ay), jnp.asarray(ax), jnp.asarray(starts)
+
+    def xla_ref(st, pa):
+        idx = (st.reshape(-1)[:, None] +
+               jnp.arange(p_, dtype=jnp.int32)).reshape(-1)
+        return jnp.zeros((s_rows + p_, c), jnp.float32).at[idx].add(
+            pa.reshape(-1, c), mode="drop")[:s_rows]
+
+    ref = np.asarray(jax.jit(xla_ref)(js, jd))
+    got = np.asarray(jax.jit(lambda d, l, y, x: roi_window_scatter_add(
+        d, l, y, x, shapes, p_))(jd, jl, jy, jx))
+    np.testing.assert_allclose(got, ref, atol=1e-3, rtol=1e-5)
