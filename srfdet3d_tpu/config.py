@@ -163,13 +163,15 @@ class HeadConfig:
     # memory; off by default (models/head.py SRFDetHead.remat)
     remat: bool = False
     # unroll the refinement scan in TRAIN traces (predict keeps the rolled
-    # scan either way).  STANDALONE head grad improves 148 -> 128 ms at
-    # flagship scale (tools/bench_head_parts.py), but in the FULL train
-    # step the scan's loop overhead is hidden under the encoder-backward
-    # overlap and the inlined HLO schedules WORSE: step 515 -> 549 ms
-    # measured — so this stays OFF; it is a real lever only for head-heavy
-    # configs (or if the encoder backward ever stops dominating).
-    unroll_train: bool = False
+    # scan either way).  History: in round 2 this REGRESSED the full step
+    # (515 -> 549 ms) because the head backward hid behind the encoder-
+    # backward overlap.  After the round-5 block-RMW RoI backward kernel
+    # shrank the head bwd (scan grad 145 -> 109 ms standalone), the
+    # overlap inverted and unrolling wins end-to-end: full train step
+    # p50 352 -> 321 ms / stream 319 -> 282 (tools/bench_train.py,
+    # 2026-08-21) — ON by default; the rolled scan remains for predict
+    # (5x smaller HLO for the remote compiler).
+    unroll_train: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
