@@ -158,6 +158,11 @@ class HeadConfig:
     # so the paths are tuned independently; bench_roi measures both)
     img_roi_patch: int = 0
     img_roi_patch_fallback: int = -1
+    # x-patch hybrid for the image RoI path (pairs in y, XP-cell row
+    # slices in x; ops/roi_align._mla_xpatch) — 14x fewer gather slices
+    # than pairs on the 6-camera path; x-misfits take the pairs fallback
+    img_roi_xpatch: int = 0
+    img_roi_xpatch_fallback: int = -1
     # rematerialize the refinement iterations in backward (jax.checkpoint)
     # — trades one extra decoder forward for O(num_heads) activation
     # memory; off by default (models/head.py SRFDetHead.remat)

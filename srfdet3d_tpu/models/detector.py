@@ -236,6 +236,8 @@ class SRFDet(nn.Module):
             roi_patch_fallback=h.roi_patch_fallback,
             img_roi_patch=h.img_roi_patch,
             img_roi_patch_fallback=h.img_roi_patch_fallback,
+            img_roi_xpatch=h.img_roi_xpatch,
+            img_roi_xpatch_fallback=h.img_roi_xpatch_fallback,
             remat=h.remat,
             unroll_train=h.unroll_train,
             dtype=self.dtype,

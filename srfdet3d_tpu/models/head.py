@@ -269,6 +269,11 @@ class SingleSRFDetHead(nn.Module):
     # request size limit — keep pair-gathers there until measured.
     img_roi_patch: int = 0
     img_roi_patch_fallback: int = -1
+    # x-patch hybrid for the image RoI path (pairs in y, row slices in
+    # x — 14x fewer slices; ops/roi_align._mla_xpatch): y-elongated
+    # projections keep the fast path, x-misfits take the fallback
+    img_roi_xpatch: int = 0
+    img_roi_xpatch_fallback: int = -1
     dtype: Any = jnp.float32
 
     @property
@@ -315,7 +320,9 @@ class SingleSRFDetHead(nn.Module):
             img_roi = pooled_img_roi(img_feats, cam_rois, self.img_strides,
                                      res, cap=self.img_roi_cap,
                                      patch=self.img_roi_patch,
-                                     patch_fallback=self.img_roi_patch_fallback)
+                                     patch_fallback=self.img_roi_patch_fallback,
+                                     xpatch=self.img_roi_xpatch,
+                                     xpatch_fallback=self.img_roi_xpatch_fallback)
 
         if self.use_fusion:
             fused = jnp.concatenate([img_roi, pts_roi], axis=-1)
@@ -439,6 +446,8 @@ class SRFDetHead(nn.Module):
     roi_patch_fallback: int = -1
     img_roi_patch: int = 0
     img_roi_patch_fallback: int = -1
+    img_roi_xpatch: int = 0
+    img_roi_xpatch_fallback: int = -1
     # unroll the refinement scan when tracing TRAIN programs: the scanned
     # backward pays ~43 ms of loop machinery at flagship scale (stacked-
     # residual dynamic-update-slices + per-iteration param gathers) that
@@ -598,6 +607,8 @@ class SRFDetHead(nn.Module):
             roi_patch_fallback=self.roi_patch_fallback,
             img_roi_patch=self.img_roi_patch,
             img_roi_patch_fallback=self.img_roi_patch_fallback,
+            img_roi_xpatch=self.img_roi_xpatch,
+            img_roi_xpatch_fallback=self.img_roi_xpatch_fallback,
             prior_prob=self.prior_prob,
             dtype=self.dtype)
 

@@ -372,6 +372,92 @@ def _mla_patch(feats: Sequence[jnp.ndarray],
     return jnp.where(fits[:, None, None, None], pooled, out_fb[sel])
 
 
+def _mla_xpatch(feats: Sequence[jnp.ndarray],
+                rois: jnp.ndarray,
+                strides: Sequence[int],
+                out_size: int,
+                sampling_ratio: int,
+                finest_scale: float,
+                xp: int,
+                fallback: int) -> jnp.ndarray:
+    """x-patch hybrid strategy: pairs in y, patch in x.
+
+    The pairs path issues 2 slice-gathers per bilinear sample = 392
+    2-row slices per RoI; on the 6-camera LC image path that is 752k
+    slices per decoder iteration (~16 ms/iter measured — the whole
+    fusion-head image cost, tools/bench_img_branch.py head).  But for a
+    fixed y-corner row, all S x-samples read ONE image row spanning the
+    RoI's x extent — so gather one XP-cell row slice per (RoI,
+    y-sample, y-corner) = 2*S slices (14x fewer) and evaluate the
+    x-bilinear as a small matmul against the one-hot x weights
+    (_axis_weights), keeping the exact per-sample y weights of the
+    pairs path.  Only the X extent must fit XP cells (y never misfits),
+    so elongated-in-y projected boxes — the case that sank the full
+    patch path on cameras (PERF.md round-3) — stay on the fast path;
+    x-misfits compact into a `fallback`-slot pairs-path buffer."""
+    r = rois.shape[0]
+    c = feats[0].shape[-1]
+    sr = sampling_ratio
+    _, s, h_l, w_l, off = _level_geometry(feats, rois, strides,
+                                          finest_scale)
+    table = jnp.concatenate([f.reshape(-1, c) for f in feats], axis=0)
+    # xp pad rows: mid-level x spills land in the next level's rows and
+    # last-level spills in this pad — both carry zero x weight; the pad
+    # guarantees `start + xp <= rows` so dynamic_slice never clamps
+    # (clamping would MISALIGN the weighted lanes, not just waste them)
+    table = jnp.concatenate(
+        [table, jnp.zeros((xp, c), table.dtype)], axis=0)
+
+    sx, sy = _sample_grid(rois, s, out_size, sampling_ratio)
+    wi = w_l.astype(jnp.int32)
+    offi = off.astype(jnp.int32)
+
+    wx, ax, fits_x = _axis_weights(sx, w_l, wi, xp)     # (R, S, XP)
+
+    hh = h_l[:, None]
+    oob_y = (sy < -1.0) | (sy > hh)
+    y = jnp.clip(sy, 0.0, hh - 1.0)
+    y0 = jnp.floor(y)
+    ly = y - y0
+    y1 = jnp.minimum(y0 + 1, hh - 1.0)
+    wy0 = jnp.where(oob_y, 0.0, 1.0 - ly)               # (R, S)
+    wy1 = jnp.where(oob_y, 0.0, ly)
+    y0i = y0.astype(jnp.int32)
+    y1i = y1.astype(jnp.int32)
+
+    starts = (offi[:, None, None] +
+              jnp.stack([y0i, y1i], axis=1) * wi[:, None, None] +
+              ax[:, None, None])                        # (R, 2, S)
+    g = _slice_gather_rows(table, starts.reshape(-1), xp)
+    g = g.reshape(r, 2, sy.shape[1], xp, c)             # (R, 2, S, XP, C)
+    # x bilinear as a matmul; HIGHEST like the patch path (the pairs
+    # reference is pure-VPU f32)
+    val = jnp.einsum("rjp,rkipc->rkijc", wx, g.astype(jnp.float32),
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    vals = (val[:, 0] * wy0[:, :, None, None] +
+            val[:, 1] * wy1[:, :, None, None])          # (R, S, S, C)
+    vals = vals.reshape(r, out_size, sr, out_size, sr, c)
+    pooled = jnp.mean(vals, axis=(2, 4))
+
+    # x-misfit fallback: compact into `fallback` pairs-path slots
+    cap = r if fallback < 0 else fallback
+    if cap == 0:
+        zero = jnp.zeros_like(pooled[:1])
+        return jnp.where(fits_x[:, None, None, None], pooled,
+                         jnp.broadcast_to(zero, pooled.shape))
+    mis = ~fits_x
+    slot = jnp.cumsum(mis.astype(jnp.int32)) - 1
+    sel = jnp.where(mis & (slot < cap), slot, cap)
+    rois_fb = jnp.full((cap + 1, 4), -1e6, rois.dtype).at[sel].set(
+        rois, mode="drop")[:cap]
+    out_fb = _mla_pairs(feats, rois_fb, strides, out_size, sampling_ratio,
+                        finest_scale)
+    out_fb = jnp.concatenate(
+        [out_fb, jnp.zeros((1,) + out_fb.shape[1:], out_fb.dtype)], axis=0)
+    return jnp.where(fits_x[:, None, None, None], pooled, out_fb[sel])
+
+
 def multilevel_roi_align(feats: Sequence[jnp.ndarray],
                          rois: jnp.ndarray,
                          strides: Sequence[int],
@@ -380,7 +466,9 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray],
                          finest_scale: float = 56.0,
                          patch: int = 0,
                          patch_fallback: int = -1,
-                         patch_chunk: int = 32) -> jnp.ndarray:
+                         patch_chunk: int = 32,
+                         xpatch: int = 0,
+                         xpatch_fallback: int = -1) -> jnp.ndarray:
     """RoIAlign over multiple levels for a single sample.
 
     Args:
@@ -393,11 +481,18 @@ def multilevel_roi_align(feats: Sequence[jnp.ndarray],
         (-1 = R, exact always; 0 = none, oversized RoIs produce zeros).
       patch_chunk: unused (kept for call compatibility; the patch gather
         is one fused custom-VJP op since the block-RMW backward landed).
+      xpatch: XP > 0 = x-patch hybrid (pairs in y, XP-cell row slices in
+        x — 14x fewer slices than pairs; see _mla_xpatch).  Mutually
+        exclusive with patch.
+      xpatch_fallback: pairs-path buffer capacity for x-misfits.
 
     Returns: (R, out_size, out_size, C).
     """
     if patch:
         return _mla_patch(feats, rois, strides, out_size, sampling_ratio,
                           finest_scale, patch, patch_fallback, patch_chunk)
+    if xpatch:
+        return _mla_xpatch(feats, rois, strides, out_size, sampling_ratio,
+                           finest_scale, xpatch, xpatch_fallback)
     return _mla_pairs(feats, rois, strides, out_size, sampling_ratio,
                       finest_scale)

@@ -538,7 +538,7 @@ def sparse_conv3d(st: SparseTensor,
 # MXU one-hot matmuls, no dynamic gathers.  "auto": onehot on TPU, xla
 # elsewhere (the kernel only lowers via Mosaic).
 GATHER_METHOD = os.environ.get("SRFDET_GATHER", "auto")
-ONEHOT_TM = 512
+ONEHOT_TM = int(os.environ.get("SRFDET_ONEHOT_TM", "512"))
 # Window-group partition of the kernel offsets (pallas_onehot._default_groups):
 # "zy" (default) makes each group's window span the tile's own table extent
 # plus a 2-row dx slack — density-independent, zero out-of-window entries at
@@ -549,7 +549,8 @@ ONEHOT_GROUPS = os.environ.get("SRFDET_ONEHOT_GROUPS", "zy")
 # window must cover the per-group gather span: tile table extent (<= tm for
 # subm; ~2*tm for stride-2 downsamples whose input stage holds 2x the sites)
 # + dx slack, in TABLE rows.
-ONEHOT_WINDOW_ROWS = 1024        # window size in TABLE rows
+ONEHOT_WINDOW_ROWS = int(os.environ.get(
+    "SRFDET_ONEHOT_WROWS", "1024"))  # window size in TABLE rows
 ONEHOT_CORRECTION_TILES = 16     # tile-granular correction budget
 # the kernel wins where the row-gather wall bites: many small rows.  Deep
 # stages (few voxels, wide channels) gather fewer, wider rows and XLA is

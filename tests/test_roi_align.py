@@ -320,3 +320,91 @@ def test_patch_path_zero_rois():
         out = multilevel_roi_align(feats, rois, (1, 2), out_size=3,
                                    patch=patch)
         assert out.shape == (0, 3, 3, 4)
+
+
+def test_xpatch_path_matches_pairs_path():
+    """xpatch=32 (pairs in y, row-slice matmul in x) == the corner-pair
+    path on small / typical / edge-straddling / offscreen RoIs."""
+    rng = np.random.RandomState(7)
+    feats = [jnp.array(rng.randn(32, 48, 8), jnp.float32),
+             jnp.array(rng.randn(16, 24, 8), jnp.float32)]
+    strides = [8, 16]
+    n = 24
+    x1 = rng.uniform(-80, 300, n)
+    y1 = rng.uniform(-60, 200, n)
+    rois = np.stack([x1, y1,
+                     x1 + rng.uniform(4, 220, n),
+                     y1 + rng.uniform(4, 200, n)], -1).astype(np.float32)
+    rois[0] = [-500, -500, -400, -400]          # fully offscreen
+    rois[1] = [50, 50, 58, 58]                  # tiny
+    rois[2] = [-30, -20, 380, 250]              # spans the whole image
+    r = jnp.asarray(rois)
+    ref = multilevel_roi_align(feats, r, strides)
+    got = multilevel_roi_align(feats, r, strides, xpatch=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_xpatch_x_misfit_uses_fallback():
+    """An RoI whose X extent exceeds the window comes out of the pairs
+    fallback exactly; with xpatch_fallback=0 it comes out zero, while a
+    y-elongated RoI (the case that sank full-patch on cameras) stays on
+    the fast path."""
+    rng = np.random.RandomState(8)
+    feats = [jnp.array(rng.randn(64, 64, 4), jnp.float32)]
+    strides = [8]
+    rois = jnp.asarray(np.array([
+        [10.0, 10.0, 60.0, 60.0],        # normal
+        [-3000.0, -20.0, 3500.0, 120.0],  # x-enormous (misfit)
+        [100.0, -800.0, 180.0, 900.0],    # y-enormous, x thin (fits!)
+    ], np.float32))
+    ref = multilevel_roi_align(feats, rois, strides)
+    got = multilevel_roi_align(feats, rois, strides, xpatch=32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    dropped = multilevel_roi_align(feats, rois, strides, xpatch=32,
+                                   xpatch_fallback=0)
+    np.testing.assert_allclose(np.asarray(dropped[0]), np.asarray(ref[0]),
+                               rtol=1e-4, atol=1e-5)
+    assert np.abs(np.asarray(dropped[1])).max() == 0.0
+    # y-elongated stays on the fast path (not zeroed by fb=0)
+    np.testing.assert_allclose(np.asarray(dropped[2]), np.asarray(ref[2]),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_xpatch_grad_matches_pairs():
+    rng = np.random.RandomState(9)
+    feats = [jnp.array(rng.randn(32, 48, 8), jnp.float32),
+             jnp.array(rng.randn(16, 24, 8), jnp.float32)]
+    strides = [8, 16]
+    rois = jnp.asarray(np.array([
+        [20.0, 30.0, 120.0, 90.0],
+        [0.0, 0.0, 350.0, 240.0],
+        [-40.0, 10.0, 60.0, 200.0],
+    ], np.float32))
+
+    def loss(fs, **kw):
+        out = multilevel_roi_align(fs, rois, strides, **kw)
+        return jnp.sum(out * out)
+
+    g_ref = jax.grad(loss)(feats)
+    g_xp = jax.grad(lambda fs: loss(fs, xpatch=32))(feats)
+    for a, b in zip(g_xp, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_xpatch_under_vmap_batch():
+    rng = np.random.RandomState(10)
+    feats = [jnp.array(rng.randn(2, 32, 48, 8), jnp.float32),
+             jnp.array(rng.randn(2, 16, 24, 8), jnp.float32)]
+    strides = [8, 16]
+    rois = jnp.asarray(rng.uniform(0, 150, (2, 5, 4)).astype(np.float32))
+    rois = rois.at[..., 2:].add(rois[..., :2])
+
+    ref = jax.vmap(lambda f, r: multilevel_roi_align(f, r, strides))(
+        feats, rois)
+    got = jax.vmap(lambda f, r: multilevel_roi_align(
+        f, r, strides, xpatch=32))(feats, rois)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
