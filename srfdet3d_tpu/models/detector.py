@@ -82,7 +82,11 @@ class SRFDet(nn.Module):
 
         # flat-batched: jax.vmap(voxelize_points) measured 81.5 ms vs
         # 18.8 ms at flagship shapes (vmapped sort/scatter lowering)
-        vox = voxelize_points_batched(points, points_mask, spec)
+        # with_counts=False: no model path consumes num_points (the VFE
+        # segment mean derives its own counts in the same scatter) — skip
+        # its ~262k-row count scatter
+        vox = voxelize_points_batched(points, points_mask, spec,
+                                      with_counts=False)
         flat = _flatten_voxelization(vox, v_cap)
         flat_points = points.reshape(b * p, d)
 

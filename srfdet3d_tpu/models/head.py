@@ -143,7 +143,8 @@ def img_rois_from_boxes(boxes_abs: jnp.ndarray,
 
 def pooled_img_roi(img_feats, cam_rois, strides, res: int,
                    cap: int = 0, patch: int = 0,
-                   patch_fallback: int = -1) -> jnp.ndarray:
+                   patch_fallback: int = -1, xpatch: int = 0,
+                   xpatch_fallback: int = -1) -> jnp.ndarray:
     """Camera-summed multi-level RoI pooling (reference
     img_feats_sampling_bboxes_roi, srfdet_head.py:1963-2103: RoIAlign per
     camera then sum over cameras).
@@ -170,7 +171,8 @@ def pooled_img_roi(img_feats, cam_rois, strides, res: int,
         per_cam = jax.vmap(
             lambda feats, r: multilevel_roi_align(
                 feats, r, strides, out_size=res, patch=patch,
-                patch_fallback=patch_fallback))(flat_feats, flat_rois)
+                patch_fallback=patch_fallback, xpatch=xpatch,
+                xpatch_fallback=xpatch_fallback))(flat_feats, flat_rois)
         return jnp.sum(per_cam.reshape((b, n_cam, n_p, res, res, c)),
                        axis=1)
 
@@ -194,7 +196,8 @@ def pooled_img_roi(img_feats, cam_rois, strides, res: int,
     per_cam = jax.vmap(
         lambda feats, r: multilevel_roi_align(
             feats, r, strides, out_size=res, patch=patch,
-            patch_fallback=patch_fallback))(flat_feats, rois_c)
+            patch_fallback=patch_fallback, xpatch=xpatch,
+            xpatch_fallback=xpatch_fallback))(flat_feats, rois_c)
     # scatter-add pooled slots back to their proposals
     b_idx = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n_cam)[:, None]
     flat_prop = jnp.where(src < n_p, b_idx * n_p + src, b * n_p)

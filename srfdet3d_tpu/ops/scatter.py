@@ -21,11 +21,15 @@ def segment_mean(data: jnp.ndarray,
     dropped.
     """
     # accumulate in f32: a bf16 count saturates at 256 rows (256 + 1
-    # rounds back to 256) and a bf16 sum loses low bits on dense voxels
-    total = jax.ops.segment_sum(data.astype(jnp.float32), segment_ids,
-                                num_segments)
-    count = jax.ops.segment_sum(
-        jnp.ones(data.shape[:1], jnp.float32), segment_ids, num_segments)
+    # rounds back to 256) and a bf16 sum loses low bits on dense voxels.
+    # The count rides as an extra data column: segment scatters price by
+    # ROW (~10 ns/row regardless of width, PERF.md), so one (C+1)-wide
+    # scatter costs half of separate sum + count scatters.
+    aug = jnp.concatenate(
+        [data.astype(jnp.float32),
+         jnp.ones(data.shape[:1] + (1,), jnp.float32)], axis=1)
+    tot = jax.ops.segment_sum(aug, segment_ids, num_segments)
+    total, count = tot[:, :-1], tot[:, -1]
     return (total / jnp.maximum(count, 1.0)[:, None]).astype(data.dtype)
 
 

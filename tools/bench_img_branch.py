@@ -99,6 +99,13 @@ def head_img_parts(cfg, rng):
         fs, r, strides, 7, cap=0))
     _time(lambda: f_nc(img_feats, cam_rois), "pool cap=0 (x5)")
 
+    f_xp = jax.jit(lambda fs, r: hm.pooled_img_roi(
+        fs, r, strides, 7, cap=cap, xpatch=32, xpatch_fallback=96))
+    _time(lambda: f_xp(img_feats, cam_rois), f"pool xpatch32/96 (x5)")
+    f_xp0 = jax.jit(lambda fs, r: hm.pooled_img_roi(
+        fs, r, strides, 7, cap=cap, xpatch=32, xpatch_fallback=0))
+    _time(lambda: f_xp0(img_feats, cam_rois), f"pool xpatch32/0 (x5)")
+
     rois_c = jnp.asarray(rois[0, :, :cap])               # (n_cam, cap, 4)
     flat_feats = tuple(f.reshape((n_cam,) + f.shape[2:])
                        for f in img_feats)

@@ -20,18 +20,19 @@ import sys
 PEAK_BF16 = 197e12
 PEAK_HBM = 819e9
 
-# measured stream ms on one v5e (2026-08-20 parts refresh, fp32 defaults)
+# measured stream ms on one v5e (2026-08-21 round-5 refresh, fp32
+# defaults; head bwd = scan_u5 grad minus fwd, bench_head_parts)
 MEASURED_MS = {
-    "voxelize (262k pts sort+scatter)": 16.8,
-    "encoder stage0 subm rulebook": 12.2,
-    "encoder stage0 downsample": 12.5,
+    "voxelize (262k pts sort+scatter)": 11.8,
+    "encoder stage0 subm rulebook": 7.5,
+    "encoder stage0 downsample": 8.0,
     "encoder convs (all stages, one-hot)": 35.0,
-    "SECOND": 6.2,
-    "FPN": 4.6,
-    "decoder head (5 iters)": 19.8,
-    "decode+NMS": 5.5,
+    "SECOND": 5.2,
+    "FPN": 4.7,
+    "decoder head (5 iters)": 19.7,
+    "decode+NMS": 4.5,
     "VoVNet-99 bf16 (LC)": 139.5,
-    "head bwd (train)": 93.0,
+    "head bwd (train)": 49.0,
 }
 
 
