@@ -177,6 +177,12 @@ class HeadConfig:
     # 2026-08-21) — ON by default; the rolled scan remains for predict
     # (5x smaller HLO for the remote compiler).
     unroll_train: bool = True
+    # unroll the refinement scan in PREDICT traces too.  The rolled scan
+    # pays per-iteration dispatch/loop machinery (head fwd 19.8 ms vs a
+    # ~1.4 ms row floor, PERF.md roofline); unrolling lets XLA fuse
+    # across iterations at the cost of a ~5x larger HLO for the remote
+    # compiler.  A/B knob (tools/bench_config.py head.unroll_predict=1).
+    unroll_predict: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

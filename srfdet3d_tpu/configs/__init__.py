@@ -59,7 +59,13 @@ def srfdet_voxel_nusc_LC() -> SRFDetConfig:
         # (reference srfdet_voxel_nusc_LC.py:246-247)
         img=ImgBranchConfig(backbone="vovnet-99", num_cams=6,
                             img_shape=(928, 1600), mode="pad"),
-        head=dataclasses.replace(base.head, img_roi_cap=320),
+        # unroll_predict: the fusion-head scan pays per-iteration
+        # machinery on the 6-camera RoI path; unrolling wins ~4 ms e2e
+        # (348.7/348.8 vs 353.5/352.5 ms p50 pair, bench_config
+        # 2026-08-21).  The lidar-only flagship measured within noise
+        # (157.8 vs 158.0) and keeps the rolled scan (smaller HLO).
+        head=dataclasses.replace(base.head, img_roi_cap=320,
+                                 unroll_predict=True),
         # LC fine-tune schedule (reference LC.py:310,360,378): batch 1
         # per device, 10 epochs, warmup 10*500
         optim=OptimConfig(freeze_lidar=True, batch_size_per_device=1,

@@ -244,6 +244,7 @@ class SRFDet(nn.Module):
             img_roi_xpatch_fallback=h.img_roi_xpatch_fallback,
             remat=h.remat,
             unroll_train=h.unroll_train,
+            unroll_predict=h.unroll_predict,
             dtype=self.dtype,
             name="bbox_head")(
             point_feats, img_feats, lidar2img, train=train)

@@ -459,6 +459,9 @@ class SRFDetHead(nn.Module):
     # (still stacked (num_heads, ...) leaves), predict keeps the rolled
     # scan (5x smaller HLO; the remote TPU compiler is the bottleneck).
     unroll_train: bool = False
+    # unroll the scan in predict traces too (A/B for the dispatch-bound
+    # head forward; larger HLO for the remote compiler)
+    unroll_predict: bool = False
     # rematerialize each refinement iteration in the backward pass: the
     # scan keeps only the (boxes, prop_feats) carry per iteration and
     # recomputes RoI gathers/attention instead of storing them — trades
@@ -641,7 +644,9 @@ class SRFDetHead(nn.Module):
             split_rngs={"params": True, "dropout": True},
             length=self.num_heads,
             in_axes=0, out_axes=0,
-            unroll=self.num_heads if (train and self.unroll_train) else 1)
+            unroll=self.num_heads
+            if (self.unroll_train if train else self.unroll_predict)
+            else 1)
         (_, _), (logits_all, boxes_all) = scan(
             train=train, name="head_series")(
             (boxes, prop_feats), jnp.zeros((self.num_heads,)))

@@ -99,6 +99,26 @@ def test_unroll_train_matches_rolled_scan():
         assert np.abs(a - b).max() <= 1e-2 * scale
 
 
+def test_unroll_predict_matches_rolled_scan():
+    """unroll_predict inlines the scan bodies for PREDICT traces (LC
+    configs default it on, configs/__init__.py); outputs must match the
+    rolled scan to fusion-reassociation noise."""
+    rng = np.random.default_rng(5)
+    feats = _point_feats(rng)
+    rolled = _head()
+    unrolled = rolled.clone(unroll_predict=True)
+    params = jax.jit(lambda r, f: rolled.init(r, f, train=False))(
+        jax.random.PRNGKey(0), feats)
+    o0 = jax.jit(lambda p, f: rolled.apply(p, f, train=False))(
+        params, feats)
+    o1 = jax.jit(lambda p, f: unrolled.apply(p, f, train=False))(
+        params, feats)
+    for a, b in zip(jax.tree_util.tree_leaves(o0),
+                    jax.tree_util.tree_leaves(o1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_fusion_head_shapes():
     rng = np.random.default_rng(1)
     head = _head(use_img=True)
