@@ -89,6 +89,34 @@ def compute_voxel_coords(points: jnp.ndarray, spec: VoxelizationSpec):
     return coords_zyx, in_range
 
 
+def _coord_bits(spec: VoxelizationSpec):
+    """(zbits, xbits, ybits) of the bit-packed coord passenger, or None.
+
+    Sorting a bit-packed (y<<(x+z) | x<<z | z) int32 alongside the key
+    lets the scatter stage reconstruct sorted coords with shifts/masks
+    instead of a (P, 3) row gather (~10 ns/row wall) — int division by
+    the non-power-of-2 grid strides is NOT an option at this width (the
+    `// shift` note below).  All shipped grids fit 31 bits (flagship
+    11+11+6=28); returns None when one would not."""
+    nx, ny, nz = spec.grid_size
+    zb = max((nz - 1).bit_length(), 1)
+    xb = max((nx - 1).bit_length(), 1)
+    yb = max((ny - 1).bit_length(), 1)
+    return (zb, xb, yb) if zb + xb + yb <= 31 else None
+
+
+def _pack_coords(coords: jnp.ndarray, bits) -> jnp.ndarray:
+    zb, xb, _ = bits
+    return (coords[:, 1] << (xb + zb)) | (coords[:, 2] << zb) | coords[:, 0]
+
+
+def _unpack_coords(packed: jnp.ndarray, bits) -> jnp.ndarray:
+    zb, xb, _ = bits
+    return jnp.stack([packed & ((1 << zb) - 1),
+                      packed >> (xb + zb),
+                      (packed >> zb) & ((1 << xb) - 1)], axis=-1)
+
+
 def voxelize_points(points: jnp.ndarray,
                     point_valid: jnp.ndarray,
                     spec: VoxelizationSpec,
@@ -119,8 +147,17 @@ def voxelize_points(points: jnp.ndarray,
     sentinel = jnp.int32(nx * ny * nz)
     key = jnp.where(valid, key, sentinel)
 
-    order = jnp.argsort(key)
-    skey = key[order]
+    order_src = jnp.arange(p, dtype=jnp.int32)
+    bits = _coord_bits(spec)
+    if bits is not None:
+        # sorted coords ride the sort as a bit-packed passenger operand
+        # (invalid rows carry garbage but never reach a live scatter slot)
+        skey, order, sbit = jax.lax.sort(
+            (key, order_src, _pack_coords(coords, bits)), num_keys=1)
+        coords_sorted = _unpack_coords(sbit, bits)
+    else:
+        skey, order = jax.lax.sort((key, order_src), num_keys=1)
+        coords_sorted = coords[order]
     svalid = skey != sentinel
     head = jnp.concatenate(
         [jnp.ones((1,), bool), skey[1:] != skey[:-1]]) & svalid
@@ -149,7 +186,7 @@ def voxelize_points(points: jnp.ndarray,
     # voxel coords + occupancy in ONE packed 4-column scatter at head
     # positions (mask rides as the 4th int32 column)
     packed = jnp.concatenate(
-        [coords[order], jnp.ones((p, 1), jnp.int32)], axis=1)
+        [coords_sorted, jnp.ones((p, 1), jnp.int32)], axis=1)
     buf = jnp.zeros((v_cap + 1, 4), jnp.int32).at[
         jnp.where(head, slot_sorted, v_cap)].set(packed, mode="drop")
     voxel_coords = buf[:v_cap, :3]
@@ -208,7 +245,14 @@ def voxelize_points_batched(points: jnp.ndarray,
     key = jnp.where(valid, key, cells) + b_of * shift     # (B*P,)
 
     order_src = jnp.arange(b * p, dtype=jnp.int32)
-    skey, order = jax.lax.sort((key, order_src), num_keys=1)
+    bits = _coord_bits(spec)
+    if bits is not None:
+        skey, order, sbit = jax.lax.sort(
+            (key, order_src, _pack_coords(coords, bits)), num_keys=1)
+        coords_sorted = _unpack_coords(sbit, bits)
+    else:
+        skey, order = jax.lax.sort((key, order_src), num_keys=1)
+        coords_sorted = coords[order]
     # sorted samples form contiguous blocks [b*P, (b+1)*P), so the sample
     # id is positional — no `// shift` (int32 division by a non-power-of-2
     # costs tens of ms at this width on the VPU)
@@ -250,9 +294,10 @@ def voxelize_points_batched(points: jnp.ndarray,
     ghead = jnp.where(head & (slot_sorted < v_cap), gslot,
                       b * (v_cap + 1) - 1)
 
-    # coords + occupancy in one packed 4-column scatter
+    # coords + occupancy in one packed 4-column scatter (sorted coords
+    # reconstructed from the bit-packed sort passenger — no row gather)
     packed = jnp.concatenate(
-        [coords[order], jnp.ones((b * p, 1), jnp.int32)], axis=1)
+        [coords_sorted, jnp.ones((b * p, 1), jnp.int32)], axis=1)
     buf = jnp.zeros((b * (v_cap + 1), 4), jnp.int32).at[
         ghead].set(packed, mode="drop")
     if with_counts:
