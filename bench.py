@@ -103,6 +103,13 @@ def _code_fingerprint() -> str:
     for f in sorted(files):
         with open(f, "rb") as fh:
             h.update(fh.read())
+    # SRFDET_* env knobs change the traced program (gather backend,
+    # kernel tile/window sizes...) without touching any source file — a
+    # knob flip must also invalidate the artifact (an SRFDET_ONEHOT_WROWS
+    # A/B silently re-benched the default-knob artifact this round).
+    for k in sorted(os.environ):
+        if k.startswith("SRFDET_"):
+            h.update(f"{k}={os.environ[k]}".encode())
     return h.hexdigest()
 
 
