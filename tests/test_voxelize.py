@@ -205,3 +205,33 @@ def test_voxelizer_output_is_plan_major():
         assert m[:n].all() and not m[n:].any()      # packed, tail invalid
         key = (c[:n, 1] * nx + c[:n, 2]) * nz + c[:n, 0]
         assert np.all(np.diff(key) > 0)             # strictly plan-major
+
+
+def test_bitpack_passenger_matches_gather_fallback(monkeypatch):
+    """The bit-packed coord sort passenger (round-5 predict win) must be
+    bit-identical to the coords[order] gather fallback it replaced —
+    both paths, single-sample and batched."""
+    import srfdet3d_tpu.ops.voxelize as V
+    rng = np.random.default_rng(11)
+    spec = VoxelizationSpec(
+        voxel_size=(0.25, 0.25, 0.25),
+        point_cloud_range=(-8, -8, -2, 8, 8, 2),
+        max_num_points=5, max_voxels=256)
+    assert V._coord_bits(spec) is not None  # shipped grids take bitpack
+    pts = rng.uniform(-9, 9, (2, 600, 4)).astype(np.float32)
+    mask = rng.uniform(size=(2, 600)) < 0.85
+    fast_b = V.voxelize_points_batched(jnp.asarray(pts),
+                                       jnp.asarray(mask), spec)
+    fast_s = V.voxelize_points(jnp.asarray(pts[0]), jnp.asarray(mask[0]),
+                               spec)
+    monkeypatch.setattr(V, "_coord_bits", lambda _spec: None)
+    slow_b = V.voxelize_points_batched(jnp.asarray(pts),
+                                       jnp.asarray(mask), spec)
+    slow_s = V.voxelize_points(jnp.asarray(pts[0]), jnp.asarray(mask[0]),
+                               spec)
+    for fast, slow in ((fast_b, slow_b), (fast_s, slow_s)):
+        for name in ("point_voxel_idx", "point_mask", "voxel_coords",
+                     "voxel_mask", "num_points"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(fast, name)),
+                np.asarray(getattr(slow, name)), err_msg=name)
