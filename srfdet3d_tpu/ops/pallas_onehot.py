@@ -119,9 +119,17 @@ def _kernel(starts_ref, plidx_ref, sub_ref, feats_hbm, wt_ref, out_ref,
                         preferred_element_type=jnp.float32)
         parts = []
         for gi, j in enumerate(offs):
-            sel = (sub_ref[:, j][:, None] == lane_group)
-            parts.append(jnp.where(sel, r[gi * tm:(gi + 1) * tm], 0.0)
-                         .astype(window.dtype))
+            if pack == 1:
+                # one slot per packed row: sub == 0 == lane_group
+                # everywhere, the select is an identity mask — skip its
+                # compare+where VPU passes (the kernel is VPU-pass
+                # bound; pack==1 covers every Cin>=128 conv)
+                parts.append(r[gi * tm:(gi + 1) * tm]
+                             .astype(window.dtype))
+            else:
+                sel = (sub_ref[:, j][:, None] == lane_group)
+                parts.append(jnp.where(sel, r[gi * tm:(gi + 1) * tm], 0.0)
+                             .astype(window.dtype))
         rl = jnp.concatenate(parts, axis=1)           # (TM, per*lanes)
         acc_ref[:] += jnp.dot(rl, wt_ref[g],
                               preferred_element_type=jnp.float32)

@@ -77,9 +77,14 @@ def _bwd_kernel(starts_ref, plidx_ref, sub_ref, g_ref, feats_hbm, wt_ref,
             preferred_element_type=jnp.float32)        # (TM, per*lanes)
         parts = []
         for pj, j in enumerate(offs):
-            sel = (sub_ref[:, j][:, None] == lane_group)
-            parts.append(jnp.where(
-                sel, y[:, pj * lanes:(pj + 1) * lanes], 0.0))
+            if pack == 1:
+                # single slot: sub == 0 == lane_group everywhere — the
+                # select is an identity mask; skip its VPU passes
+                parts.append(y[:, pj * lanes:(pj + 1) * lanes])
+            else:
+                sel = (sub_ref[:, j][:, None] == lane_group)
+                parts.append(jnp.where(
+                    sel, y[:, pj * lanes:(pj + 1) * lanes], 0.0))
         # This matmul MOVES values (one-hot scatter-add of ystack rows into
         # the window): the XLA fallback accumulates these addends exactly
         # (scatter-add, not a matmul), so a Mosaic DEFAULT single bf16 pass
@@ -115,8 +120,12 @@ def _bwd_kernel(starts_ref, plidx_ref, sub_ref, g_ref, feats_hbm, wt_ref,
                            preferred_element_type=jnp.float32)
         rparts = []
         for pj, j in enumerate(offs):
-            sel = (sub_ref[:, j][:, None] == lane_group)
-            rparts.append(jnp.where(sel, rows[pj * tm:(pj + 1) * tm], 0.0))
+            if pack == 1:
+                rparts.append(rows[pj * tm:(pj + 1) * tm])
+            else:
+                sel = (sub_ref[:, j][:, None] == lane_group)
+                rparts.append(jnp.where(sel,
+                                        rows[pj * tm:(pj + 1) * tm], 0.0))
         rl = jnp.concatenate(rparts, axis=1).astype(win.dtype)
         # product matmul: DEFAULT precision matches the XLA fallback, whose
         # own dW contraction runs the same single-bf16-pass f32 matmul
@@ -356,9 +365,14 @@ def _symbwd_kernel(starts_ref, plidx_ref, sub_ref, fe_ref, g_hbm, wt_ref,
                         preferred_element_type=jnp.float32)
         parts = []
         for gi, j in enumerate(offs):
-            sel = (sub_ref[:, j][:, None] == lane_group)
-            parts.append(jnp.where(sel, r[gi * tm:(gi + 1) * tm], 0.0)
-                         .astype(window.dtype))
+            if pack == 1:
+                # single slot: identity select, skip the VPU passes
+                parts.append(r[gi * tm:(gi + 1) * tm]
+                             .astype(window.dtype))
+            else:
+                sel = (sub_ref[:, j][:, None] == lane_group)
+                parts.append(jnp.where(sel, r[gi * tm:(gi + 1) * tm], 0.0)
+                             .astype(window.dtype))
         rl = jnp.concatenate(parts, axis=1)               # (TM, per*lanes)
         # dfeats stage (product matmul, DEFAULT precision like the
         # fallback's g @ W^T contraction)
